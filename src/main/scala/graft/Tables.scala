@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata (`/root/testdata/sf*`, see TESTDATA.md).
+  *
+  * All readers are plain parquet scans so Catalyst predicate pushdown /
+  * column pruning apply (the reference pushes its filter+projection into the
+  * change-stream aggregation server-side — reference
+  * `EcommerceTransactionsLogEventsStream.kt:79-94`; here the parquet reader
+  * plays the role of the DB server).
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table is written with parquet TIMESTAMP(NANOS), which
+    * Spark 4 refuses by default; `nanosAsLong` reads it as raw nanos. We
+    * normalize to `ts_ms` (epoch millis, == DuckDB `epoch_ms(ts)`) which is
+    * also the reference's watermark unit (`lastProcessedEventAt` epoch
+    * millis — reference `TransactionViewUpsertService.kt:144`).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+  }
+
+  /** Money-exact view of `events`: `value` (double euros-ish) as integer
+    * cents so aggregates are order-independent and oracle-exact (the
+    * reference keeps money integer — SURVEY.md §1.5 "do NOT introduce
+    * floats for fees").
+    */
+  def eventsCents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("value_c", expr("CAST(round(value * 100) AS BIGINT)"))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

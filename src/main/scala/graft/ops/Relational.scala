@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators — the batch-relational surface of the
+  * reference CDC pipeline (SURVEY.md §2.1/§2.3). Each is a thin, declarative
+  * composition of Catalyst-optimizable primitives: filters/projections push
+  * into the parquet scan, aggregations get map-side partial aggregation, and
+  * windows shuffle once on the partition key.
+  *
+  * Scale notes (100 TB): every per-key operator here shuffles exactly once on
+  * the key; none collects to the driver; `argMaxPerKey`'s agg form uses
+  * `max_by` (partial-aggregable, no window sort) which is the shape that
+  * survives a 1000-executor scale-up best.
+  */
+object Relational {
+
+  /** O3 — source-pushed IN filter (reference
+    * `EcommerceTransactionsLogEventsStream.kt:80-85`). */
+  def filterIn(df: DataFrame, colName: String, values: Seq[String]): DataFrame =
+    df.filter(col(colName).isin(values: _*))
+
+  /** O2 — resume-at / offset seek: drop the log prefix before `fromMs`
+    * (reference `resumeAt`, `EcommerceTransactionsLogEventsStream.kt:91`).
+    * On a date-partitioned log this is partition pruning. */
+  def resumeSeek(df: DataFrame, tsMsCol: String, fromMs: Long): DataFrame =
+    df.filter(col(tsMsCol) >= fromMs)
+
+  /** O7 — deterministic dedup: keep exactly one row per key, the first by
+    * `ordering` (reference's Redis `SET NX` per event id,
+    * `CdcLockService.kt:40-50`; Spark needs no lock — hash shuffle on the
+    * key makes per-key processing serial). */
+  def dedupFirstPerKey(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** O10 — arg-max per key: the value of `payload` on the latest row by
+    * `(orderCol desc, tieCol desc)` (reference's "status if newer" guard,
+    * `TransactionViewUpsertService.kt:134-149`). Aggregation form — no
+    * window sort, partial-aggregable: `max_by(payload, struct(order, tie))`. */
+  def argMaxPerKey(orderCol: Column, tieCol: Column, payload: Column, as: String): Column =
+    max(struct(orderCol.as("o"), tieCol.as("t"), payload.as("v"))).getField("v").as(as)
+
+  /** O11 — last non-null value per key by event order (reference's
+    * unconditional enrichment update, `TransactionViewUpsertService.kt:201-211`:
+    * "fields are not overridden by other events" — the latest event that
+    * *sets* the field wins). Encoded as `max_by` over the non-null subset. */
+  def lastNonNullPerKey(valueCol: Column, orderCol: Column, tieCol: Column, as: String): Column =
+    max(when(valueCol.isNotNull, struct(orderCol.as("o"), tieCol.as("t"), valueCol.as("v"))))
+      .getField("v").as(as)
+
+  /** O9 — scalar CASE mapping (the per-event-type status mapping,
+    * `TransactionViewUpsertService.kt:308-659`). */
+  def caseMap(c: Column, mapping: Seq[(String, String)], default: String): Column =
+    coalesce(
+      mapping.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+        when(c === k, lit(v)).otherwise(acc)
+      },
+      lit(default))
+
+  /** O17 — checkpoint cadence: mark every Nth record in a total order
+    * (reference saves the resume token every 5 events,
+    * `EcommerceTransactionsLogEventsStream.kt:144-149`). Window over a
+    * single global order — only used on small control streams. */
+  def checkpointCadence(df: DataFrame, ordering: Seq[Column], n: Int): DataFrame = {
+    val w = Window.orderBy(ordering: _*)
+    df.withColumn("__idx", row_number().over(w))
+      .filter(pmod(col("__idx"), lit(n)) === 0)
+      .withColumnRenamed("__idx", "checkpoint_seq")
+  }
+}

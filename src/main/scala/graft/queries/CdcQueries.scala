@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Relational._
+
+/** The batch-relational equivalent of the reference CDC pipeline
+  * (SURVEY.md §2.1/§2.3), expressed over the driver `events` table
+  * (`user_id` stands in for `transactionId`, `event_type` for `eventCode` —
+  * FIXTURES.md §5). Every query has an exact DuckDB oracle in
+  * [[CdcQueries.oracles]]; shared constants below keep the two in lockstep.
+  */
+object CdcQueries {
+
+  /** event_type → view status, mirroring the reference's per-event status
+    * vocabulary (`TransactionViewUpsertService.kt:308-659`). */
+  val StatusMapping: Seq[(String, String)] = Seq(
+    "signup" -> "ACTIVATED",
+    "click" -> "AUTHORIZATION_REQUESTED",
+    "purchase" -> "CLOSED",
+    "view" -> "NOTIFICATION_REQUESTED",
+    "error" -> "CLOSURE_ERROR"
+  )
+  val StatusDefault = "UNKNOWN"
+
+  /** O3 filter values (reference: operationType IN (insert,update,replace)). */
+  val OpFilter: Seq[String] = Seq("click", "purchase", "signup")
+
+  /** O5 anti-filter threshold: props.k >= TtlMark plays the `ttl`-marked
+    * migration-noise role (`EcommerceTransactionsLogEventsStream.kt:98-121`). */
+  val TtlMark = 90L
+
+  /** O2 resume point: 2024-01-15T00:00:00Z. */
+  val ResumeMs = 1705276800000L
+
+  /** O17 checkpoint cadence (reference saves every 5 events; scaled for the
+    * testdata row counts). */
+  val CadenceN = 500
+
+  private def statusCaseSql(c: String): String =
+    "CASE " + StatusMapping.map { case (k, v) => s"WHEN $c = '$k' THEN '$v'" }
+      .mkString(" ") + s" ELSE '$StatusDefault' END"
+
+  // ---------------------------------------------------------------- queries
+
+  def q01_filter_project(spark: SparkSession, dir: String): DataFrame =
+    filterIn(Tables.events(spark, dir), "event_type", OpFilter)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+
+  def q02_ttl_antifilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNull || col("k") < TtlMark)
+      .select(col("event_id"), col("k"))
+      .orderBy("event_id")
+
+  /** O6 — typed decode with bad-record skip: 1/97 of records are corrupted
+    * (leading brace stripped), the decode drops them and the stream
+    * continues (`EcommerceTransactionsLogEventsStream.kt:122-135`). */
+  def q03_decode_badrecord(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn(
+        "raw",
+        when(pmod(col("event_id"), lit(97)) === 0, expr("substring(props, 2)"))
+          .otherwise(col("props")))
+      .withColumn("k", get_json_object(col("raw"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .select(col("event_id"), col("k"))
+      .orderBy("event_id")
+
+  /** O7 — duplicate-delivery dedup: re-deliver every 10th event, keep one. */
+  def q04_dedup_redelivery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts_ms"), col("event_type"))
+    val redelivered = e.union(e.filter(pmod(col("event_id"), lit(10)) === 0))
+    redelivered.dropDuplicates("event_id").orderBy("event_id")
+  }
+
+  def q05_resume_seek(spark: SparkSession, dir: String): DataFrame =
+    resumeSeek(Tables.events(spark, dir), "ts_ms", ResumeMs)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+      .orderBy("event_id")
+
+  def q06_status_mapping(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        caseMap(col("event_type"), StatusMapping, StatusDefault).as("status"))
+      .orderBy("event_id")
+
+  def q07_argmax_status(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("status", caseMap(col("event_type"), StatusMapping, StatusDefault))
+      .groupBy("user_id")
+      .agg(
+        argMaxPerKey(col("ts_ms"), col("event_id"), col("status"), "status"),
+        max(col("ts_ms")).as("last_ts_ms"))
+      .orderBy("user_id")
+
+  def q08_last_non_null(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsCents(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        lastNonNullPerKey(
+          when(col("event_type") === "purchase", col("value_c")),
+          col("ts_ms"), col("event_id"), "last_purchase_c"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** Flagship — full view replay (O7 dedup → O8/O9 dispatch+mapping →
+    * O10 arg-max status → O11 last-non-null enrichment → O12 upsert), the
+    * batch twin of the reference's `transactions-view` maintenance
+    * (`TransactionViewUpsertService.kt:60-124`). One shuffle on the key. */
+  def q09_transactions_view(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsCents(spark, dir)
+      .dropDuplicates("event_id")
+      .withColumn("status", caseMap(col("event_type"), StatusMapping, StatusDefault))
+      .withColumn("err_k", when(col("event_type") === "error",
+        get_json_object(col("props"), "$.k").cast("long")))
+      .groupBy("user_id")
+      .agg(
+        argMaxPerKey(col("ts_ms"), col("event_id"), col("status"), "status"),
+        max(col("ts_ms")).as("last_processed_event_at"),
+        min(col("ts_ms")).as("creation_date_ms"),
+        sum(when(col("event_type") === "purchase", col("value_c"))
+          .otherwise(lit(0L))).as("fee_total_c"),
+        lastNonNullPerKey(col("err_k"), col("ts_ms"), col("event_id"), "last_error_code"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  def q10_checkpoint_cadence(spark: SparkSession, dir: String): DataFrame =
+    checkpointCadence(
+      Tables.events(spark, dir).select(col("event_id"), col("ts_ms")),
+      Seq(col("ts_ms"), col("event_id")), CadenceN)
+      .withColumn("checkpoint_seq", col("checkpoint_seq").cast("long"))
+      .select(col("checkpoint_seq"), col("event_id"), col("ts_ms"))
+      .orderBy("checkpoint_seq")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_project" -> q01_filter_project,
+    "q02_ttl_antifilter" -> q02_ttl_antifilter,
+    "q03_decode_badrecord" -> q03_decode_badrecord,
+    "q04_dedup_redelivery" -> q04_dedup_redelivery,
+    "q05_resume_seek" -> q05_resume_seek,
+    "q06_status_mapping" -> q06_status_mapping,
+    "q07_argmax_status" -> q07_argmax_status,
+    "q08_last_non_null" -> q08_last_non_null,
+    "q09_transactions_view" -> q09_transactions_view,
+    "q10_checkpoint_cadence" -> q10_checkpoint_cadence
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val inList = OpFilter.map(v => s"'$v'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q01_filter_project" ->
+      s"""SELECT event_id, user_id, event_type FROM events
+         |WHERE event_type IN ($inList) ORDER BY event_id""".stripMargin,
+    "q02_ttl_antifilter" ->
+      s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |FROM events
+         |WHERE CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NULL
+         |   OR CAST(json_extract_string(props, '$$.k') AS BIGINT) < $TtlMark
+         |ORDER BY event_id""".stripMargin,
+    "q03_decode_badrecord" ->
+      s"""WITH raw AS (
+         |  SELECT event_id,
+         |         CASE WHEN event_id % 97 = 0 THEN substring(props, 2) ELSE props END AS raw
+         |  FROM events)
+         |SELECT event_id,
+         |       CAST(json_extract_string(raw, '$$.k') AS BIGINT) AS k
+         |FROM raw
+         |WHERE json_valid(raw)
+         |  AND CAST(json_extract_string(raw, '$$.k') AS BIGINT) IS NOT NULL
+         |ORDER BY event_id""".stripMargin,
+    "q04_dedup_redelivery" ->
+      """SELECT DISTINCT event_id, epoch_ms(ts) AS ts_ms, event_type
+        |FROM (SELECT * FROM events
+        |      UNION ALL SELECT * FROM events WHERE event_id % 10 = 0)
+        |ORDER BY event_id""".stripMargin,
+    "q05_resume_seek" ->
+      s"""SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+         |WHERE epoch_ms(ts) >= $ResumeMs ORDER BY event_id""".stripMargin,
+    "q06_status_mapping" ->
+      s"""SELECT event_id, event_type, ${statusCaseSql("event_type")} AS status
+         |FROM events ORDER BY event_id""".stripMargin,
+    "q07_argmax_status" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         |         ${statusCaseSql("event_type")} AS status
+         |  FROM events),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+         |      FROM e)
+         |SELECT r.user_id, r.status, m.last_ts_ms
+         |FROM r JOIN (SELECT user_id, max(ts_ms) AS last_ts_ms FROM e GROUP BY user_id) m
+         |  ON r.user_id = m.user_id
+         |WHERE r.rn = 1 ORDER BY r.user_id""".stripMargin,
+    "q08_last_non_null" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN CAST(round(value * 100) AS BIGINT) END AS pv
+        |  FROM events)
+        |SELECT DISTINCT user_id,
+        |  last_value(pv IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_purchase_c,
+        |  count(*) OVER (PARTITION BY user_id) AS n_events
+        |FROM e ORDER BY user_id""".stripMargin,
+    "q09_transactions_view" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT ON (event_id) event_id, user_id, event_type, props,
+         |         epoch_ms(ts) AS ts_ms,
+         |         CAST(round(value * 100) AS BIGINT) AS value_c,
+         |         ${statusCaseSql("event_type")} AS status,
+         |         CASE WHEN event_type = 'error'
+         |              THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END AS err_k
+         |  FROM events),
+         |latest AS (
+         |  SELECT user_id, status FROM (
+         |    SELECT user_id, status, row_number() OVER
+         |      (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+         |    FROM e) WHERE rn = 1),
+         |enrich AS (
+         |  SELECT DISTINCT user_id,
+         |    last_value(err_k IGNORE NULLS) OVER
+         |      (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_error_code
+         |  FROM e),
+         |agg AS (
+         |  SELECT user_id,
+         |         max(ts_ms) AS last_processed_event_at,
+         |         min(ts_ms) AS creation_date_ms,
+         |         CAST(sum(CASE WHEN event_type = 'purchase' THEN value_c ELSE 0 END) AS BIGINT)
+         |           AS fee_total_c,
+         |         count(*) AS n_events
+         |  FROM e GROUP BY user_id)
+         |SELECT a.user_id, l.status, a.last_processed_event_at, a.creation_date_ms,
+         |       a.fee_total_c, en.last_error_code, a.n_events
+         |FROM agg a
+         |JOIN latest l ON a.user_id = l.user_id
+         |JOIN enrich en ON a.user_id = en.user_id
+         |ORDER BY a.user_id""".stripMargin,
+    "q10_checkpoint_cadence" ->
+      s"""SELECT * FROM (
+         |  SELECT row_number() OVER (ORDER BY epoch_ms(ts), event_id) AS checkpoint_seq,
+         |         event_id, epoch_ms(ts) AS ts_ms
+         |  FROM events)
+         |WHERE checkpoint_seq % $CadenceN = 0 ORDER BY checkpoint_seq""".stripMargin
+  )
+}

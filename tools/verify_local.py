@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: run graft.Verify at a
+scale factor, then replay each oracle SQL in DuckDB on the same parquet
+tables and compare (column names sorted, exact values). Dev tool only — the
+engine itself is pure Scala/Spark."""
+import json, sys, subprocess, os
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+if os.environ.get("SKIP_SPARK") != "1":
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo")
+    sys.stdout.write("\n".join(l for l in r.stdout.splitlines()
+                               if "error" in l.lower() or "verify" in l.lower()) + "\n")
+    if r.returncode != 0:
+        print(r.stdout[-4000:]); print(r.stderr[-2000:]); sys.exit(1)
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        got = pd.read_parquet(f"{OUT}/{name}")
+    except Exception as e:
+        fails.append(name); print(f"FAIL {name}: no spark output ({e})"); continue
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        fails.append(name); print(f"FAIL {name}: oracle error {str(e)[:200]}"); continue
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    if list(got.columns) != list(exp.columns):
+        fails.append(name)
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); continue
+    if len(got) != len(exp):
+        fails.append(name); print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); continue
+    # exact value compare, row order as produced (both sides ORDER BY)
+    bad = None
+    for c in got.columns:
+        gv, ev = got[c].tolist(), exp[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            ana, bna = pd.isna(a), pd.isna(b)
+            if ana and bna:
+                continue
+            if ana != bna or a != b:
+                bad = (c, i, a, b); break
+        if bad: break
+    if bad:
+        fails.append(name)
+        print(f"FAIL {name}: col={bad[0]} row={bad[1]} spark={bad[2]!r} oracle={bad[3]!r}")
+    else:
+        print(f"PASS {name}: {len(got)} rows")
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)
