@@ -18,8 +18,8 @@ object SparkEntry {
     CdcQueries.q09_transactions_view(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CdcQueries.defs
+    CdcQueries.defs ++ DataPrepQueries.defs
 
   def oracleSql: Map[String, String] =
-    CdcQueries.oracles
+    CdcQueries.oracles ++ DataPrepQueries.oracles
 }

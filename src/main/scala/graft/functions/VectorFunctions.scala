@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector (embedding) column functions over `array<float>` columns —
+  * similarity-search / near-dup primitives built entirely from Spark's
+  * higher-order functions (`transform`/`zip_with`/`aggregate`) so they stay
+  * inside whole-stage codegen. No UDFs, no driver-side math.
+  *
+  * Oracle-exactness: similarity is computed on INTEGER-quantized vectors
+  * (`floor(x * 1000)` per element) so dot products are exact BIGINT
+  * arithmetic — immune to float-summation-order divergence between Spark
+  * and DuckDB. The quantization is part of the metric's definition, not an
+  * approximation knob (at 1e-3 resolution the top-k ordering of unit-norm
+  * embeddings is stable).
+  */
+object VectorFunctions {
+
+  /** `array<float>` → `array<bigint>`, elementwise floor(x*1000). Floats
+    * widen to double exactly, so this is deterministic across engines. */
+  def quantize(v: Column, scale: Int = 1000): Column =
+    transform(v, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Squared L2 norm of a quantized vector (BIGINT-exact). */
+  def qnorm2(v: Column): Column =
+    aggregate(v, lit(0L), (acc, x) => acc + x * x)
+
+  /** Double cosine similarity from quantized parts — for ranking/tests
+    * (derived from exact integers, so cross-engine stable when only
+    * compared, not hashed). */
+  def qcosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / sqrt(n2a.cast("double") * n2b.cast("double"))
+
+  /** Random-hyperplane LSH bucket for cosine similarity: `nBits` sign bits
+    * of pseudo-random ±1 projections. Hyperplane j's coefficient on
+    * coordinate i is `sign(xxhash64(j, i))` — deterministic, shipped as
+    * code, no side table, identical on every executor. Returns a BIGINT
+    * bucket id in [0, 2^nBits).
+    *
+    * Scale path: bucketing turns the O(N·Q) brute-force scan into a
+    * shuffle-join on (bucket), with multi-probe = union over neighboring
+    * buckets. Not oracle-SQL-expressible (xxhash64); verified by a recall
+    * test against the brute-force oracle instead.
+    */
+  def rhpBucket(qv: Column, nBits: Int, table: Int = 0): Column =
+    (0 until nBits).map { j =>
+      val signedSum = aggregate(
+        zip_with(qv, sequence(lit(1), size(qv)), (x, i) =>
+          when(xxhash64(lit(table * nBits + j), i) % 2 === 0, x).otherwise(-x)),
+        lit(0L), (acc, x) => acc + x)
+      when(signedSum >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`): exact
+  * brute-force top-k as the correctness baseline, and an LSH-bucketed
+  * approximate variant as the 100 TB scale path.
+  *
+  * Similarity metric: exact BIGINT dot product of 1e-3-quantized vectors
+  * (see [[graft.functions.VectorFunctions]]) — deterministic across
+  * engines, so the brute-force variant is fully DuckDB-oracle-verifiable.
+  */
+object Ann {
+
+  /** Exact top-k: queries × corpus crossjoin → quantized dot → ranked.
+    * The query side is broadcast (it's small by construction); the corpus
+    * side streams — at scale this is one pass over the corpus with no
+    * shuffle of the big side, then a top-k aggregation shuffled on
+    * query_id. Deterministic tiebreak: higher dot first, then lower id. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", qdot(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dot"))
+  }
+
+  /** LSH-bucketed approximate top-k: both sides keyed by random-hyperplane
+    * buckets from `tables` independent hash tables; queries additionally
+    * probe `probes` single-bit-flip neighbor buckets per table. Turns
+    * O(|Q|·|C|) into a bucket-equijoin — the shape that survives a
+    * billion-vector corpus (shuffle on (table, bucket), per-bucket
+    * candidate sets, then the same exact rerank as brute force). Recall is
+    * tuned by (tables, nBits, probes); candidates touched scale as
+    * tables·(1+probes)/2^nBits of the corpus.
+    *
+    * Not oracle-SQL-expressible (xxhash64 hyperplanes); correctness =
+    * recall@k against [[bruteForceTopK]] in `AnnSpec`. */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      probes: Int = 3,
+      tables: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def buckets(df: DataFrame, vec: String, probe: Boolean) =
+      df.select(col("*"), explode(array((0 until tables).flatMap { t =>
+        val home = rhpBucket(col(vec), nBits, t)
+        val probed = if (probe) (0 until probes).map(b =>
+          home.bitwiseXOR(lit(1L << b))) else Seq.empty
+        (home +: probed).map(b => struct(lit(t).as("t"), b.as("b")))
+      }: _*)).as("tb"))
+        .withColumn("tbl", col("tb.t")).withColumn("bucket", col("tb.b"))
+        .drop("tb")
+    val c = buckets(
+      corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
+      "cv", probe = false)
+    val q = buckets(
+      queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
+      "qv", probe = true)
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", qdot(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "dot").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dot"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs over one table: all pairs with
+    * quantized cosine >= `minCosX100`/100, restricted to a deterministic
+    * sample when `sampleMod > 1` (bounds the oracle's quadratic cost; the
+    * engine-side scale path is [[lshTopK]]'s bucketing instead).
+    *
+    * Threshold check is integer-exact and overflow-safe for unit-norm
+    * vectors up to dim ~1e3 at 1e-3 quantization: dot <= 1e6 so
+    * dot²·1e4 <= 1e16 < 2^63, and t²·n2a·n2b <= 1e4·1e6·1e6 = 1e16. */
+  def cosineNearDupPairs(
+      embeddings: DataFrame,
+      minCosX100: Long = 90L,
+      sampleMod: Long = 1L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val base = embeddings
+      .filter(pmod(col(idCol), lit(sampleMod)) === 0)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", qnorm2(col("qv")))
+    val pairs = base.as("a").join(broadcast(base.as("b")), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        qdot(col("a.qv"), col("b.qv")).as("dot"),
+        col("a.n2").as("n2_a"), col("b.n2").as("n2_b"))
+    // cos >= t/100  ⇔  dot > 0 ∧ dot² * 1e4 >= t² * n2a * n2b
+    pairs
+      .filter(col("dot") > 0)
+      .filter(col("dot") * col("dot") * lit(10000L) >=
+        lit(minCosX100) * lit(minCosX100) * col("n2_a") * col("n2_b"))
+      .select("id_a", "id_b", "dot", "n2_a", "n2_b")
+  }
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline surface: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine (the latter in
+  * [[Ann]]). All are declarative DataFrame compositions — shuffles only on
+  * the natural keys (fingerprint / shingle / band / bucket), partial
+  * aggregation everywhere, no driver-side loops — so each survives a
+  * 100 TB corpus on a real cluster.
+  *
+  * Hashing is `md5` throughout: bit-identical in Spark and DuckDB, which
+  * makes even the MinHash signatures oracle-verifiable in ANSI SQL
+  * (a lexicographic min over hex strings is a uniform min-hash).
+  */
+object Dedup {
+
+  /** Exact dedup via content fingerprint: one shuffle on md5(normalized
+    * text). Returns (doc_id, fingerprint, canonical_id, is_dup) — the
+    * classic keep-first policy (canonical = min doc_id in the group). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = docs.withColumn("fingerprint", fingerprint(col(textCol)))
+    val canon = fp.groupBy("fingerprint")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+    fp.select(col(idCol), col("fingerprint"))
+      .join(canon, "fingerprint")
+      .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
+  }
+
+  /** Candidate pairs by shared word-n-gram shingle, with exact Jaccard.
+    * Shape: explode shingles → self-join on shingle (inverted index) →
+    * per-pair intersection count → Jaccard from the per-doc set sizes.
+    * `jaccard_x10k = floor(1e4 * |A∩B| / |A∪B|)` keeps it integer-exact.
+    *
+    * Scale: the inverted-index join shuffles on the shingle — hot shingles
+    * are the skew risk, which word-level n>=3 shingling plus a document
+    * frequency cap (`maxDf`) bounds; AQE skew-join handles the rest. */
+  def jaccardPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      minJaccardX10k: Long = 5000L,
+      maxDf: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val capped = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+        .select("shingle"),
+      "shingle")
+    val inter = capped.as("a").join(capped.as("b"), "shingle")
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("jaccard_x10k",
+        floor(lit(10000L) * col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+          .cast("long"))
+      .filter(col("jaccard_x10k") >= minJaccardX10k)
+      .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard_x10k")
+  }
+
+  /** MinHash signature: `numHashes` independent min-hashes of the shingle
+    * set. Hash h_i(s) = md5(i || ':' || s); the signature component is the
+    * lexicographic MIN hex string — a uniform permutation min, and exactly
+    * expressible in the SQL oracle. One shuffle (groupBy id). */
+  def minhashSignature(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("shingle")))).as(s"mh$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash LSH candidate pairs: split the signature into `bands` bands of
+    * `rowsPerBand` hashes; docs agreeing on any full band are candidates.
+    * Banding shuffles on (band, band_key) — the classic sub-quadratic
+    * near-dup join (prob. of candidacy ≈ 1-(1-j^r)^b). */
+  def minhashLshPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sig = minhashSignature(docs, n, bands * rowsPerBand, idCol, textCol)
+    val banded = sig.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+            .as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    banded.as("a").join(banded.as("b"), Seq("band", "band_key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash over whitespace tokens of the normalized text.
+    * Bit j of token t = high bit of the j-th nibble of md5(t) (hex digit
+    * >= '8'); the document's bit j is the majority vote (ties → 1, i.e.
+    * sum of ±1 >= 0). Integer-exact and md5-based → oracle-expressible.
+    * One explode + one groupBy(id) shuffle. */
+  def simhash16(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(wsTokens(normalizeText(col(textCol)))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+        lit(1)).otherwise(lit(-1))).as(s"s$j")
+    }
+    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 16).map(j =>
+          when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+      .select(col("id"), col("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance <= maxDist. Candidate
+    * generation by exact match on any of 4 nibble segments — pigeonhole:
+    * a pair at distance <= 3 must agree exactly on at least one of the 4
+    * segments — then exact hamming via `bit_count(xor)`. Shuffles on
+    * (segment, key); guaranteed-complete for maxDist <= 3. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDist <= 3, "4-segment pigeonhole screening is complete only for maxDist <= 3")
+    val sig = simhash16(docs, idCol, textCol)
+    val bySeg = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { s =>
+        val divisor = 1L << (4 * s)
+        struct(lit(s).as("seg"),
+          (floor(col("simhash") / divisor).cast("long") % 16).as("key"))
+      }: _*)).as("s"))
+      .select(col("id"), col("simhash"), col("s.seg").as("seg"), col("s.key").as("key"))
+    bySeg.as("a").join(bySeg.as("b"), Seq("seg", "key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.simhash").as("sim_a"),
+        col("b.id").as("id_b"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.ops.{Ann, Dedup}
+import graft.multimodal.Multimodal
+
+/** Training-data-pipeline queries (builder prompt: dedup / similarity /
+  * multimodal / text analysis as first-class operators) over the
+  * `documents` and `embeddings` testdata tables. Each query has an exact
+  * DuckDB oracle unless marked rows-only; all ratios/similarities are
+  * integer-quantized so value hashes match across engines (see
+  * [[graft.functions.TextFunctions]] / [[graft.functions.VectorFunctions]]).
+  */
+object DataPrepQueries {
+
+  // shared knobs — referenced by both the Spark queries and the SQL oracles
+  val ShingleN = 3
+  val JaccardMinX10k = 8000L
+  val JaccardMaxDf = 1000
+  val MinhashBands = 4
+  val MinhashRows = 4
+  val SimhashMaxDist = 3
+  val AnnK = 10
+  val AnnQueryMod = 5L // vec_id % 5 == 0 → query set
+  val CosMinX100 = 40L
+  val CosSampleMod = 5L
+
+  // ---------------------------------------------------------------- text
+
+  def q11_token_counts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
+      tokenCountBpe(col("text")).cast("long").as("n_tokens_bpe"))
+      .orderBy("doc_id")
+
+  def q12_lang_id(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  def q13_quality(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = qualityMetrics(col("text")).map { case (n, c) => c.as(n) }
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: metrics: _*)
+      .orderBy("doc_id")
+  }
+
+  def q14_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- dedup
+
+  def q15_exact_dedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir))
+      .select("doc_id", "fingerprint", "canonical_id", "group_size", "is_dup")
+      .orderBy("doc_id")
+
+  def q16_jaccard_pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir),
+      n = ShingleN, minJaccardX10k = JaccardMinX10k, maxDf = JaccardMaxDf)
+      .orderBy("id_a", "id_b")
+
+  def q17_minhash_lsh_pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir),
+      n = ShingleN, bands = MinhashBands, rowsPerBand = MinhashRows)
+      .orderBy("id_a", "id_b")
+
+  def q18_simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash16(Tables.documents(spark, dir))
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+
+  def q19_simhash_pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), maxDist = SimhashMaxDist)
+      .orderBy("id_a", "id_b")
+
+  // ----------------------------------------------------------- similarity
+
+  def q20_ann_brute_topk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Ann.bruteForceTopK(
+      emb.filter(pmod(col("vec_id"), lit(AnnQueryMod)) === 0), emb, AnnK)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Rows-only (no SQL oracle): LSH-bucketed ANN — xxhash64 hyperplanes
+    * aren't DuckDB-expressible; recall vs q20 is asserted in AnnSpec. */
+  def q21_ann_lsh_topk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Ann.lshTopK(
+      emb.filter(pmod(col("vec_id"), lit(AnnQueryMod)) === 0), emb, AnnK,
+      nBits = 4, probes = 3, tables = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  def q22_cosine_pairs(spark: SparkSession, dir: String): DataFrame =
+    Ann.cosineNearDupPairs(Tables.embeddings(spark, dir),
+      minCosX100 = CosMinX100, sampleMod = CosSampleMod)
+      .orderBy("id_a", "id_b")
+
+  // ----------------------------------------------------------- multimodal
+
+  def q23_multimodal_stats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.assetStats(
+      Multimodal.ingestFromDocuments(Tables.documents(spark, dir)))
+      .orderBy("asset_id")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_token_counts" -> q11_token_counts,
+    "q12_lang_id" -> q12_lang_id,
+    "q13_quality" -> q13_quality,
+    "q14_fingerprint" -> q14_fingerprint,
+    "q15_exact_dedup" -> q15_exact_dedup,
+    "q16_jaccard_pairs" -> q16_jaccard_pairs,
+    "q17_minhash_lsh_pairs" -> q17_minhash_lsh_pairs,
+    "q18_simhash" -> q18_simhash,
+    "q19_simhash_pairs" -> q19_simhash_pairs,
+    "q20_ann_brute_topk" -> q20_ann_brute_topk,
+    "q21_ann_lsh_topk" -> q21_ann_lsh_topk,
+    "q22_cosine_pairs" -> q22_cosine_pairs,
+    "q23_multimodal_stats" -> q23_multimodal_stats
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB SQL fragments mirroring TextFunctions exactly. */
+  private val toks =
+    "CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+  private val toksLower =
+    "CASE WHEN len(trim(lower(text))) = 0 THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+  private val norm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g'))"
+  private val normToks =
+    s"CASE WHEN len(trim($norm)) = 0 THEN [] ELSE regexp_split_to_array(trim($norm), '\\s+') END"
+
+  private def stopList(lang: String): String =
+    TextFunctions.Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hitsSql(lang: String): String =
+    s"len(list_filter($toksLower, t -> list_contains(${stopList(lang)}, t)))"
+
+  /** Shingle list SQL (word n-grams over the token-list column `t`). */
+  private def shinglesSql(n: Int): String = {
+    val gram = (0 until n).map(j => s"t[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    s"""CASE WHEN len(t) - ${n - 1} <= 0 THEN []
+       |     ELSE list_distinct(list_transform(generate_series(1, len(t) - ${n - 1}), i -> $gram)) END"""
+      .stripMargin
+  }
+
+  /** Common CTE: one row per (doc, distinct shingle). */
+  private def shingleCte: String =
+    s"""docs AS (SELECT doc_id, $normToks AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id AS id, unnest(${shinglesSql(ShingleN)}) AS shingle FROM docs)""".stripMargin
+
+  private val quantVec =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  private val minhashCols = (0 until MinhashBands * MinhashRows)
+    .map(i => s"min(md5(concat('$i', ':', shingle))) AS mh$i").mkString(",\n         ")
+
+  private val bandRows = (0 until MinhashBands).map { b =>
+    val key = (0 until MinhashRows).map(r => s"mh${b * MinhashRows + r}")
+      .mkString("concat_ws('|', ", ", ", ")")
+    s"SELECT id, $b AS band, md5($key) AS band_key FROM mh"
+  }.mkString("\n  UNION ALL ")
+
+  private val simhashBitSums = (0 until 16).map { j =>
+    s"sum(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j"
+  }.mkString(",\n         ")
+
+  private val simhashFromBits = (0 until 16)
+    .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+
+  private val simhashCte =
+    s"""docs AS (SELECT doc_id, $normToks AS t FROM docs0),
+       |tok AS (SELECT doc_id AS id, md5(unnest(t)) AS h FROM docs),
+       |bits AS (
+       |  SELECT id,
+       |         $simhashBitSums
+       |  FROM tok GROUP BY id),
+       |sig AS (SELECT id, CAST($simhashFromBits AS BIGINT) AS simhash FROM bits)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q11_token_counts" ->
+      s"""SELECT doc_id,
+         |       CAST(len($toks) AS BIGINT) AS n_tokens_ws,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         |         AS n_tokens_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q12_lang_id" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         ${TextFunctions.Stopwords.map { case (l, _) => s"${hitsSql(l)} AS s_$l" }.mkString(",\n         ")}
+         |  FROM documents),
+         |b AS (SELECT *, greatest(${TextFunctions.Stopwords.map(p => s"s_${p._1}").mkString(", ")}) AS best FROM s)
+         |SELECT doc_id,
+         |       CASE ${TextFunctions.Stopwords.map { case (l, _) => s"WHEN s_$l = best AND s_$l > 0 THEN '$l'" }.mkString(" ")}
+         |            ELSE 'und' END AS lang_pred
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "q13_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN length(text) > 0 THEN floor(10000 * (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / length(text)) ELSE 0 END AS BIGINT) AS punct_per_10k,
+         |  CAST(CASE WHEN len($toks) > 0 THEN floor(10000 * ${hitsSql("en")} / len($toks)) ELSE 0 END AS BIGINT) AS stop_per_10k,
+         |  CAST(CASE WHEN len($toks) > 0 THEN floor(100 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len($toks)) ELSE 0 END AS BIGINT) AS mean_tok_len_x100
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q14_fingerprint" ->
+      s"""SELECT doc_id, md5($norm) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q15_exact_dedup" ->
+      s"""WITH fp AS (SELECT doc_id, md5($norm) AS fingerprint FROM documents),
+         |g AS (SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+         |      FROM fp GROUP BY fingerprint)
+         |SELECT fp.doc_id, fp.fingerprint, g.canonical_id, g.group_size,
+         |       CAST(fp.doc_id <> g.canonical_id AS INT) AS is_dup
+         |FROM fp JOIN g USING (fingerprint) ORDER BY fp.doc_id""".stripMargin,
+    "q16_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id),
+         |capped AS (
+         |  SELECT sh.* FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $JaccardMaxDf) ok
+         |    USING (shingle)),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY a.id, b.id)
+         |SELECT i.id_a, i.id_b, i.n_common, sa.set_size AS size_a, sb.set_size AS size_b,
+         |       CAST(floor(10000 * i.n_common / (sa.set_size + sb.set_size - i.n_common)) AS BIGINT)
+         |         AS jaccard_x10k
+         |FROM inter i
+         |JOIN sizes sa ON sa.id = i.id_a
+         |JOIN sizes sb ON sb.id = i.id_b
+         |WHERE floor(10000 * i.n_common / (sa.set_size + sb.set_size - i.n_common)) >= $JaccardMinX10k
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q17_minhash_lsh_pairs" ->
+      s"""WITH $shingleCte,
+         |mh AS (
+         |  SELECT id,
+         |         $minhashCols
+         |  FROM sh GROUP BY id),
+         |banded AS (
+         |  $bandRows)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |FROM banded a
+         |JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q18_simhash" ->
+      s"""WITH docs0 AS (SELECT * FROM documents),
+         |$simhashCte
+         |SELECT id AS doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "q19_simhash_pairs" ->
+      s"""WITH docs0 AS (SELECT * FROM documents),
+         |$simhashCte,
+         |seg AS (
+         |  ${(0 until 4).map(s => s"SELECT id, simhash, $s AS seg, CAST(floor(simhash / ${1L << (4 * s)}) AS BIGINT) % 16 AS key FROM sig").mkString("\n         |  UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, a.simhash AS sim_a, b.id AS id_b, b.simhash AS sim_b
+         |  FROM seg a JOIN seg b ON a.seg = b.seg AND a.key = b.key AND a.id < b.id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sim_a, sim_b)) <= $SimhashMaxDist
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q20_ann_brute_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, $quantVec AS qv FROM embeddings
+         |           WHERE vec_id % $AnnQueryMod = 0),
+         |c AS (SELECT vec_id AS neighbor_id, $quantVec AS cv FROM embeddings),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i])) AS BIGINT) AS dot
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+         |      FROM s)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dot
+         |FROM r WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
+    "q22_cosine_pairs" ->
+      s"""WITH base AS (
+         |  SELECT vec_id AS id, $quantVec AS qv FROM embeddings WHERE vec_id % $CosSampleMod = 0),
+         |n AS (SELECT id, qv,
+         |        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2 FROM base),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         CAST(list_sum(list_transform(generate_series(1, len(a.qv)), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+         |         a.n2 AS n2_a, b.n2 AS n2_b
+         |  FROM n a JOIN n b ON a.id < b.id)
+         |SELECT id_a, id_b, dot, n2_a, n2_b FROM p
+         |WHERE dot > 0 AND dot * dot * 10000 >= $CosMinX100 * $CosMinX100 * n2_a * n2_b
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q23_multimodal_stats" ->
+      """SELECT doc_id AS asset_id,
+        |       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS modality,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       md5(text) AS payload_md5
+        |FROM documents ORDER BY asset_id""".stripMargin
+    // q21_ann_lsh_topk: intentionally no oracle (rows-only check) — see scaladoc.
+  )
+}

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, timestamp_millis}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.cdc.{CdcEvent, ReferenceFold, TransactionView}
+
+/** Structured-Streaming form of the CDC pipeline — the streaming twin of
+  * [[graft.cdc.ViewReplay]], replacing the reference's hand-rolled
+  * change-stream plumbing with Spark's machinery:
+  *
+  *  - source/offsets: `readStream` + `checkpointLocation` subsume the Redis
+  *    resume token (O2/O17, `RedisResumePolicyService.kt:37-72`);
+  *  - dedup/locking: the hash shuffle of `groupByKey(transactionId)` gives
+  *    per-key serial execution, so the Redis `SET NX` lock (O7,
+  *    `CdcLockService.kt:40-50`) reduces to per-key duplicate-id tracking
+  *    in state;
+  *  - merge ladder: [[ReferenceFold.processOne]] — the SAME pure function
+  *    the batch fold uses — applied per event in arrival order via
+  *    `flatMapGroupsWithState` (O10–O13).
+  *
+  * Scale notes: state is one small view row + a bounded dup-id window per
+  * live transaction; transactions are finite-lifecycle so state is evicted
+  * via processing-time timeout (mirrors the reference's 10-min lock TTL /
+  * 3-day resume-window envelope, BASELINE.md).
+  */
+object CdcStream {
+
+  /** Per-key state: the materialized view + recently seen event ids
+    * (duplicate-delivery guard). */
+  case class KeyState(view: TransactionView, seenIds: Set[String])
+
+  /** State eviction horizon past the event-time watermark (mirrors the
+    * reference's 3-day resume-token TTL envelope, BASELINE.md). Event-time
+    * timeout (not processing-time) is deliberate: with processing-time
+    * timeouts Spark schedules continuous empty micro-batches to re-check
+    * timers — a busy-loop on an idle stream; event-time timers only fire
+    * when the watermark advances, i.e. when data actually flows. */
+  val StateTtlMs: Long = 3L * 24 * 3600 * 1000
+
+  /** Allowed out-of-orderness for the watermark. */
+  val WatermarkDelay: String = "10 minutes"
+
+  /** O3 op-filter → O5 ttl anti-filter applied before keying; O6 decode
+    * errors are expected to be dropped upstream (PERMISSIVE parse). */
+  def preFilter(events: Dataset[CdcEvent]): Dataset[CdcEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => Set("insert", "update", "replace").contains(e.operationType))
+      .filter(_.ttl.isEmpty)
+  }
+
+  /** The per-key stateful merge. Emits the updated view once per key per
+    * micro-batch (update-mode semantics). */
+  def updateKey(
+      txId: String,
+      events: Iterator[CdcEvent],
+      state: GroupState[KeyState]): Iterator[TransactionView] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val initial = state.getOption
+    var view = initial.map(_.view)
+    var seen = initial.map(_.seenIds).getOrElse(Set.empty[String])
+    var changed = false
+    // within a micro-batch we impose (tsMs, id) order — deterministic where
+    // the reference's arrival order is racy (its comment diagram,
+    // TransactionViewUpsertService.kt:83-103); across batches it's the
+    // ladder's arrival-order compare-and-set
+    events.toSeq.sortBy(e => (e.tsMs, e.id)).foreach { e =>
+      if (!seen.contains(e.id)) {
+        seen += e.id
+        view = Some(ReferenceFold.processOne(view, e))
+        changed = true
+      }
+    }
+    view match {
+      case Some(v) if changed =>
+        state.update(KeyState(v, seen))
+        // evict when the watermark passes lastProcessedEventAt + TTL
+        state.setTimeoutTimestamp(
+          math.max(v.lastProcessedEventAt.getOrElse(0L) + StateTtlMs,
+            state.getCurrentWatermarkMs() + 1))
+        Iterator.single(v)
+      case _ => Iterator.empty
+    }
+  }
+
+  /** Wire a streaming Dataset of events into a stream of view updates.
+    * The watermark on the event-time column drives both late-data
+    * accounting and state-TTL timers. */
+  def viewUpdates(events: Dataset[CdcEvent]): Dataset[TransactionView] = {
+    import events.sparkSession.implicits._
+    preFilter(events)
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+      .withWatermark("eventTime", WatermarkDelay)
+      .as[CdcEvent]
+      .groupByKey(_.transactionId)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        updateKey)
+  }
+
+  /** foreachBatch alternative: merge each micro-batch into a keyed parquet
+    * view table (plain-parquet MERGE stand-in — no transactional table
+    * format is guaranteed on the classpath, SURVEY.md §7; on Delta/Iceberg
+    * this collapses to one `MERGE INTO`). Fully distributed: a cogroup on
+    * the key folds each key's batch events onto its stored view row —
+    * exactly the ladder, one shuffle, no driver-side state.
+    */
+  def mergeBatchIntoParquet(
+      spark: SparkSession,
+      batch: Dataset[CdcEvent],
+      viewPath: String): Unit = {
+    import spark.implicits._
+    val existing: Dataset[TransactionView] =
+      try spark.read.parquet(viewPath).as[TransactionView]
+      catch { case _: Exception => spark.emptyDataset[TransactionView] }
+    val merged = existing
+      .groupByKey(_.transactionId)
+      .cogroup(preFilter(batch).groupByKey(_.transactionId)) { (_, views, events) =>
+        val v0 = views.toSeq.headOption
+        val evs = events.toSeq.distinctBy(_.id).sortBy(e => (e.tsMs, e.id))
+        if (evs.isEmpty) v0.iterator
+        else Iterator.single(
+          evs.foldLeft(v0)((v, e) => Some(ReferenceFold.processOne(v, e))).get)
+      }
+    val tmp = viewPath + "__staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap (a transactional format would do this natively)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), conf)
+    val dst = new org.apache.hadoop.fs.Path(viewPath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import graft.ops.Dedup
+
+/** Unit tests for text-analysis functions and the dedup operator family on
+  * hand-built corpora with planted duplicates (reference-free: these are
+  * the training-data-pipeline extensions, builder prompt). */
+class TextDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = docs(
+      1L -> "the cat sat",
+      2L -> "",
+      3L -> "  spaced   out  ",
+      4L -> "ab3 c-d!")
+      .select(col("doc_id"), tokenCountWs(col("text")).as("ws"),
+        tokenCountBpe(col("text")).as("bpe"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(df(1L) == (3, 3))
+    assert(df(2L) == (0, 0))
+    assert(df(3L) == (2, 2))
+    // ab / 3 / c / - / d / !  → 6 BPE-ish tokens, 2 ws tokens
+    assert(df(4L) == (2, 6))
+  }
+
+  test("language id picks the stopword-richest language, und when none hit") {
+    val df = docs(
+      1L -> "the cat and the dog of it",
+      2L -> "il gatto e il cane che non sono con",
+      3L -> "zzz qqq xxx")
+      .select(col("doc_id"), langId(col("text")).as("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(df == Map(1L -> "en", 2L -> "it", 3L -> "und"))
+  }
+
+  test("normalization + fingerprint: punctuation/case/whitespace-insensitive") {
+    val fps = docs(1L -> "Hello,   World!", 2L -> "hello world", 3L -> "other text")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("exact dedup groups identical normalized texts, keep-first canonical") {
+    val out = Dedup.exact(docs(1L -> "A b", 2L -> "a   B!", 3L -> "c"))
+      .select("doc_id", "canonical_id", "is_dup", "group_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 1L, 0, 2L), (2L, 1L, 1, 2L), (3L, 3L, 0, 1L)))
+  }
+
+  test("word shingles") {
+    val sh = docs(1L -> "a b c d", 2L -> "a b")
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(sh(1L) == Set("a b c", "b c d"))
+    assert(sh(2L) == Set.empty[String])
+  }
+
+  test("jaccard pairs find planted near-duplicates and nothing else") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " DIFFERENT"
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val pairs = Dedup.jaccardPairs(
+      docs(1L -> base, 2L -> nearDup, 3L -> other), n = 3, minJaccardX10k = 5000L)
+      .select("id_a", "id_b", "jaccard_x10k").collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getLong(2) > 8000L)
+  }
+
+  test("minhash LSH recovers high-jaccard pairs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " X"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val pairs = Dedup.minhashLshPairs(
+      docs(1L -> base, 2L -> nearDup, 3L -> other), n = 3, bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, distinct docs far") {
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 48).map(i => s"w$i").mkString(" ") + " x y"
+    val other = (100 to 150).map(i => s"v$i").mkString(" ")
+    val sig = Dedup.simhash16(docs(1L -> base, 2L -> base, 3L -> nearDup, 4L -> other))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(2L)) == 0)
+    assert(ham(sig(1L), sig(3L)) <= 4)
+    assert(ham(sig(1L), sig(4L)) > 4)
+  }
+
+  test("simhash pairs == ground-truth hamming<=3 pairs (pigeonhole completeness)") {
+    val corpus = (1L to 40L).map { i =>
+      // overlapping word ranges → a spectrum of signature distances
+      i -> (i to i + 30).map(j => s"w$j").mkString(" ")
+    }
+    val d = docs(corpus: _*)
+    val sig = Dedup.simhash16(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(d, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "corpus should contain some close signatures")
+  }
+}
