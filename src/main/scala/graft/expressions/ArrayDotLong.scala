@@ -1,0 +1,73 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Codegen'd integer dot product of two `array<bigint>` columns.
+  *
+  * This is the engine's one custom Catalyst `Expression` (SURVEY.md §2.4
+  * allows them only where built-ins genuinely can't keep up): the
+  * higher-order-function formulation (`aggregate(zip_with(...))`) is
+  * interpreted per row — on the ANN/near-dup queries (800 k pairs × 64-dim
+  * at sf0.1) that interpretation dominated the runtime. `doGenCode` emits a
+  * tight primitive loop that stays inside whole-stage codegen; `eval`
+  * keeps the interpreted fallback semantically identical (both are exact
+  * BIGINT math, same results as the DuckDB oracle).
+  */
+case class ArrayDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // no ExpectsInputTypes: Spark 4 made AbstractDataType private[sql]; the
+  // only call sites ([[graft.ops.Ann]]) always feed array<bigint>
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  val DotLong = "graft_dot_long"
+
+  /** Idempotently register the engine's custom expressions on a session.
+    * Called from the operators that use them (the driver hands us a bare
+    * SparkSession, so registration can't assume a config entry point);
+    * a `SparkSessionExtensions` injection would be the cluster-install
+    * variant of the same wiring. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotLong, exprs => ArrayDotLong(exprs.head, exprs(1)), "scala_udf")
+}

@@ -94,13 +94,21 @@ object TextFunctions {
     * and bit-identical in Spark and DuckDB, so the oracle can verify it). */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
-  /** Word n-gram shingles over the normalized text (the MinHash/Jaccard
-    * unit). Uses `transform(sequence(...))` — codegen'd, no UDF. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = wsTokens(normalizeText(c))
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED token-array column.
+    * Callers must bind the tokens in a prior projection
+    * (`.withColumn("toks", wsTokens(normalizeText(text)))`) — passing the
+    * normalize+split expression directly would re-evaluate it inside every
+    * `element_at`, i.e. ~3n times per row (measured 8× slowdown on the
+    * shingle pipeline). */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val count = size(toks) - (n - 1)
     when(count <= 0, array().cast("array<string>")).otherwise(
       array_distinct(transform(sequence(lit(0), count - 1), i =>
         concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
   }
+
+  /** Word n-gram shingles over the normalized text (the MinHash/Jaccard
+    * unit). Convenience form for single-use contexts (tests). */
+  def wordShingles(c: Column, n: Int): Column =
+    shinglesFromTokens(wsTokens(normalizeText(c)), n)
 }

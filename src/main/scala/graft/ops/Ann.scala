@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.expressions.GraftFunctions
 import graft.functions.VectorFunctions._
 
 /** Similarity search over an embedding column (`array<float>`): exact
@@ -26,11 +27,12 @@ object Ann {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", qdot(col("qv"), col("cv")))
+      .withColumn("dot", call_function(GraftFunctions.DotLong, col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -59,6 +61,7 @@ object Ann {
       tables: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
     def buckets(df: DataFrame, vec: String, probe: Boolean) =
       df.select(col("*"), explode(array((0 until tables).flatMap { t =>
         val home = rhpBucket(col(vec), nBits, t)
@@ -76,7 +79,7 @@ object Ann {
       "qv", probe = true)
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", qdot(col("qv"), col("cv")))
+      .withColumn("dot", call_function(GraftFunctions.DotLong, col("qv"), col("cv")))
       .select("query_id", "neighbor_id", "dot").distinct()
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -99,13 +102,14 @@ object Ann {
       sampleMod: Long = 1L,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val base = embeddings
       .filter(pmod(col(idCol), lit(sampleMod)) === 0)
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
-      .withColumn("n2", qnorm2(col("qv")))
+      .withColumn("n2", call_function(GraftFunctions.DotLong, col("qv"), col("qv")))
     val pairs = base.as("a").join(broadcast(base.as("b")), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        qdot(col("a.qv"), col("b.qv")).as("dot"),
+        call_function(GraftFunctions.DotLong, col("a.qv"), col("b.qv")).as("dot"),
         col("a.n2").as("n2_a"), col("b.n2").as("n2_b"))
     // cos >= t/100  ⇔  dot > 0 ∧ dot² * 1e4 >= t² * n2a * n2b
     pairs

@@ -44,8 +44,13 @@ object Dedup {
       maxDf: Int = 1000,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // tokens materialized in their own projection (see shinglesFromTokens);
+    // the exploded shingle table is reused 3× below — cache it (at 100 TB:
+    // persist(DISK_ONLY) or a staged table instead of memory cache)
     val sh = docs
-      .select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("shingle"))
+      .select(col(idCol).as("id"), wsTokens(normalizeText(col(textCol))).as("__toks"))
+      .select(col("id"), explode(shinglesFromTokens(col("__toks"), n)).as("shingle"))
+      .cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val capped = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
@@ -75,7 +80,9 @@ object Dedup {
       numHashes: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("shingle"))
+    val sh = docs
+      .select(col(idCol).as("id"), wsTokens(normalizeText(col(textCol))).as("__toks"))
+      .select(col("id"), explode(shinglesFromTokens(col("__toks"), n)).as("shingle"))
     val mins = (0 until numHashes).map(i =>
       min(md5(concat(lit(i.toString), lit(":"), col("shingle")))).as(s"mh$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)

@@ -171,12 +171,17 @@ object CdcQueries {
       s"""WITH raw AS (
          |  SELECT event_id,
          |         CASE WHEN event_id % 97 = 0 THEN substring(props, 2) ELSE props END AS raw
-         |  FROM events)
-         |SELECT event_id,
-         |       CAST(json_extract_string(raw, '$$.k') AS BIGINT) AS k
-         |FROM raw
-         |WHERE json_valid(raw)
-         |  AND CAST(json_extract_string(raw, '$$.k') AS BIGINT) IS NOT NULL
+         |  FROM events),
+         |parsed AS (
+         |  -- CASE is lazily evaluated per row: json_extract_string must not
+         |  -- run on malformed rows (DuckDB throws rather than NULLing on
+         |  -- valid-prefix-plus-trailing-garbage inputs)
+         |  SELECT event_id,
+         |         CASE WHEN json_valid(raw)
+         |              THEN CAST(json_extract_string(raw, '$$.k') AS BIGINT) END AS k
+         |  FROM raw)
+         |SELECT event_id, k FROM parsed
+         |WHERE k IS NOT NULL
          |ORDER BY event_id""".stripMargin,
     "q04_dedup_redelivery" ->
       """SELECT DISTINCT event_id, epoch_ms(ts) AS ts_ms, event_type
