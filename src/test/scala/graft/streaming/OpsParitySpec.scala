@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.cdc._
+
+/** Ops-parity tests (SURVEY §2.1 O2/O15/O16/O17/O18/O19): retry policy
+  * classification, checkpointed restart of a file-source stream, liveness
+  * listener state machine, and observe() metrics. */
+class OpsParitySpec extends SparkSpec {
+
+  import Resilience._
+
+  test("retry: retriable error retried to success; attempt count bounded (O15)") {
+    var calls = 0
+    val out = withRetries(maxAttempts = 3, delayMs = 1) {
+      calls += 1
+      if (calls < 3) throw new RetriableException("transient")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+  }
+
+  test("retry: exhaustion rethrows; non-retriable passes straight through (O15)") {
+    var calls = 0
+    intercept[RetriableException] {
+      withRetries(3, 1) { calls += 1; throw new RetriableException("always") }
+    }
+    assert(calls == 3)
+    calls = 0
+    intercept[IllegalArgumentException] {
+      withRetries(3, 1) { calls += 1; throw new IllegalArgumentException("fatal") }
+    }
+    assert(calls == 1)
+  }
+
+  test("checkpointed restart resumes the file-source stream (O1/O2/O16/O17)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-restart").toString
+    val srcDir = s"$root/events"
+    val ckpt = s"$root/ckpt"
+    val viewPath = s"$root/view"
+    val all = EventGen.generate(nTx = 10, seed = 31L)
+    val (first, second) = all.splitAt(all.size / 2)
+
+    def runOnce(events: Seq[CdcEvent], part: String): Unit = {
+      if (events.nonEmpty)
+        events.toDS().write.mode("append").parquet(srcDir)
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[CdcEvent]].schema)
+        .parquet(srcDir).as[CdcEvent]
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(retryingBatch[org.apache.spark.sql.Dataset[CdcEvent]](3, 10) {
+          (batch, _) => CdcStream.mergeBatchIntoParquet(spark, batch, viewPath)
+        })
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce(first, "first")
+    runOnce(second, "second") // restart from checkpoint; only new files read
+
+    val got = spark.read.parquet(viewPath).as[TransactionView]
+      .collect().map(v => v.transactionId -> v).toMap
+    val expected = ReferenceFold.replay(
+      all.filter(_.ttl.isEmpty).distinctBy(_.id).sortBy(e => (e.tsMs, e.id)))
+    assert(got == expected)
+  }
+
+  test("liveness listener: active+fresh CORRECT, terminated or stale BROKEN (O18); observe metrics (O19)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val health = new StreamHealth(inactivityTimeoutMs = 3600L * 1000)
+    spark.streams.addListener(health)
+    try {
+      val ms = MemoryStream[CdcEvent]
+      val q = CdcStream.viewUpdates(
+        ms.toDS().observe("cdc", count(lit(1)).as("n_events")))
+        .writeStream.format("memory").queryName("views_health").outputMode("update")
+        .start()
+      ms.addData(EventGen.generate(nTx = 3, seed = 5L, noise = false))
+      q.processAllAvailable()
+      assert(health.state() == health.Correct)
+      // staleness bound: pretend an hour+ passed with no progress
+      assert(health.state(nowMs = System.currentTimeMillis() + 3601L * 1000) == health.Broken)
+      // listener events are delivered async — poll briefly for the metric
+      val deadline = System.currentTimeMillis() + 10000
+      def metric = health.observedMetric(q.id, "cdc")
+      while (metric.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(metric.exists(_.get("n_events").exists(_.asInstanceOf[Long] > 0L)), s"metric=$metric")
+      q.stop()
+      spark.streams.awaitAnyTermination(10000)
+      assert(health.state() == health.Broken) // terminated query => BROKEN
+    } finally spark.streams.removeListener(health)
+  }
+}
