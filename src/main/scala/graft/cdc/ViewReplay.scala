@@ -126,11 +126,18 @@ object ViewReplay {
     * dispatch (the field rules) → O10–O13 merge (arg-max aggregation).
     */
   def replay(events: DataFrame): DataFrame = {
+    // One data shuffle: repartition on the key up front; the dedup window
+    // (clustered by a superset of the key), the tie-group window, and the
+    // final groupBy all reuse that partitioning. An event id is unique
+    // within its transaction, so per-key dedup == global dropDuplicates.
+    val dedupW = Window.partitionBy(col("transactionId"), col("id")).orderBy(col("tsMs"))
     val filtered = events
       .filter(col("operationType").isin("insert", "update", "replace"))
       .filter(col("ttl").isNull)
-      .dropDuplicates("id")
       .repartition(col("transactionId"))
+      .withColumn("__dn", row_number().over(dedupW))
+      .filter(col("__dn") === 1)
+      .drop("__dn")
 
     // First event of each (tx, ts) tie-group applies its status update;
     // the window is clustered by a superset of the repartition key, so no

@@ -114,10 +114,18 @@ object CdcQueries {
   /** Flagship — full view replay (O7 dedup → O8/O9 dispatch+mapping →
     * O10 arg-max status → O11 last-non-null enrichment → O12 upsert), the
     * batch twin of the reference's `transactions-view` maintenance
-    * (`TransactionViewUpsertService.kt:60-124`). One shuffle on the key. */
+    * (`TransactionViewUpsertService.kt:60-124`).
+    *
+    * ONE data shuffle: the explicit repartition on the key satisfies the
+    * dedup window (partitioned by a superset of the key), and the final
+    * aggregation (partitioned by the key itself). A naive
+    * `dropDuplicates("event_id")` would shuffle on event_id and then
+    * reshuffle on user_id — correct, but 2× the network at 100 TB; an
+    * event_id's user_id is fixed, so per-key dedup is equivalent. */
   def q09_transactions_view(spark: SparkSession, dir: String): DataFrame =
-    Tables.eventsCents(spark, dir)
-      .dropDuplicates("event_id")
+    dedupFirstPerKey(
+      Tables.eventsCents(spark, dir).repartition(col("user_id")),
+      Seq("user_id", "event_id"), Seq(col("ts_ms")))
       .withColumn("status", caseMap(col("event_type"), StatusMapping, StatusDefault))
       .withColumn("err_k", when(col("event_type") === "error",
         get_json_object(col("props"), "$.k").cast("long")))
