@@ -1,0 +1,19 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Cluster-install wiring for the engine's custom expressions: pass
+  * `--conf spark.sql.extensions=graft.expressions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) and `graft_dot_long` resolves
+  * in every session, SQL included — the SparkSessionExtensions variant of
+  * the per-query [[GraftFunctions.register]] used when the engine is
+  * handed an already-built session (the driver-contract path). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.DotLong),
+      new ExpressionInfo(classOf[ArrayDotLong].getName, GraftFunctions.DotLong),
+      (exprs: Seq[Expression]) => ArrayDotLong(exprs.head, exprs(1))))
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import graft.queries.{CdcQueries, DataPrepQueries}
+
+/** Physical-plan shape assertions — the 100 TB posture is a property of the
+  * PLAN, not just the results: filters must reach the scan, the replay must
+  * shuffle data once, the ANN query side must broadcast. Guards against
+  * regressions that stay correct but stop scaling. */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: QueryStageExec => Seq(q.plan) // AQE stages are leaves; descend
+      case _ => p.children
+    }
+    (p +: kids.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+  }
+
+  test("q01 filter is pushed into the parquet scan (O3 pushdown)") {
+    val plan = executed(CdcQueries.q01_filter_project(spark, sfDir)).toString
+    assert(plan.contains("PushedFilters: [In(event_type"),
+      s"expected pushed IN filter, plan:\n$plan")
+  }
+
+  test("q01 scan reads only the projected columns (O4 pruning)") {
+    val plan = executed(CdcQueries.q01_filter_project(spark, sfDir)).toString
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string>"),
+      s"expected pruned ReadSchema, plan:\n$plan")
+  }
+
+  test("q09 flagship replay shuffles data exactly once (plus output sort)") {
+    val shuffles = collectAll(executed(CdcQueries.q09_transactions_view(spark, sfDir)))
+      .collect { case s: ShuffleExchangeExec => s.outputPartitioning }
+    val hashShuffles = shuffles.filter(_.toString.contains("hashpartitioning"))
+    assert(hashShuffles.size == 1,
+      s"expected 1 hash shuffle, got ${shuffles.size}: $shuffles")
+  }
+
+  test("q20 ANN broadcasts the query side (no shuffle of the corpus)") {
+    val plan = executed(DataPrepQueries.q20_ann_brute_topk(spark, sfDir))
+    val bnlj = collectAll(plan).collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.nonEmpty, s"expected broadcast join, plan:\n$plan")
+    // the only data shuffle is the per-query top-k window partitioning
+    val shuffles = collectAll(plan).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, s"unexpected extra shuffles:\n$plan")
+  }
+
+  test("custom expression resolves in SQL after registration; extensions class wires") {
+    graft.expressions.GraftFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect()(0).getLong(0)
+    assert(out == 32L)
+    // the cluster-install entry point must at least inject cleanly
+    // (getOrCreate would silently reuse the suite session, so the full
+    // spark.sql.extensions round-trip isn't testable in-process)
+    new graft.expressions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}

@@ -99,6 +99,33 @@ class TextDedupSpec extends SparkSpec {
     assert(ham(sig(1L), sig(4L)) > 4)
   }
 
+  test("jaccard pairs == brute-force reference on random corpora (ScalaCheck)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val word = Gen.choose(0, 20).map(i => s"w$i")
+    val doc = Gen.choose(5, 25).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, doc))
+    def refShingles(t: String, n: Int): Set[String] = {
+      val w = t.split("\\s+").toSeq
+      (0 to w.size - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+    }
+    val prop = forAll(corpus) { texts =>
+      val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+      val got = Dedup.jaccardPairs(d, n = 2, minJaccardX10k = 2000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+      val expected = (for {
+        a <- texts.indices; b <- texts.indices if a < b
+        sa = refShingles(texts(a), 2); sb = refShingles(texts(b), 2)
+        if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size if inter > 0
+        j = 10000L * inter / (sa.size + sb.size - inter) if j >= 2000L
+      } yield (a.toLong, b.toLong) -> j).toMap
+      got == expected
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("simhash pairs == ground-truth hamming<=3 pairs (pigeonhole completeness)") {
     val corpus = (1L to 40L).map { i =>
       // overlapping word ranges → a spectrum of signature distances
