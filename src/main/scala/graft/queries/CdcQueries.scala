@@ -122,23 +122,15 @@ object CdcQueries {
     * `dropDuplicates("event_id")` would shuffle on event_id and then
     * reshuffle on user_id — correct, but 2× the network at 100 TB; an
     * event_id's user_id is fixed, so per-key dedup is equivalent. */
-  def q09_transactions_view(spark: SparkSession, dir: String): DataFrame =
-    dedupFirstPerKey(
-      Tables.eventsCents(spark, dir).repartition(col("user_id")),
-      Seq("user_id", "event_id"), Seq(col("ts_ms")))
-      .withColumn("status", caseMap(col("event_type"), StatusMapping, StatusDefault))
-      .withColumn("err_k", when(col("event_type") === "error",
-        get_json_object(col("props"), "$.k").cast("long")))
-      .groupBy("user_id")
-      .agg(
-        argMaxPerKey(col("ts_ms"), col("event_id"), col("status"), "status"),
-        max(col("ts_ms")).as("last_processed_event_at"),
-        min(col("ts_ms")).as("creation_date_ms"),
-        sum(when(col("event_type") === "purchase", col("value_c"))
-          .otherwise(lit(0L))).as("fee_total_c"),
-        lastNonNullPerKey(col("err_k"), col("ts_ms"), col("event_id"), "last_error_code"),
-        count(lit(1)).as("n_events"))
+  def q09_transactions_view(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventsView
+    // batch = present(partials(prepared(...))): the SAME aggregation code
+    // the streaming twin merges incrementally (EventsViewStream), so the
+    // two paths cannot drift.
+    EventsView.present(EventsView.partials(EventsView.prepared(
+      Tables.eventsCents(spark, dir))))
       .orderBy("user_id")
+  }
 
   def q10_checkpoint_cadence(spark: SparkSession, dir: String): DataFrame =
     checkpointCadence(
