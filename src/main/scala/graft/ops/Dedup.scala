@@ -151,13 +151,14 @@ object Dedup {
           (floor(col("simhash") / divisor).cast("long") % 16).as("key"))
       }: _*)).as("s"))
       .select(col("id"), col("simhash"), col("s.seg").as("seg"), col("s.key").as("key"))
+    // hamming filter BEFORE the distinct: candidates from the 4 segments
+    // are much denser than survivors, and hamming is deterministic per
+    // pair, so dedup over the filtered set is equivalent and cheaper
     bySeg.as("a").join(bySeg.as("b"), Seq("seg", "key"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.simhash").as("sim_a"),
-        col("b.id").as("id_b"), col("b.simhash").as("sim_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")).cast("long"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 }
