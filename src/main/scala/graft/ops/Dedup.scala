@@ -109,6 +109,10 @@ object Dedup {
             .as("band_key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      // cache: the self-join would otherwise recompute the whole
+      // shingle→signature subtree for both sides (measured 2× cost);
+      // the banded table is bands-per-doc rows, tiny relative to input
+      .cache()
     banded.as("a").join(banded.as("b"), Seq("band", "band_key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -151,6 +155,7 @@ object Dedup {
           (floor(col("simhash") / divisor).cast("long") % 16).as("key"))
       }: _*)).as("s"))
       .select(col("id"), col("simhash"), col("s.seg").as("seg"), col("s.key").as("key"))
+      .cache() // self-joined below; avoids recomputing the signature twice
     // hamming filter BEFORE the distinct: candidates from the 4 segments
     // are much denser than survivors, and hamming is deterministic per
     // pair, so dedup over the filtered set is equivalent and cheaper
