@@ -107,6 +107,66 @@ object DataPrepQueries {
       minCosX100 = CosMinX100, sampleMod = CosSampleMod)
       .orderBy("id_a", "id_b")
 
+  // ------------------------------------------------- corpus statistics
+
+  /** Vocabulary extraction: term + document frequency over normalized
+    * tokens, thresholded — the classic first pass of corpus curation.
+    * One explode + one groupBy(token) shuffle; partial aggregation makes
+    * the hot-token skew a non-issue. */
+  val VocabMinTf = 5L
+  def q24_vocabulary(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wsTokens(normalizeText(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("tf") >= VocabMinTf)
+      .orderBy("token")
+
+  /** Deterministic stratified take: first `StratTakeN` docs per language
+    * by doc_id — the reproducible form of per-stratum sampling (a random
+    * sample keyed by a seeded hash has the same shape: window or
+    * rank-within-stratum, one shuffle on the stratum). */
+  val StratTakeN = 10
+  def q25_stratified_take(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= StratTakeN)
+      .orderBy("lang", "rn")
+  }
+
+  /** Quality keep/drop decision from the integer-quantized metrics —
+    * the filter stage of a training-data pipeline. */
+  def q26_quality_filter(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = qualityMetrics(col("text")).map { case (n, c) => c.as(n) }
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: metrics: _*)
+      .withColumn("keep",
+        (col("n_tokens") >= 10 && col("n_tokens") <= 500 &&
+          col("stop_per_10k") <= 3000 &&
+          col("mean_tok_len_x100") >= 200 && col("mean_tok_len_x100") <= 800)
+          .cast("int"))
+      .select("doc_id", "n_tokens", "stop_per_10k", "mean_tok_len_x100", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Top-k terms per language: grouped count + ranking window — corpus
+    * reporting. Shuffles on (lang, token) then on lang; both tiny after
+    * partial aggregation. */
+  val TopTermsK = 10
+  def q27_top_terms_per_lang(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(wsTokens(normalizeText(col("text")))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("token").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopTermsK)
+      .orderBy("lang", "rank")
+  }
+
   // ----------------------------------------------------------- multimodal
 
   def q23_multimodal_stats(spark: SparkSession, dir: String): DataFrame =
@@ -127,7 +187,11 @@ object DataPrepQueries {
     "q20_ann_brute_topk" -> q20_ann_brute_topk,
     "q21_ann_lsh_topk" -> q21_ann_lsh_topk,
     "q22_cosine_pairs" -> q22_cosine_pairs,
-    "q23_multimodal_stats" -> q23_multimodal_stats
+    "q23_multimodal_stats" -> q23_multimodal_stats,
+    "q24_vocabulary" -> q24_vocabulary,
+    "q25_stratified_take" -> q25_stratified_take,
+    "q26_quality_filter" -> q26_quality_filter,
+    "q27_top_terms_per_lang" -> q27_top_terms_per_lang
   )
 
   // ---------------------------------------------------------------- oracles
@@ -302,7 +366,36 @@ object DataPrepQueries {
         |       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS modality,
         |       CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS payload_md5
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+    "q24_vocabulary" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($normToks) AS token FROM documents)
+         |SELECT token, count(*) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM tok GROUP BY token HAVING count(*) >= $VocabMinTf
+         |ORDER BY token""".stripMargin,
+    "q25_stratified_take" ->
+      s"""SELECT doc_id, lang, rn FROM (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= $StratTakeN ORDER BY lang, rn""".stripMargin,
+    "q26_quality_filter" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    CAST(CASE WHEN len($toks) > 0 THEN floor(10000 * ${hitsSql("en")} / len($toks)) ELSE 0 END AS BIGINT) AS stop_per_10k,
+         |    CAST(CASE WHEN len($toks) > 0 THEN floor(100 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len($toks)) ELSE 0 END AS BIGINT) AS mean_tok_len_x100
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, stop_per_10k, mean_tok_len_x100,
+         |       CAST(n_tokens >= 10 AND n_tokens <= 500 AND stop_per_10k <= 3000
+         |            AND mean_tok_len_x100 >= 200 AND mean_tok_len_x100 <= 800 AS INT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q27_top_terms_per_lang" ->
+      s"""WITH tok AS (SELECT lang, unnest($normToks) AS token FROM documents),
+         |c AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rank FROM c)
+         |SELECT lang, rank, token, cnt FROM r
+         |WHERE rank <= $TopTermsK ORDER BY lang, rank""".stripMargin
     // q21_ann_lsh_topk: intentionally no oracle (rows-only check) — see scaladoc.
   )
 }
