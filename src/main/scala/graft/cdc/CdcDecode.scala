@@ -1,0 +1,42 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** O6 — typed decode of a serialized change-stream envelope with
+  * per-record bad-record skipping (reference: BSON→POJO with log-and-drop,
+  * `EcommerceTransactionsLogEventsStream.kt:122-135`). The engine's wire
+  * twin is a JSON column; `from_json` in PERMISSIVE mode yields null on
+  * corrupt input and the pipeline drops those rows and continues — the
+  * exact skip semantics, minus the side-channel log (countable via
+  * `observe`, see [[graft.streaming.StreamHealth]]).
+  *
+  * Works identically on batch and streaming DataFrames (same expression).
+  */
+object CdcDecode {
+
+  val eventEncoder: Encoder[CdcEvent] = Encoders.product[CdcEvent]
+
+  /** Parse a JSON-string column into typed events; corrupt records and
+    * records missing the required envelope fields are dropped. */
+  def fromJson(raw: DataFrame, jsonCol: String = "json"): Dataset[CdcEvent] = {
+    val parsed = raw
+      .withColumn("e", from_json(col(jsonCol), eventEncoder.schema))
+      // PERMISSIVE from_json nulls the struct on unparseable input; a
+      // parseable record must still carry the envelope's required fields
+      .filter(col("e").isNotNull &&
+        col("e.id").isNotNull && col("e.transactionId").isNotNull &&
+        col("e.eventCode").isNotNull && col("e.tsMs").isNotNull)
+      .select(col("e.*"))
+      // creationDate is derivable from tsMs when the writer omitted it
+      .withColumn("creationDate",
+        coalesce(col("creationDate"),
+          date_format(timestamp_millis(col("tsMs")), "yyyy-MM-dd'T'HH:mm:ss.SSSX")))
+    parsed.as[CdcEvent](eventEncoder)
+  }
+
+  /** Serialize typed events to the JSON wire form (round-trip partner of
+    * [[fromJson]]; used by tests and as the file-sink wire format). */
+  def toJson(events: Dataset[CdcEvent]): DataFrame =
+    events.select(to_json(struct(col("*"))).as("json"))
+}
