@@ -38,8 +38,14 @@ object CdcStream {
     * when the watermark advances, i.e. when data actually flows. */
   val StateTtlMs: Long = 3L * 24 * 3600 * 1000
 
-  /** Allowed out-of-orderness for the watermark. */
-  val WatermarkDelay: String = "10 minutes"
+  /** Allowed out-of-orderness for the watermark. Deliberately WIDE: the
+    * watermark's only job here is to drive state-TTL timers — it must NOT
+    * drop late events, because the reference's ladder accepts arbitrarily
+    * late enrichment updates (`TransactionViewUpsertService.kt:201-211`).
+    * 30 days comfortably covers the reference's 3-day replay envelope;
+    * anything later is dropped, which matches "the resume token TTL'd
+    * out" in the reference's ops model. */
+  val WatermarkDelay: String = "30 days"
 
   /** O3 op-filter → O5 ttl anti-filter applied before keying; O6 decode
     * errors are expected to be dropped upstream (PERMISSIVE parse). */

@@ -73,6 +73,55 @@ class CdcStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("random micro-batch splits converge to the canonical view (property)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(1000L + trial)
+      val events = EventGen.generate(nTx = 8, seed = 500L + trial)
+      // split the delivery stream at 1-3 random points; late cross-batch
+      // delivery (shuffled tx timelines) exercises both the CAS ladder and
+      // the wide-watermark guarantee that late events are NOT dropped
+      val cuts = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(events.size + 1)).sorted
+      val batches = (0 +: cuts :+ events.size).distinct.sliding(2)
+        .map { case Seq(a, b) => events.slice(a, b) }.filter(_.nonEmpty).toSeq
+      val ms = MemoryStream[CdcEvent]
+      // capture per-batch emissions with their batch id: memory-sink row
+      // order is not deterministic, foreachBatch order is
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, TransactionView)]
+      val q = CdcStream.viewUpdates(ms.toDS()).writeStream
+        .outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[TransactionView], id: Long) =>
+          emitted.synchronized { emitted ++= b.collect().map(id -> _) }
+          ()
+        }
+        .start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        val got = emitted.synchronized {
+          emitted.sortBy(_._1).map(_._2).groupBy(_.transactionId)
+            .map { case (k, vs) => k -> vs.last }
+        }
+        // expected: the operator's contract — per batch, (ts,id)-ordered
+        // fold with cross-batch duplicate skip
+        val expected = events.filter(_.ttl.isEmpty).distinctBy(_.id)
+          .groupBy(_.transactionId).map { case (tx, _) =>
+            val perBatch = batches.map(_.filter(e =>
+              e.transactionId == tx && e.ttl.isEmpty))
+            var seen = Set.empty[String]
+            var view: Option[TransactionView] = None
+            perBatch.foreach { b =>
+              b.sortBy(e => (e.tsMs, e.id)).foreach { e =>
+                if (!seen(e.id)) { seen += e.id; view = Some(ReferenceFold.processOne(view, e)) }
+              }
+            }
+            tx -> view.get
+          }
+        assert(got == expected, s"trial=$trial")
+      } finally q.stop()
+    }
+  }
+
   test("foreachBatch parquet merge across micro-batches equals canonical replay") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-view").toString
