@@ -63,6 +63,30 @@ object Relational {
       },
       lit(default))
 
+  /** AS-OF semantics as a running window: for every row, the latest
+    * non-null `value` among rows up to and including it in `w`'s order —
+    * the union-and-scan form of an as-of join (tag the right side's
+    * payload, union, one window pass). One shuffle on the window key;
+    * no range-join explosion. */
+  def asofLast(value: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    last(value, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** Sessionization: monotone session index per key — a new session starts
+    * when the gap from the previous row (in `orderCol` order) exceeds
+    * `gapMs`. Two window passes over one shuffle on the key. */
+  def sessionize(df: DataFrame, keys: Seq[String], orderCol: Column,
+      tieCol: Column, gapMs: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol, tieCol)
+    df.withColumn("__prev_ts", lag(orderCol, 1).over(w))
+      .withColumn("__new_session",
+        (col("__prev_ts").isNull || orderCol - col("__prev_ts") > gapMs).cast("long"))
+      .withColumn("session_seq",
+        sum(col("__new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_ts", "__new_session")
+  }
+
   /** O17 — checkpoint cadence: mark every Nth record in a total order
     * (reference saves the resume token every 5 events,
     * `EcommerceTransactionsLogEventsStream.kt:144-149`). Window over a

@@ -140,6 +140,34 @@ object CdcQueries {
       .select(col("checkpoint_seq"), col("event_id"), col("ts_ms"))
       .orderBy("checkpoint_seq")
 
+  /** As-of join: for every purchase, the latest click of the same user at
+    * or before the purchase time (tag-union-scan form, one shuffle on the
+    * key — no range-join blowup; ties resolve click-before-purchase,
+    * then by event_id). */
+  def q28_asof_click(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("is_purchase", (col("event_type") === "purchase").cast("int"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("is_purchase"), col("event_id"))
+    e.withColumn("asof_click_id",
+      asofLast(when(col("event_type") === "click", col("event_id")), w))
+      .withColumn("asof_click_ts",
+        asofLast(when(col("event_type") === "click", col("ts_ms")), w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_ms", "asof_click_id", "asof_click_ts")
+      .orderBy("event_id")
+  }
+
+  /** Sessionization with a 30-minute inactivity gap (the session-window
+    * machinery the reference lacks, SURVEY §2.2). */
+  val SessionGapMs: Long = 30L * 60 * 1000
+  def q29_sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(spark, dir), Seq("user_id"), col("ts_ms"),
+      col("event_id"), SessionGapMs)
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("session_seq"))
+      .orderBy("user_id", "ts_ms", "event_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_project" -> q01_filter_project,
     "q02_ttl_antifilter" -> q02_ttl_antifilter,
@@ -150,7 +178,9 @@ object CdcQueries {
     "q07_argmax_status" -> q07_argmax_status,
     "q08_last_non_null" -> q08_last_non_null,
     "q09_transactions_view" -> q09_transactions_view,
-    "q10_checkpoint_cadence" -> q10_checkpoint_cadence
+    "q10_checkpoint_cadence" -> q10_checkpoint_cadence,
+    "q28_asof_click" -> q28_asof_click,
+    "q29_sessionize" -> q29_sessionize
   )
 
   // ---------------------------------------------------------------- oracles
@@ -257,6 +287,35 @@ object CdcQueries {
          |  SELECT row_number() OVER (ORDER BY epoch_ms(ts), event_id) AS checkpoint_seq,
          |         event_id, epoch_ms(ts) AS ts_ms
          |  FROM events)
-         |WHERE checkpoint_seq % $CadenceN = 0 ORDER BY checkpoint_seq""".stripMargin
+         |WHERE checkpoint_seq % $CadenceN = 0 ORDER BY checkpoint_seq""".stripMargin,
+    "q28_asof_click" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |s AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ms, is_purchase, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_ms END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ms, is_purchase, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_ts
+        |  FROM e)
+        |SELECT event_id, user_id, ts_ms, asof_click_id, asof_click_ts
+        |FROM s WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q29_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+         |g AS (
+         |  SELECT *,
+         |    CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL
+         |           OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+         |              > $SessionGapMs
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM e)
+         |SELECT user_id, event_id, ts_ms,
+         |       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         |FROM g ORDER BY user_id, ts_ms, event_id""".stripMargin
   )
 }
