@@ -28,6 +28,11 @@ object CdcDecode {
         col("e.id").isNotNull && col("e.transactionId").isNotNull &&
         col("e.eventCode").isNotNull && col("e.tsMs").isNotNull)
       .select(col("e.*"))
+      // from_json does NOT apply case-class defaults: fill the model's
+      // declared defaults for omitted optional envelope fields, else a
+      // missing operationType would silently fail the downstream
+      // insert/update/replace filter
+      .withColumn("operationType", coalesce(col("operationType"), lit("insert")))
       // creationDate is derivable from tsMs when the writer omitted it
       .withColumn("creationDate",
         coalesce(col("creationDate"),

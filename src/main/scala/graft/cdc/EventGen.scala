@@ -80,7 +80,13 @@ object EventGen {
       case UserReceiptRequested | UserReceiptAdded =>
         base.copy(responseOutcome = Some(if (rnd.nextInt(5) > 0) "OK" else "KO"))
       case Expired =>
-        base.copy(statusBeforeExpiration = Some(Status.Activated))
+        // vary so the CANCELLATION_EXPIRED and plain EXPIRED mapping
+        // branches (TransactionViewUpsertService.kt:455-461) are exercised
+        base.copy(statusBeforeExpiration = Some(rnd.nextInt(3) match {
+          case 0 => Status.Activated
+          case 1 => Status.CancellationRequested
+          case _ => Status.AuthorizationCompleted
+        }))
       case ClosureError =>
         base.copy(closureErrorJson =
           Some(s"""{"errorType":"ERROR_RESPONSE","httpErrorCode":"5${rnd.nextInt(3)}0"}"""))
@@ -108,7 +114,13 @@ object EventGen {
       val evs = lc.zipWithIndex.map { case (code, j) =>
         // occasional same-ts tie with the previous event
         if (!(noise && j > 0 && rnd.nextInt(8) == 0)) ts += 1000 + rnd.nextInt(60000)
-        mkEvent(txId, code, j, ts, rnd)
+        val e = mkEvent(txId, code, j, ts, rnd)
+        // a Closed following UserCanceled is the user-cancel settlement —
+        // it must carry wasCanceledByUser=true so the CANCELED status
+        // branch (TransactionViewUpsertService.kt:489-497) is exercised
+        if (code == Closed && j > 0 && lc(j - 1) == UserCanceled)
+          e.copy(wasCanceledByUser = Some(true))
+        else e
       }
       val withNoise =
         if (!noise) evs

@@ -134,6 +134,13 @@ object ViewReplay {
     val filtered = events
       .filter(col("operationType").isin("insert", "update", "replace"))
       .filter(col("ttl").isNull)
+      // unknown event types are SKIPPED (the reference raises a
+      // non-retriable CdcEventTypeException and the stream-level handler
+      // drops the event and lives on — `TransactionViewUpsertService.kt:
+      // 292-299`, `EcommerceTransactionsLogEventsStream.kt:202-206`);
+      // without this filter an unknown code would still write the
+      // watermark and emit a phantom all-null view row
+      .filter(ec.isin(EventCodes.all: _*))
       .repartition(col("transactionId"))
       .withColumn("__dn", row_number().over(dedupW))
       .filter(col("__dn") === 1)

@@ -73,14 +73,16 @@ object Multimodal {
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeature] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { batch =>
-      // a real codec would init native resources once per partition here
+      // per-partition init (a real codec inits native resources here);
+      // one digest instance reused across the partition's records
+      val md5 = java.security.MessageDigest.getInstance("MD5")
       batch.map { a =>
+        md5.reset()
         MediaFeature(
           asset_id = a.asset_id,
           modality = a.meta.modality,
           n_bytes = a.payload.length.toLong,
-          payload_md5 = java.security.MessageDigest.getInstance("MD5")
-            .digest(a.payload).map("%02x".format(_)).mkString,
+          payload_md5 = md5.digest(a.payload).map("%02x".format(_)).mkString,
           feature = FakeCodec.decodeFeatures(a.payload))
       }
     }

@@ -51,9 +51,14 @@ object CdcStream {
     * errors are expected to be dropped upstream (PERMISSIVE parse). */
   def preFilter(events: Dataset[CdcEvent]): Dataset[CdcEvent] = {
     import events.sparkSession.implicits._
+    val knownCodes = graft.cdc.EventCodes.all.toSet
     events
       .filter(e => Set("insert", "update", "replace").contains(e.operationType))
       .filter(_.ttl.isEmpty)
+      // unknown event types are skipped, mirroring the reference's
+      // non-retriable-error-then-drop path (ReferenceFold.processOne
+      // would throw, killing the query)
+      .filter(e => knownCodes.contains(e.eventCode))
   }
 
   /** The per-key stateful merge. Emits the updated view once per key per
@@ -119,9 +124,14 @@ object CdcStream {
       batch: Dataset[CdcEvent],
       viewPath: String): Unit = {
     import spark.implicits._
+    // existence check, not catch-all: a transient read error must fail the
+    // batch (and be retried from the checkpoint), not drop the stored view
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val viewFs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(viewPath), fsConf)
     val existing: Dataset[TransactionView] =
-      try spark.read.parquet(viewPath).as[TransactionView]
-      catch { case _: Exception => spark.emptyDataset[TransactionView] }
+      if (viewFs.exists(new org.apache.hadoop.fs.Path(viewPath)))
+        spark.read.parquet(viewPath).as[TransactionView]
+      else spark.emptyDataset[TransactionView]
     val merged = existing
       .groupByKey(_.transactionId)
       .cogroup(preFilter(batch).groupByKey(_.transactionId)) { (_, views, events) =>

@@ -76,9 +76,15 @@ object EventsView {
     * the additive fields (fee, count) are the ones that would drift. */
   def mergeBatchIntoParquet(spark: SparkSession, batch: DataFrame, viewPath: String): Unit = {
     val incoming = partials(prepared(batch))
+    // explicit existence check, NOT a catch-all: a transient read failure
+    // must fail the batch (checkpoint retries it), never silently reset
+    // the accumulated view to just this batch's data
+    val conf0 = spark.sparkContext.hadoopConfiguration
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(viewPath), conf0)
     val merged =
-      try merge(spark.read.parquet(viewPath), incoming)
-      catch { case _: Exception => incoming } // first batch: no view yet
+      if (fs0.exists(new org.apache.hadoop.fs.Path(viewPath)))
+        merge(spark.read.parquet(viewPath), incoming)
+      else incoming
     val tmp = viewPath + "__staging"
     merged.write.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration

@@ -27,10 +27,16 @@ class StreamHealth(inactivityTimeoutMs: Long = 3600L * 1000)
   private case class QueryHealth(active: Boolean, lastProgressAtMs: Long)
   private val queries = new ConcurrentHashMap[java.util.UUID, QueryHealth]()
 
-  /** Latest observed metrics per (queryId, observation name), from
-    * `df.observe(name, exprs...)` — counts/sums ride along with progress
-    * at zero extra passes over the data. */
-  private val observed =
+  /** Observed metrics per (queryId, observation name), from
+    * `df.observe(name, exprs...)` — they ride along with progress at zero
+    * extra passes over the data. Two views with different semantics:
+    * `latest` (the most recent batch's values — gauges like max/avg) and
+    * `totals` (Long/Double fields summed across batches — counters; a
+    * trailing empty batch must not zero a count). Callers pick the
+    * accessor matching their expression's semantics. */
+  private val latestMetrics =
+    new ConcurrentHashMap[(java.util.UUID, String), Map[String, Any]]()
+  private val totalMetrics =
     new ConcurrentHashMap[(java.util.UUID, String), Map[String, Any]]()
 
   override def onQueryStarted(e: QueryStartedEvent): Unit =
@@ -41,10 +47,8 @@ class StreamHealth(inactivityTimeoutMs: Long = 3600L * 1000)
     e.progress.observedMetrics.forEach { (name, row) =>
       val batch = row.schema.fieldNames.zipWithIndex
         .map { case (f, i) => f -> row.get(i) }.toMap
-      // observe() metrics are per-micro-batch; counters must accumulate
-      // (a trailing empty batch would otherwise zero them) — numeric
-      // fields are summed across batches, non-numeric keep the latest
-      observed.merge((e.progress.id, name), batch, (old, nw) =>
+      latestMetrics.put((e.progress.id, name), batch)
+      totalMetrics.merge((e.progress.id, name), batch, (old, nw) =>
         nw.map {
           case (k, v: java.lang.Long) =>
             k -> java.lang.Long.valueOf(old.get(k).collect { case o: java.lang.Long => o.longValue }
@@ -74,6 +78,11 @@ class StreamHealth(inactivityTimeoutMs: Long = 3600L * 1000)
     Correct
   }
 
+  /** Most recent batch's observed values — for gauge expressions. */
   def observedMetric(queryId: java.util.UUID, name: String): Option[Map[String, Any]] =
-    Option(observed.get((queryId, name)))
+    Option(latestMetrics.get((queryId, name)))
+
+  /** Cross-batch sums of Long/Double fields — for counter expressions. */
+  def observedTotal(queryId: java.util.UUID, name: String): Option[Map[String, Any]] =
+    Option(totalMetrics.get((queryId, name)))
 }

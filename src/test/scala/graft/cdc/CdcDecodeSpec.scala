@@ -28,6 +28,23 @@ class CdcDecodeSpec extends SparkSpec {
     assert(out.map(_.id).toSet == good.map(_.id).toSet)
   }
 
+  test("missing optional envelope fields take the model defaults (operationType)") {
+    val out = CdcDecode.fromJson(Seq(
+      """{"id":"e1","transactionId":"t1","eventCode":"TRANSACTION_ACTIVATED_EVENT","tsMs":1000}""")
+      .toDF("json")).collect()
+    assert(out.length == 1 && out.head.operationType == "insert")
+  }
+
+  test("unknown event codes are skipped by replay, not materialized as phantom rows") {
+    val known = EventGen.generate(nTx = 2, seed = 1L, noise = false)
+    val bogus = CdcEvent("bx", "tx-bogus", "TRANSACTION_BOGUS_EVENT",
+      java.time.Instant.ofEpochMilli(1000).toString, 1000L)
+    val out = ViewReplay.replay((known :+ bogus).toDF())
+      .select("transactionId").collect().map(_.getString(0)).toSet
+    assert(!out.contains("tx-bogus"))
+    assert(out == known.map(_.transactionId).toSet)
+  }
+
   test("decode composes with the replay pipeline end-to-end") {
     val events = EventGen.generate(nTx = 8, seed = 41L)
     val viaWire = ViewReplay.replay(

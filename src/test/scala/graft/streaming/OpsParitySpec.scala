@@ -88,11 +88,13 @@ class OpsParitySpec extends SparkSpec {
       assert(health.state() == health.Correct)
       // staleness bound: pretend an hour+ passed with no progress
       assert(health.state(nowMs = System.currentTimeMillis() + 3601L * 1000) == health.Broken)
-      // listener events are delivered async — poll briefly for the metric
+      // listener events are delivered async — poll briefly for the counter
+      // (observedTotal: a trailing empty batch must not zero it)
       val deadline = System.currentTimeMillis() + 10000
-      def metric = health.observedMetric(q.id, "cdc")
+      def metric = health.observedTotal(q.id, "cdc")
+        .filter(_.get("n_events").exists(_.asInstanceOf[Long] > 0L))
       while (metric.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
-      assert(metric.exists(_.get("n_events").exists(_.asInstanceOf[Long] > 0L)), s"metric=$metric")
+      assert(metric.nonEmpty, s"metric=${health.observedTotal(q.id, "cdc")}")
       q.stop()
       spark.streams.awaitAnyTermination(10000)
       assert(health.state() == health.Broken) // terminated query => BROKEN
