@@ -167,6 +167,27 @@ object DataPrepQueries {
       .orderBy("lang", "rank")
   }
 
+  /** Cross-modal agreement: text near-dup pairs (q16 semantics) joined to
+    * the embedding table on both ends, with the quantized embedding dot —
+    * do lexical duplicates also agree in embedding space? A two-table
+    * equijoin per side; the embedding side is broadcast-size per pair
+    * batch at any corpus scale (pairs ≪ corpus). */
+  def q30_crossmodal_pairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.GraftFunctions
+    GraftFunctions.register(spark)
+    val pairs = Dedup.jaccardPairs(Tables.documents(spark, dir),
+      n = ShingleN, minJaccardX10k = JaccardMinX10k, maxDf = JaccardMaxDf)
+      .select("id_a", "id_b", "jaccard_x10k")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), graft.functions.VectorFunctions.quantize(col("embedding")).as("qv"))
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("qv").as("qv_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("qv").as("qv_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard_x10k"),
+        call_function(GraftFunctions.DotLong, col("qv_a"), col("qv_b")).as("emb_dot"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ----------------------------------------------------------- multimodal
 
   def q23_multimodal_stats(spark: SparkSession, dir: String): DataFrame =
@@ -191,7 +212,8 @@ object DataPrepQueries {
     "q24_vocabulary" -> q24_vocabulary,
     "q25_stratified_take" -> q25_stratified_take,
     "q26_quality_filter" -> q26_quality_filter,
-    "q27_top_terms_per_lang" -> q27_top_terms_per_lang
+    "q27_top_terms_per_lang" -> q27_top_terms_per_lang,
+    "q30_crossmodal_pairs" -> q30_crossmodal_pairs
   )
 
   // ---------------------------------------------------------------- oracles
@@ -395,7 +417,34 @@ object DataPrepQueries {
          |r AS (SELECT *, row_number() OVER
          |        (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rank FROM c)
          |SELECT lang, rank, token, cnt FROM r
-         |WHERE rank <= $TopTermsK ORDER BY lang, rank""".stripMargin
+         |WHERE rank <= $TopTermsK ORDER BY lang, rank""".stripMargin,
+    "q30_crossmodal_pairs" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id),
+         |capped AS (
+         |  SELECT sh.* FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $JaccardMaxDf) ok
+         |    USING (shingle)),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY a.id, b.id),
+         |pairs AS (
+         |  SELECT i.id_a, i.id_b,
+         |         CAST(floor(10000 * i.n_common / (sa.set_size + sb.set_size - i.n_common)) AS BIGINT)
+         |           AS jaccard_x10k
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b
+         |  WHERE floor(10000 * i.n_common / (sa.set_size + sb.set_size - i.n_common)) >= $JaccardMinX10k),
+         |emb AS (SELECT vec_id, $quantVec AS qv FROM embeddings)
+         |SELECT p.id_a, p.id_b, p.jaccard_x10k,
+         |       CAST(list_sum(list_transform(generate_series(1, len(ea.qv)), i -> ea.qv[i] * eb.qv[i])) AS BIGINT)
+         |         AS emb_dot
+         |FROM pairs p
+         |JOIN emb ea ON ea.vec_id = p.id_a
+         |JOIN emb eb ON eb.vec_id = p.id_b
+         |ORDER BY p.id_a, p.id_b""".stripMargin
     // q21_ann_lsh_topk: intentionally no oracle (rows-only check) — see scaladoc.
   )
 }
