@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the caller UNPREFIXED: the driver
+// parses the one JSON line Bench prints, and sbt's default logger turns
+// it into "[info] {...}" which fails json.loads (BENCH_r01 was lost to
+// exactly this). StdoutOutput passes the child's stdout through verbatim.
+// project-level (not run-scoped) so runMain/run in any config inherit it
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -87,14 +87,51 @@ object Relational {
       .drop("__prev_ts", "__new_session")
   }
 
+  /** Dense 1-based global index in the total order `ordering`, WITHOUT a
+    * single-partition window. Two-phase:
+    *
+    *   1. range-repartition on the order keys (the one full-data shuffle)
+    *      + local sort; partitions are globally ordered, and
+    *      `monotonically_increasing_id` then yields a dense 0-based LOCAL
+    *      sequence per partition (`mid - min(mid)` — mid's low 33 bits
+    *      are the in-partition record number).
+    *   2. per-partition `(count, min(mid))` — a partial-aggregated pass
+    *      producing one row per partition — turned into exclusive prefix
+    *      offsets (a window over #partitions rows, trivially small) and
+    *      broadcast-joined back. global = offset(pid) + (mid - base) + 1.
+    *
+    * Nothing ever concentrates the data on one task, so this survives any
+    * input size; the cost is the range shuffle plus one recompute of the
+    * sorted lineage for the counts side (deterministic: RangePartitioner's
+    * sampling is seeded per input partition, and `ordering` must be a
+    * total order — same contract as the oracle's ROW_NUMBER).
+    */
+  def globalIndex(df: DataFrame, ordering: Seq[Column], as: String): DataFrame = {
+    val sorted = df.repartitionByRange(ordering: _*)
+      .sortWithinPartitions(ordering: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val counts = sorted.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"), min("__mid").as("__base"))
+    val offsets = counts.withColumn(
+      "__offset",
+      coalesce(
+        sum(col("__cnt")).over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    sorted
+      .join(broadcast(offsets.select("__pid", "__base", "__offset")), "__pid")
+      .withColumn(as, col("__offset") + (col("__mid") - col("__base")) + lit(1L))
+      .drop("__pid", "__mid", "__base", "__offset", "__cnt")
+  }
+
   /** O17 — checkpoint cadence: mark every Nth record in a total order
     * (reference saves the resume token every 5 events,
-    * `EcommerceTransactionsLogEventsStream.kt:144-149`). Window over a
-    * single global order — only used on small control streams. */
+    * `EcommerceTransactionsLogEventsStream.kt:144-149`). Built on
+    * [[globalIndex]] — fully partition-parallel, no single-task window. */
   def checkpointCadence(df: DataFrame, ordering: Seq[Column], n: Int): DataFrame = {
-    val w = Window.orderBy(ordering: _*)
-    df.withColumn("__idx", row_number().over(w))
-      .filter(pmod(col("__idx"), lit(n)) === 0)
-      .withColumnRenamed("__idx", "checkpoint_seq")
+    globalIndex(df, ordering, "checkpoint_seq")
+      .filter(pmod(col("checkpoint_seq"), lit(n.toLong)) === 0)
   }
 }

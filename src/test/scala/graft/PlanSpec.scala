@@ -60,6 +60,31 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 2, s"unexpected extra shuffles:\n$plan")
   }
 
+  test("q10 global index never concentrates the data on one partition (O17)") {
+    val plan = executed(CdcQueries.q10_checkpoint_cadence(spark, sfDir))
+    // the old shape was Window.orderBy with no partition: Exchange
+    // SinglePartition feeding WindowExec over the full table. The two-phase
+    // index must have NO single-partition exchange on the data path (the
+    // prefix-offset side aggregates to one row per partition first, so its
+    // tiny global window is fine — detect the bad case by asserting no
+    // WindowExec consumes a SinglePartition exchange of the raw table).
+    val globalWindows = collectAll(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    globalWindows.foreach { w =>
+      val subtree = collectAll(w)
+      val aboveAgg = subtree.exists {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+        case _ => false
+      }
+      assert(aboveAgg,
+        s"unpartitioned window directly over the data (no aggregate below):\n$plan")
+    }
+  }
+
   test("custom expression resolves in SQL after registration; extensions class wires") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(
