@@ -61,13 +61,17 @@ case class ArrayDotLong(left: Expression, right: Expression)
 
 object GraftFunctions {
   val DotLong = "graft_dot_long"
+  val TopKDotName = "graft_topk_dot"
 
   /** Idempotently register the engine's custom expressions on a session.
     * Called from the operators that use them (the driver hands us a bare
     * SparkSession, so registration can't assume a config entry point);
     * a `SparkSessionExtensions` injection would be the cluster-install
     * variant of the same wiring. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotLong, exprs => ArrayDotLong(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKDotName, exprs => TopKDot(exprs.head, exprs(1), exprs(2)), "scala_udf")
+  }
 }

@@ -11,9 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * the per-query [[GraftFunctions.register]] used when the engine is
   * handed an already-built session (the driver-contract path). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.DotLong),
       new ExpressionInfo(classOf[ArrayDotLong].getName, GraftFunctions.DotLong),
       (exprs: Seq[Expression]) => ArrayDotLong(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.TopKDotName),
+      new ExpressionInfo(classOf[TopKDot].getName, GraftFunctions.TopKDotName),
+      (exprs: Seq[Expression]) => TopKDot(exprs.head, exprs(1), exprs(2))))
+  }
 }

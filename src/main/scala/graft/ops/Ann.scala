@@ -16,10 +16,24 @@ import graft.functions.VectorFunctions._
   */
 object Ann {
 
-  /** Exact top-k: queries × corpus crossjoin → quantized dot → ranked.
-    * The query side is broadcast (it's small by construction); the corpus
-    * side streams — at scale this is one pass over the corpus with no
-    * shuffle of the big side, then a top-k aggregation shuffled on
+  /** Rank a scored candidate table `(query_id, neighbor_id, dot)` to
+    * top-k per query via the bounded-heap aggregate
+    * [[graft.expressions.TopKDot]]: the heap runs map-side, so only
+    * ≤ k rows per (query, task) reach the shuffle — NOT the full scored
+    * set (that was VERDICT r1's q20 scale-killer). Output best-first with
+    * a dense 1-based rank. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(call_function(GraftFunctions.TopKDotName,
+        col("dot"), col("neighbor_id"), lit(k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.neighbor_id").as("neighbor_id"), col("s.dot").as("dot"))
+
+  /** Exact top-k: queries × corpus crossjoin → quantized dot → bounded-heap
+    * rank. The query side is broadcast (it's small by construction); the
+    * corpus side streams — one pass over the corpus with no shuffle of the
+    * big side, partial top-k per task, then ≤ |Q|·k·tasks rows shuffle on
     * query_id. Deterministic tiebreak: higher dot first, then lower id. */
   def bruteForceTopK(
       queries: DataFrame,
@@ -33,12 +47,7 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", call_function(GraftFunctions.DotLong, col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("dot"))
+    rankTopK(scored.select("query_id", "neighbor_id", "dot"), k)
   }
 
   /** LSH-bucketed approximate top-k: both sides keyed by random-hyperplane
@@ -81,11 +90,7 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", call_function(GraftFunctions.DotLong, col("qv"), col("cv")))
       .select("query_id", "neighbor_id", "dot").distinct()
-    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("dot"))
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs over one table: all pairs with

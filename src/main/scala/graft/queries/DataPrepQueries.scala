@@ -75,7 +75,7 @@ object DataPrepQueries {
       .orderBy("id_a", "id_b")
 
   def q18_simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash16(Tables.documents(spark, dir))
+    Dedup.simhash64(Tables.documents(spark, dir))
       .select(col("id").as("doc_id"), col("simhash"))
       .orderBy("doc_id")
 
@@ -260,20 +260,36 @@ object DataPrepQueries {
     s"SELECT id, $b AS band, md5($key) AS band_key FROM mh"
   }.mkString("\n  UNION ALL ")
 
-  private val simhashBitSums = (0 until 16).map { j =>
-    s"sum(CASE WHEN substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j"
+  // 64-bit simhash: nibble p = value of hex digit p of md5(token) (the
+  // first 64 digest bits); bit j = bit (j%4) of nibble (j/4). Nibbles are
+  // materialized once in their own CTE, mirroring the Spark projection.
+  private val simhashNibbles = (0 until 16).map { p =>
+    s"strpos('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1 AS v$p"
   }.mkString(",\n         ")
 
-  private val simhashFromBits = (0 until 16)
-    .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+  private val simhashBitSums = (0 until 64).map { j =>
+    s"sum(CASE WHEN (v${j / 4} & ${1 << (j % 4)}) > 0 THEN 1 ELSE -1 END) AS s$j"
+  }.mkString(",\n         ")
+
+  // bit-63 term = -2^63 (the BIGINT sign bit): both engines build the same
+  // two's-complement 64-bit pattern
+  private val simhashFromBits = (0 until 64)
+    .map { j =>
+      val term = if (j == 63) Long.MinValue.toString else (1L << j).toString
+      s"CASE WHEN s$j >= 0 THEN CAST($term AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
 
   private val simhashCte =
     s"""docs AS (SELECT doc_id, $normToks AS t FROM docs0),
        |tok AS (SELECT doc_id AS id, md5(unnest(t)) AS h FROM docs),
+       |nib AS (
+       |  SELECT id,
+       |         $simhashNibbles
+       |  FROM tok),
        |bits AS (
        |  SELECT id,
        |         $simhashBitSums
-       |  FROM tok GROUP BY id),
+       |  FROM nib GROUP BY id),
        |sig AS (SELECT id, CAST($simhashFromBits AS BIGINT) AS simhash FROM bits)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -350,7 +366,7 @@ object DataPrepQueries {
       s"""WITH docs0 AS (SELECT * FROM documents),
          |$simhashCte,
          |seg AS (
-         |  ${(0 until 4).map(s => s"SELECT id, simhash, $s AS seg, CAST(floor(simhash / ${1L << (4 * s)}) AS BIGINT) % 16 AS key FROM sig").mkString("\n         |  UNION ALL ")}),
+         |  ${(0 until 4).map(s => s"SELECT id, simhash, $s AS seg, (simhash >> ${16 * s}) & 65535 AS key FROM sig").mkString("\n         |  UNION ALL ")}),
          |cand AS (
          |  SELECT DISTINCT a.id AS id_a, a.simhash AS sim_a, b.id AS id_b, b.simhash AS sim_b
          |  FROM seg a JOIN seg b ON a.seg = b.seg AND a.key = b.key AND a.id < b.id)

@@ -55,9 +55,25 @@ class PlanSpec extends SparkSpec {
     val plan = executed(DataPrepQueries.q20_ann_brute_topk(spark, sfDir))
     val bnlj = collectAll(plan).collect { case j: BroadcastNestedLoopJoinExec => j }
     assert(bnlj.nonEmpty, s"expected broadcast join, plan:\n$plan")
-    // the only data shuffle is the per-query top-k window partitioning
+    // ranking agg shuffle + output sort only
     val shuffles = collectAll(plan).collect { case s: ShuffleExchangeExec => s }
     assert(shuffles.size <= 2, s"unexpected extra shuffles:\n$plan")
+  }
+
+  test("q20 top-k reduces map-side: no window over the cross product") {
+    val plan = executed(DataPrepQueries.q20_ann_brute_topk(spark, sfDir))
+    val windows = collectAll(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"brute-force top-k must rank via the bounded-heap aggregate, not a window:\n$plan")
+    // the partial (map-side) aggregation must exist below the exchange, so
+    // only ≤ k rows per (query, task) are shuffled
+    val partialAggs = collectAll(plan).collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString.contains("Partial")) => a
+    }
+    assert(partialAggs.nonEmpty, s"expected a partial ObjectHashAggregate:\n$plan")
   }
 
   test("q10 global index never concentrates the data on one partition (O17)") {

@@ -91,12 +91,14 @@ class TextDedupSpec extends SparkSpec {
     val base = (1 to 50).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 48).map(i => s"w$i").mkString(" ") + " x y"
     val other = (100 to 150).map(i => s"v$i").mkString(" ")
-    val sig = Dedup.simhash16(docs(1L -> base, 2L -> base, 3L -> nearDup, 4L -> other))
+    val sig = Dedup.simhash64(docs(1L -> base, 2L -> base, 3L -> nearDup, 4L -> other))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // 64-bit scale: unrelated docs sit near E[ham]=32; near-dups (2 of 50
+    // tokens changed) flip only the bits whose majority vote was marginal
     assert(ham(sig(1L), sig(2L)) == 0)
-    assert(ham(sig(1L), sig(3L)) <= 4)
-    assert(ham(sig(1L), sig(4L)) > 4)
+    assert(ham(sig(1L), sig(3L)) <= 14, s"near-dup distance ${ham(sig(1L), sig(3L))}")
+    assert(ham(sig(1L), sig(4L)) > 20, s"unrelated distance ${ham(sig(1L), sig(4L))}")
   }
 
   test("jaccard pairs == brute-force reference on random corpora (ScalaCheck)") {
@@ -132,7 +134,7 @@ class TextDedupSpec extends SparkSpec {
       i -> (i to i + 30).map(j => s"w$j").mkString(" ")
     }
     val d = docs(corpus: _*)
-    val sig = Dedup.simhash16(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sig = Dedup.simhash64(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = (for {
       a <- sig.keys; b <- sig.keys if a < b
       if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3
