@@ -95,8 +95,13 @@ object Ann {
 
   /** Embedding-cosine near-duplicate pairs over one table: all pairs with
     * quantized cosine >= `minCosX100`/100, restricted to a deterministic
-    * sample when `sampleMod > 1` (bounds the oracle's quadratic cost; the
-    * engine-side scale path is [[lshTopK]]'s bucketing instead).
+    * sample when `sampleMod > 1` (bounds the oracle's quadratic cost).
+    *
+    * EXACT/ORACLE FORM ONLY: the broadcast self-join is O(N²) and exists
+    * to give the DuckDB oracle something it can replicate on a bounded
+    * sample. The production operator is [[cosineNearDupPairsLsh]] — same
+    * exact threshold test, but candidate generation through hyperplane
+    * buckets instead of all pairs.
     *
     * Threshold check is integer-exact and overflow-safe for unit-norm
     * vectors up to dim ~1e3 at 1e-3 quantization: dot <= 1e6 so
@@ -118,6 +123,52 @@ object Ann {
         col("a.n2").as("n2_a"), col("b.n2").as("n2_b"))
     // cos >= t/100  ⇔  dot > 0 ∧ dot² * 1e4 >= t² * n2a * n2b
     pairs
+      .filter(col("dot") > 0)
+      .filter(col("dot") * col("dot") * lit(10000L) >=
+        lit(minCosX100) * lit(minCosX100) * col("n2_a") * col("n2_b"))
+      .select("id_a", "id_b", "dot", "n2_a", "n2_b")
+  }
+
+  /** Scale path for cosine near-dup pairs: candidate pairs from `tables`
+    * independent random-hyperplane bucketings (equijoin on (table,
+    * bucket) — sub-quadratic, ~|N|²·tables/2^nBits comparisons on random
+    * data), then the SAME exact integer threshold test as
+    * [[cosineNearDupPairs]]. Every emitted pair is a true pair (the
+    * rerank is exact); recall is tuned by (nBits, tables) — a pair at
+    * angle θ collides in one table with prob (1−θ/π)^nBits, in any of
+    * the tables with prob 1−(1−(1−θ/π)^nBits)^tables. Near-identical
+    * duplicates (cos→1) collide in every table, so dedup-grade recall
+    * ≈ 1 by construction.
+    *
+    * Shape at 100 TB: bucket explode (tables× row inflation of ids only),
+    * one shuffle on (table, bucket), pair distinct, then two id-equijoins
+    * to re-fetch vectors for the exact rerank — pairs ≪ corpus, so the
+    * rerank joins are cheap. Not oracle-SQL-expressible (xxhash64
+    * hyperplanes); AnnSpec pins subset-of-brute + planted-dup recall. */
+  def cosineNearDupPairsLsh(
+      embeddings: DataFrame,
+      minCosX100: Long = 90L,
+      nBits: Int = 8,
+      tables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val base = embeddings
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", call_function(GraftFunctions.DotLong, col("qv"), col("qv")))
+    val bucketed = base.select(col("id"), explode(array((0 until tables).map { t =>
+      struct(lit(t).as("t"), rhpBucket(col("qv"), nBits, t).as("b"))
+    }: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("tbl"), col("tb.b").as("bucket"))
+    val candidates = bucketed.as("a").join(bucketed.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val withVecs = candidates
+      .join(base.select(col("id").as("id_a"), col("qv").as("qv_a"), col("n2").as("n2_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("qv").as("qv_b"), col("n2").as("n2_b")), "id_b")
+      .withColumn("dot", call_function(GraftFunctions.DotLong, col("qv_a"), col("qv_b")))
+    withVecs
       .filter(col("dot") > 0)
       .filter(col("dot") * col("dot") * lit(10000L) >=
         lit(minCosX100) * lit(minCosX100) * col("n2_a") * col("n2_b"))

@@ -58,6 +58,34 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("LSH cosine pairs: subset of brute force, full recall on planted dups") {
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    // 20 planted near-duplicate clusters (base + tiny perturbation) in a
+    // sea of 160 unrelated vectors
+    val clusters = (0 until 20).map { c =>
+      val base = unit()
+      val dup = base.map(x => x + (rnd.nextGaussian() * 0.01).toFloat)
+      Seq((c * 2L) -> base.toSeq, (c * 2L + 1) -> dup.toSeq)
+    }
+    val noise = (1000L until 1160L).map(i => i -> unit().toSeq)
+    val all = vecs((clusters.flatten ++ noise): _*)
+    val brute = Ann.cosineNearDupPairs(all, minCosX100 = 95L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.cosineNearDupPairsLsh(all, minCosX100 = 95L, nBits = 8, tables = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact rerank ⇒ no false positives, ever
+    assert((lsh -- brute).isEmpty, s"LSH emitted non-pairs: ${lsh -- brute}")
+    // near-identical dups collide in every table ⇒ all planted pairs found
+    val planted = (0 until 20).map(c => (c * 2L, c * 2L + 1)).toSet
+    assert(planted.subsetOf(brute), "planted pairs must pass the exact threshold")
+    assert(planted.subsetOf(lsh), s"LSH missed planted dups: ${planted -- lsh}")
+  }
+
   test("cosine near-dup pairs: planted duplicate found, orthogonal not") {
     val out = Ann.cosineNearDupPairs(
       vecs(
