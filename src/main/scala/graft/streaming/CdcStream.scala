@@ -112,42 +112,43 @@ object CdcStream {
         updateKey)
   }
 
-  /** foreachBatch alternative: merge each micro-batch into a keyed parquet
-    * view table (plain-parquet MERGE stand-in — no transactional table
-    * format is guaranteed on the classpath, SURVEY.md §7; on Delta/Iceberg
-    * this collapses to one `MERGE INTO`). Fully distributed: a cogroup on
-    * the key folds each key's batch events onto its stored view row —
-    * exactly the ladder, one shuffle, no driver-side state.
-    */
+  /** foreachBatch alternative: merge each micro-batch into the bucketed
+    * [[ViewStore]] view (plain-parquet MERGE stand-in — no transactional
+    * table format is guaranteed on the classpath, SURVEY.md §7; on
+    * Delta/Iceberg this collapses to one `MERGE INTO`). Fully
+    * distributed: a cogroup on the key folds each key's batch events onto
+    * its stored view row — exactly the ladder, one shuffle, no
+    * driver-side state. Only buckets containing batch keys are re-read
+    * and rewritten; replayed batchIds are skipped (the ladder itself is
+    * replay-idempotent, the skip just saves the I/O). */
   def mergeBatchIntoParquet(
       spark: SparkSession,
       batch: Dataset[CdcEvent],
-      viewPath: String): Unit = {
+      viewPath: String,
+      batchId: Long): Unit = {
     import spark.implicits._
-    // existence check, not catch-all: a transient read error must fail the
-    // batch (and be retried from the checkpoint), not drop the stored view
-    val fsConf = spark.sparkContext.hadoopConfiguration
-    val viewFs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(viewPath), fsConf)
+    if (ViewStore.alreadyApplied(spark, viewPath, batchId)) return
+    val filtered = preFilter(batch)
+    val touched = filtered.toDF()
+      .select(ViewStore.bucketOf(col("transactionId")).as("b")).distinct()
+      .collect().map(_.getLong(0).toInt).toSeq.sorted
+    // a throw on a transient read error fails the batch (checkpoint
+    // retries); untouched buckets are never read, let alone rewritten
     val existing: Dataset[TransactionView] =
-      if (viewFs.exists(new org.apache.hadoop.fs.Path(viewPath)))
-        spark.read.parquet(viewPath).as[TransactionView]
-      else spark.emptyDataset[TransactionView]
+      ViewStore.readBuckets(spark, viewPath, touched)
+        .map(_.as[TransactionView])
+        .getOrElse(spark.emptyDataset[TransactionView])
     val merged = existing
       .groupByKey(_.transactionId)
-      .cogroup(preFilter(batch).groupByKey(_.transactionId)) { (_, views, events) =>
+      .cogroup(filtered.groupByKey(_.transactionId)) { (_, views, events) =>
         val v0 = views.toSeq.headOption
         val evs = events.toSeq.distinctBy(_.id).sortBy(e => (e.tsMs, e.id))
         if (evs.isEmpty) v0.iterator
         else Iterator.single(
           evs.foldLeft(v0)((v, e) => Some(ReferenceFold.processOne(v, e))).get)
       }
-    val tmp = viewPath + "__staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap (a transactional format would do this natively)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), conf)
-    val dst = new org.apache.hadoop.fs.Path(viewPath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    ViewStore.commit(spark, viewPath,
+      merged.toDF().withColumn("__bucket", ViewStore.bucketOf(col("transactionId"))),
+      touched, batchId)
   }
 }

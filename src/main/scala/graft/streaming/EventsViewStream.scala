@@ -68,29 +68,30 @@ object EventsView {
       col("err_s").getField("v").as("last_error_code"),
       col("n_events"))
 
-  /** foreachBatch body: merge this micro-batch's partials into the keyed
-    * parquet view (same read-merge-swap as CdcStream.mergeBatchIntoParquet;
-    * a transactional table format would make the swap a MERGE INTO).
+  /** foreachBatch body: merge this micro-batch's partials into the
+    * bucketed [[ViewStore]] view (a transactional table format would make
+    * this a single MERGE INTO). Only the buckets containing batch keys
+    * are re-read and rewritten; the manifest flip is atomic; a replayed
+    * batchId (at-least-once foreachBatch delivery) is skipped, so the
+    * additive partials (fee_total_c, n_events) cannot double-count.
     * Dedup is per-batch: duplicate deliveries ACROSS micro-batches need
-    * the stateful id-tracking path (CdcStream) or an idempotent upstream;
-    * the additive fields (fee, count) are the ones that would drift. */
-  def mergeBatchIntoParquet(spark: SparkSession, batch: DataFrame, viewPath: String): Unit = {
+    * the stateful id-tracking path (CdcStream) or an idempotent upstream. */
+  def mergeBatchIntoParquet(
+      spark: SparkSession, batch: DataFrame, viewPath: String, batchId: Long): Unit = {
+    if (ViewStore.alreadyApplied(spark, viewPath, batchId)) return
     val incoming = partials(prepared(batch))
-    // explicit existence check, NOT a catch-all: a transient read failure
-    // must fail the batch (checkpoint retries it), never silently reset
-    // the accumulated view to just this batch's data
-    val conf0 = spark.sparkContext.hadoopConfiguration
-    val fs0 = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(viewPath), conf0)
-    val merged =
-      if (fs0.exists(new org.apache.hadoop.fs.Path(viewPath)))
-        merge(spark.read.parquet(viewPath), incoming)
-      else incoming
-    val tmp = viewPath + "__staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), conf)
-    val dst = new org.apache.hadoop.fs.Path(viewPath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val touched = incoming
+      .select(ViewStore.bucketOf(col("user_id")).as("b")).distinct()
+      .collect().map(_.getLong(0).toInt).toSeq.sorted
+    // re-read ONLY the touched buckets; everything else stays untouched on
+    // disk (no transient read failure can reset the view: a throw here
+    // fails the batch and the checkpoint retries it)
+    val merged = ViewStore.readBuckets(spark, viewPath, touched) match {
+      case Some(existing) => merge(existing, incoming)
+      case None => incoming
+    }
+    ViewStore.commit(spark, viewPath,
+      merged.withColumn("__bucket", ViewStore.bucketOf(col("user_id"))),
+      touched, batchId)
   }
 }

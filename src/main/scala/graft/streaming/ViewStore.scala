@@ -1,0 +1,153 @@
+package graft.streaming
+
+import java.net.URI
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hash-bucketed, manifest-pointed parquet view store — the plain-parquet
+  * stand-in for a transactional MERGE INTO sink (no Delta/Iceberg jar is
+  * guaranteed on the classpath, SURVEY.md §7). Fixes the three round-1
+  * sink findings at once (VERDICT #6, ADVICE #1/#2):
+  *
+  *  - '''Partitioned rewrite''': rows hash into `NumBuckets` buckets by
+  *    key; a micro-batch rewrites ONLY the buckets its keys fall into.
+  *    I/O per batch is O(touched buckets), not O(total view) — the shape
+  *    that survives a 100 TB view (and exactly the per-partition form a
+  *    table-format MERGE INTO would take).
+  *  - '''Atomic swap, no zero-copy window''': data files are immutable
+  *    generation dirs (`gen-<batchId>/__bucket=N`); the live state is a
+  *    tiny `MANIFEST-<seq>` pointer file mapping bucket → dir, written to
+  *    a temp name and renamed in. Readers resolve the highest manifest;
+  *    at every instant at least one complete manifest + its dirs exist.
+  *  - '''Replay idempotence''': the manifest records the last applied
+  *    foreachBatch batchId; re-delivery of a committed batch (failure
+  *    after commit, before the checkpoint advances) is detected by
+  *    `alreadyApplied` and skipped, so additive partials (fee totals,
+  *    event counts) are never double-merged.
+  *
+  * Single-writer by contract (foreachBatch serializes micro-batches);
+  * concurrent readers are safe except against GC of a generation they
+  * resolved from an old manifest mid-read — the table-format caveat that
+  * snapshot isolation would remove.
+  */
+object ViewStore {
+
+  val NumBuckets = 64
+
+  /** Deterministic bucket of a key: stable across engines, sessions and
+    * retries (xxhash64 is a fixed algorithm, not a session-seeded hash). */
+  def bucketOf(key: Column, numBuckets: Int = NumBuckets): Column =
+    pmod(xxhash64(key), lit(numBuckets.toLong))
+
+  /** The live pointer state: manifest sequence number, last applied
+    * foreachBatch id, bucket → dir (relative to the view root). */
+  case class Manifest(seq: Long, lastBatchId: Long, buckets: Map[Int, String])
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+
+  private val ManifestRe = "MANIFEST-([0-9]{20})".r
+
+  def readManifest(spark: SparkSession, viewPath: String): Option[Manifest] = {
+    val f = fs(spark, viewPath)
+    val root = new Path(viewPath)
+    if (!f.exists(root)) return None
+    val manifests = f.listStatus(root).map(_.getPath.getName).collect {
+      case n @ ManifestRe(seq) => (seq.toLong, n)
+    }
+    if (manifests.isEmpty) return None
+    val (seq, name) = manifests.maxBy(_._1)
+    val in = f.open(new Path(root, name))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    val batchId = lines.head.stripPrefix("batchId=").toLong
+    val buckets = lines.tail.map { l =>
+      val Array(b, rel) = l.split("=", 2)
+      b.toInt -> rel
+    }.toMap
+    Some(Manifest(seq, batchId, buckets))
+  }
+
+  def alreadyApplied(spark: SparkSession, viewPath: String, batchId: Long): Boolean =
+    readManifest(spark, viewPath).exists(_.lastBatchId >= batchId)
+
+  /** The whole view (all live buckets), or None if never written. */
+  def read(spark: SparkSession, viewPath: String): Option[DataFrame] =
+    readManifest(spark, viewPath).flatMap { m =>
+      if (m.buckets.isEmpty) None
+      else Some(spark.read.parquet(m.buckets.values.map(rel => s"$viewPath/$rel").toSeq: _*))
+    }
+
+  /** Only the named buckets' current rows (None if none of them exist). */
+  def readBuckets(spark: SparkSession, viewPath: String, touched: Seq[Int]): Option[DataFrame] =
+    readManifest(spark, viewPath).flatMap { m =>
+      val paths = touched.flatMap(m.buckets.get).map(rel => s"$viewPath/$rel")
+      if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    }
+
+  /** Land `merged` (carrying a `__bucket` column covering exactly the
+    * `touched` buckets) as generation `gen-<batchId>`, then flip the
+    * manifest. Crash-safe at every point: before the manifest rename the
+    * old state is fully live; a batch retry overwrites the half-written
+    * generation dir and commits again. */
+  def commit(
+      spark: SparkSession,
+      viewPath: String,
+      merged: DataFrame,
+      touched: Seq[Int],
+      batchId: Long): Unit = {
+    val f = fs(spark, viewPath)
+    val root = new Path(viewPath)
+    f.mkdirs(root)
+    val prior = readManifest(spark, viewPath)
+    val genRel = s"gen-$batchId"
+    if (touched.nonEmpty)
+      merged.write.mode("overwrite").partitionBy("__bucket").parquet(s"$viewPath/$genRel")
+    // a touched bucket with no output rows writes no dir (existing side was
+    // empty and the batch contributed nothing) — keep its prior mapping
+    val updated = touched.flatMap { b =>
+      val rel = s"$genRel/__bucket=$b"
+      if (f.exists(new Path(root, rel))) Some(b -> rel) else None
+    }.toMap
+    val next = Manifest(
+      seq = prior.map(_.seq + 1).getOrElse(0L),
+      lastBatchId = batchId,
+      buckets = prior.map(_.buckets).getOrElse(Map.empty) ++ updated)
+    writeManifest(f, root, next)
+    gc(f, root, prior, next)
+  }
+
+  private def writeManifest(f: FileSystem, root: Path, m: Manifest): Unit = {
+    val body = (s"batchId=${m.lastBatchId}" +:
+      m.buckets.toSeq.sortBy(_._1).map { case (b, rel) => s"$b=$rel" })
+      .mkString("", "\n", "\n")
+    val tmp = new Path(root, f".MANIFEST-${m.seq}%020d.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, new Path(root, f"MANIFEST-${m.seq}%020d")))
+      throw new java.io.IOException(s"manifest rename failed at $root seq ${m.seq}")
+  }
+
+  /** Drop superseded manifests and bucket dirs no longer referenced.
+    * Runs AFTER the new manifest is live, so a crash mid-GC only leaves
+    * harmless garbage, never a missing live file. */
+  private def gc(f: FileSystem, root: Path, prior: Option[Manifest], next: Manifest): Unit = {
+    prior.foreach { p =>
+      f.delete(new Path(root, f"MANIFEST-${p.seq}%020d"), false)
+      val dead = p.buckets.filter { case (b, rel) => next.buckets.get(b).exists(_ != rel) }
+      dead.values.foreach(rel => f.delete(new Path(root, rel), true))
+      // remove generation parents that hold no live bucket dirs anymore
+      // (bucket dirs are `__bucket=N` — NOT generic "_" metadata like
+      // _SUCCESS, so match them explicitly)
+      dead.values.map(_.split("/").head).toSet[String].foreach { gen =>
+        val gp = new Path(root, gen)
+        if (f.exists(gp) && !f.listStatus(gp).exists(
+          _.getPath.getName.startsWith("__bucket=")))
+          f.delete(gp, true)
+      }
+    }
+  }
+}

@@ -61,8 +61,8 @@ class RelationalSpec extends SparkSpec {
   test("checkpointCadence marks every Nth row in total order (O17)") {
     val out = checkpointCadence(df.dropDuplicates("id"), Seq(col("ts"), col("id")), 2)
       .select("checkpoint_seq", "id").collect()
-      .map(r => r.getInt(0) -> r.getString(1)).toSeq.sortBy(_._1)
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sortBy(_._1)
     // order: e4(50), e1(100), e2(300), e3(300) → rows 2 and 4 marked
-    assert(out == Seq(2 -> "e1", 4 -> "e3"))
+    assert(out == Seq(2L -> "e1", 4L -> "e3"))
   }
 }

@@ -128,11 +128,62 @@ class CdcStreamSpec extends SparkSpec {
     val viewPath = dir + "/transactions-view"
     val events = EventGen.generate(nTx = 15, seed = 21L)
     val ordered = events.distinctBy(_.id).sortBy(e => (e.tsMs, e.id))
-    ordered.grouped(30).foreach { batch =>
-      CdcStream.mergeBatchIntoParquet(spark, batch.toDS(), viewPath)
+    ordered.grouped(30).zipWithIndex.foreach { case (batch, bid) =>
+      CdcStream.mergeBatchIntoParquet(spark, batch.toDS(), viewPath, bid.toLong)
     }
-    val got = spark.read.parquet(viewPath).as[TransactionView]
+    val got = ViewStore.read(spark, viewPath).get.as[TransactionView]
       .collect().map(v => v.transactionId -> v).toMap
     assert(got == canonical(events))
+  }
+
+  test("merge sink: replayed batchId is a no-op; untouched buckets' files unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-view2").toString
+    val viewPath = dir + "/transactions-view"
+    val events = EventGen.generate(nTx = 12, seed = 33L)
+      .distinctBy(_.id).sortBy(e => (e.tsMs, e.id))
+    val (batch0, batch1) = events.splitAt(events.size / 2)
+    CdcStream.mergeBatchIntoParquet(spark, batch0.toDS(), viewPath, 0L)
+    val afterB0 = ViewStore.read(spark, viewPath).get.as[TransactionView]
+      .collect().map(v => v.transactionId -> v).toMap
+
+    // at-least-once foreachBatch: the same batchId redelivered must change
+    // nothing (no re-merge, no file churn)
+    CdcStream.mergeBatchIntoParquet(spark, batch0.toDS(), viewPath, 0L)
+    val afterReplay = ViewStore.read(spark, viewPath).get.as[TransactionView]
+      .collect().map(v => v.transactionId -> v).toMap
+    assert(afterReplay == afterB0, "replayed batch changed the view")
+
+    // restrict batch1 to ONE transaction → at most a few touched buckets;
+    // every file of every untouched bucket must be byte-identical
+    val oneTx = batch1.filter(_.transactionId == batch1.head.transactionId)
+    val manifestBefore = ViewStore.readManifest(spark, viewPath).get
+    def fileState(): Map[String, (Long, Long)] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(viewPath), spark.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s)).toSeq
+      walk(new org.apache.hadoop.fs.Path(viewPath))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.toString -> (s.getLen, s.getModificationTime)).toMap
+    }
+    val before = fileState()
+    CdcStream.mergeBatchIntoParquet(spark, oneTx.toDS(), viewPath, 1L)
+    val after = fileState()
+    val manifestAfter = ViewStore.readManifest(spark, viewPath).get
+    val touchedBuckets = manifestAfter.buckets.filter(_._2.startsWith("gen-1/")).keySet
+    assert(touchedBuckets.nonEmpty && touchedBuckets.size < ViewStore.NumBuckets)
+    val untouchedRels = manifestBefore.buckets.filterNot(b => touchedBuckets(b._1)).values
+    untouchedRels.foreach { rel =>
+      val stillSame = before.filter(_._1.contains(rel))
+      assert(stillSame.nonEmpty, s"untouched bucket $rel lost its files")
+      stillSame.foreach { case (path, st) =>
+        assert(after.get(path).contains(st), s"untouched file rewritten: $path")
+      }
+    }
+    // and the merge itself is still correct
+    val got = ViewStore.read(spark, viewPath).get.as[TransactionView]
+      .collect().map(v => v.transactionId -> v).toMap
+    assert(got == canonical(batch0 ++ oneTx))
   }
 }

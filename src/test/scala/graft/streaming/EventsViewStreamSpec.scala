@@ -30,13 +30,13 @@ class EventsViewStreamSpec extends SparkSpec {
       .writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        EventsView.mergeBatchIntoParquet(spark, batch, viewPath)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        EventsView.mergeBatchIntoParquet(spark, batch, viewPath, batchId)
       }
       .start()
     q.awaitTermination()
 
-    val streamed = EventsView.present(spark.read.parquet(viewPath))
+    val streamed = EventsView.present(ViewStore.read(spark, viewPath).get)
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     val batch = CdcQueries.q09_transactions_view(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
@@ -44,5 +44,21 @@ class EventsViewStreamSpec extends SparkSpec {
     streamed.foreach { case (k, v) =>
       assert(v == batch(k), s"user=$k streamed=$v batch=${batch(k)}")
     }
+  }
+
+  test("replayed batchId does not double-count additive partials") {
+    val root = Files.createTempDirectory("graft-eventsview-replay").toString
+    val viewPath = s"$root/view"
+    val batch = Tables.eventsCents(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 20)
+    EventsView.mergeBatchIntoParquet(spark, batch, viewPath, 0L)
+    val once = EventsView.present(ViewStore.read(spark, viewPath).get)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("fee_total_c"), r.getAs[Long]("n_events"))).toMap
+    // foreachBatch redelivers batch 0 after a crash-before-checkpoint:
+    // the additive fields (fee_total_c, n_events) must not double
+    EventsView.mergeBatchIntoParquet(spark, batch, viewPath, 0L)
+    val twice = EventsView.present(ViewStore.read(spark, viewPath).get)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("fee_total_c"), r.getAs[Long]("n_events"))).toMap
+    assert(twice == once, "replayed batch double-counted additive partials")
   }
 }

@@ -56,7 +56,7 @@ class OpsParitySpec extends SparkSpec {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch(retryingBatch[org.apache.spark.sql.Dataset[CdcEvent]](3, 10) {
-          (batch, _) => CdcStream.mergeBatchIntoParquet(spark, batch, viewPath)
+          (batch, bid) => CdcStream.mergeBatchIntoParquet(spark, batch, viewPath, bid)
         })
         .start()
       q.awaitTermination()
@@ -65,7 +65,7 @@ class OpsParitySpec extends SparkSpec {
     runOnce(first, "first")
     runOnce(second, "second") // restart from checkpoint; only new files read
 
-    val got = spark.read.parquet(viewPath).as[TransactionView]
+    val got = ViewStore.read(spark, viewPath).get.as[TransactionView]
       .collect().map(v => v.transactionId -> v).toMap
     val expected = ReferenceFold.replay(
       all.filter(_.ttl.isEmpty).distinctBy(_.id).sortBy(e => (e.tsMs, e.id)))
