@@ -66,6 +66,14 @@ object CdcStream {
   def updateKey(
       txId: String,
       events: Iterator[CdcEvent],
+      state: GroupState[KeyState]): Iterator[TransactionView] =
+    updateKeyInstrumented(None)(txId, events, state)
+
+  /** [[updateKey]] with optional O14/span-parity counters (task-side
+    * accumulator adds; `observe()` can't see inside the state function). */
+  def updateKeyInstrumented(metrics: Option[OutcomeCountsAccumulator])(
+      txId: String,
+      events: Iterator[CdcEvent],
       state: GroupState[KeyState]): Iterator[TransactionView] = {
     if (state.hasTimedOut) {
       state.remove()
@@ -80,7 +88,10 @@ object CdcStream {
     // TransactionViewUpsertService.kt:83-103); across batches it's the
     // ladder's arrival-order compare-and-set
     events.toSeq.sortBy(e => (e.tsMs, e.id)).foreach { e =>
-      if (!seen.contains(e.id)) {
+      if (seen.contains(e.id))
+        metrics.foreach(_.add(MergeMetrics.key(e.eventCode, MergeMetrics.DupDropped)))
+      else {
+        metrics.foreach(_.add(MergeMetrics.key(e.eventCode, MergeMetrics.classify(view, e))))
         seen += e.id
         view = Some(ReferenceFold.processOne(view, e))
         changed = true
@@ -101,7 +112,9 @@ object CdcStream {
   /** Wire a streaming Dataset of events into a stream of view updates.
     * The watermark on the event-time column drives both late-data
     * accounting and state-TTL timers. */
-  def viewUpdates(events: Dataset[CdcEvent]): Dataset[TransactionView] = {
+  def viewUpdates(
+      events: Dataset[CdcEvent],
+      metrics: Option[OutcomeCountsAccumulator] = None): Dataset[TransactionView] = {
     import events.sparkSession.implicits._
     preFilter(events)
       .withColumn("eventTime", timestamp_millis(col("tsMs")))
@@ -109,7 +122,7 @@ object CdcStream {
       .as[CdcEvent]
       .groupByKey(_.transactionId)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
-        updateKey)
+        updateKeyInstrumented(metrics))
   }
 
   /** foreachBatch alternative: merge each micro-batch into the bucketed
@@ -125,7 +138,8 @@ object CdcStream {
       spark: SparkSession,
       batch: Dataset[CdcEvent],
       viewPath: String,
-      batchId: Long): Unit = {
+      batchId: Long,
+      metrics: Option[OutcomeCountsAccumulator] = None): Unit = {
     import spark.implicits._
     if (ViewStore.alreadyApplied(spark, viewPath, batchId)) return
     val filtered = preFilter(batch)
@@ -142,10 +156,17 @@ object CdcStream {
       .groupByKey(_.transactionId)
       .cogroup(filtered.groupByKey(_.transactionId)) { (_, views, events) =>
         val v0 = views.toSeq.headOption
-        val evs = events.toSeq.distinctBy(_.id).sortBy(e => (e.tsMs, e.id))
+        val raw = events.toSeq
+        val evs = raw.distinctBy(_.id).sortBy(e => (e.tsMs, e.id))
+        metrics.foreach { m =>
+          raw.diff(evs).foreach(e => m.add(MergeMetrics.key(e.eventCode, MergeMetrics.DupDropped)))
+        }
         if (evs.isEmpty) v0.iterator
         else Iterator.single(
-          evs.foldLeft(v0)((v, e) => Some(ReferenceFold.processOne(v, e))).get)
+          evs.foldLeft(v0) { (v, e) =>
+            metrics.foreach(_.add(MergeMetrics.key(e.eventCode, MergeMetrics.classify(v, e))))
+            Some(ReferenceFold.processOne(v, e))
+          }.get)
       }
     ViewStore.commit(spark, viewPath,
       merged.toDF().withColumn("__bucket", ViewStore.bucketOf(col("transactionId"))),

@@ -45,6 +45,33 @@ class CdcDecodeSpec extends SparkSpec {
     assert(out == known.map(_.transactionId).toSet)
   }
 
+  test("kafka envelope decode: binary payloads, tombstones and corrupt records (O1)") {
+    import java.sql.Timestamp
+    val good = EventGen.generate(nTx = 4, seed = 17L, noise = false)
+    val wire = CdcDecode.toJson(good.toDS()).collect().map(_.getString(0))
+    // the exact schema spark's kafka source emits: key/value binary,
+    // topic/partition/offset, broker timestamp, timestampType
+    def rec(value: Array[Byte], off: Long) =
+      ("k1".getBytes("UTF-8"), value, "tx-log", 0, off, new Timestamp(1700000000000L + off), 0)
+    val rows = wire.zipWithIndex.map { case (j, i) => rec(j.getBytes("UTF-8"), i.toLong) } :+
+      rec(null, 100L) :+ // tombstone (compaction delete)
+      rec("{ not json".getBytes("UTF-8"), 101L) // corrupt payload
+    val kafka = rows.toSeq
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val out = CdcDecode.fromKafkaEnvelope(kafka).collect()
+    assert(out.map(_.id).toSet == good.map(_.id).toSet)
+    val withMeta = CdcDecode.fromKafkaEnvelopeWithMeta(kafka)
+    val metaRow = withMeta.filter(col("_offset") === 0).collect()(0)
+    assert(metaRow.getAs[String]("_topic") == "tx-log")
+    assert(metaRow.getAs[Long]("_ingestTsMs") == 1700000000000L)
+    // replay over the kafka path == replay over the direct path
+    val viaKafka = ViewReplay.replay(CdcDecode.fromKafkaEnvelope(kafka).toDF())
+      .as[TransactionView].collect().map(v => v.transactionId -> v).toMap
+    val direct = ViewReplay.replay(good.toDF())
+      .as[TransactionView].collect().map(v => v.transactionId -> v).toMap
+    assert(viaKafka == direct)
+  }
+
   test("decode composes with the replay pipeline end-to-end") {
     val events = EventGen.generate(nTx = 8, seed = 41L)
     val viaWire = ViewReplay.replay(

@@ -72,6 +72,69 @@ class OpsParitySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("merge outcome counters: full/enrich/noop/dup after a mixed batch (O14/O19)") {
+    import spark.implicits._
+    import graft.cdc.EventCodes
+    val dir = java.nio.file.Files.createTempDirectory("graft-metrics").toString
+    val viewPath = dir + "/view"
+    val m = MergeMetrics.register(spark)
+    def ev(id: String, code: String, ts: Long) =
+      CdcEvent(id, "t1", code, java.time.Instant.ofEpochMilli(ts).toString, ts)
+    // batch 0 establishes the view with watermark ts=1000
+    CdcStream.mergeBatchIntoParquet(spark,
+      Seq(ev("e1", EventCodes.Activated, 1000L)).toDS(), viewPath, 0L, Some(m))
+    // batch 1: one of each outcome
+    val e2 = ev("e2", EventCodes.AuthRequested, 500L) // stale + data update → ok_enrich
+    val e3 = ev("e3", EventCodes.RefundRetried, 600L) // stale, no data update → noop_stale (O14)
+    val e4 = ev("e4", EventCodes.Closed, 2000L) // newer → ok_full
+    CdcStream.mergeBatchIntoParquet(spark,
+      Seq(e2, e3, e3, e4).toDS(), viewPath, 1L, Some(m)) // e3 twice → dup_dropped
+    val v = m.value
+    assert(v(MergeMetrics.key(EventCodes.Activated, MergeMetrics.OkFull)) == 1L, v)
+    assert(v(MergeMetrics.key(EventCodes.AuthRequested, MergeMetrics.OkEnrich)) == 1L, v)
+    assert(v(MergeMetrics.key(EventCodes.RefundRetried, MergeMetrics.NoopStale)) == 1L, v)
+    assert(v(MergeMetrics.key(EventCodes.Closed, MergeMetrics.OkFull)) == 1L, v)
+    assert(v(MergeMetrics.key(EventCodes.RefundRetried, MergeMetrics.DupDropped)) == 1L, v)
+    assert(MergeMetrics.totalOf(v, MergeMetrics.NoopStale) == 1L)
+    // and the view is still the canonical fold
+    val got = ViewStore.read(spark, viewPath).get.as[TransactionView].collect()
+    // Closed without responseOutcome=OK maps to Unauthorized in the ladder
+    assert(got.length == 1 && got.head.status.contains(graft.cdc.Status.Unauthorized))
+  }
+
+  test("liveness probe serves StreamHealth over HTTP: 200 UP, 503 DOWN") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val health = new StreamHealth(inactivityTimeoutMs = 3600L * 1000)
+    spark.streams.addListener(health)
+    val srv = new LivenessServer(health, port = 0)
+    val port = srv.start()
+    def probe(): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/health/liveness")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      (code, body)
+    }
+    try {
+      assert(probe() == (200, """{"status":"UP"}"""))
+      val ms = MemoryStream[CdcEvent]
+      val q = CdcStream.viewUpdates(ms.toDS())
+        .writeStream.format("memory").queryName("views_probe").outputMode("update")
+        .start()
+      ms.addData(EventGen.generate(nTx = 2, seed = 3L, noise = false))
+      q.processAllAvailable()
+      assert(probe()._1 == 200)
+      q.stop()
+      spark.streams.awaitAnyTermination(10000)
+      assert(probe() == (503, """{"status":"DOWN"}""")) // terminated query
+    } finally {
+      srv.stop()
+      spark.streams.removeListener(health)
+    }
+  }
+
   test("liveness listener: active+fresh CORRECT, terminated or stale BROKEN (O18); observe metrics (O19)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
