@@ -15,6 +15,36 @@ import java.nio.file.{Files, Paths}
 object Bench {
   private val WarmupDir = "/root/testdata/sf0.001"
 
+  /** Throughput of the stateful streaming path (flatMapGroupsWithState
+    * merge ladder) under a given state-store provider, in events/sec.
+    * Generated events flow through a MemoryStream in several micro-batches
+    * to a noop sink — measures state machinery, not source/sink I/O. */
+  private def streamThroughput(
+      spark: SparkSession, provider: Option[String], nTx: Int): Double = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.cdc.{CdcEvent, EventGen}
+    import graft.streaming.CdcStream
+    provider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val events = EventGen.generate(nTx = nTx, seed = 99L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+    val ms = MemoryStream[CdcEvent]
+    val q = CdcStream.viewUpdates(ms.toDS())
+      .writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val t0 = System.nanoTime()
+      events.grouped(math.max(events.size / 8, 1)).foreach(ms.addData(_))
+      q.processAllAvailable()
+      events.size / ((System.nanoTime() - t0) / 1e9)
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,6 +72,7 @@ object Bench {
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, WarmupDir).count()
       catch { case _: Throwable => () }
+      finally graft.ops.Dedup.unpersistIntermediates(spark)
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
@@ -50,12 +81,24 @@ object Bench {
       catch { case t: Throwable =>
         System.err.println(s"[bench] $name failed: ${t.getMessage}"); false
       }
+      finally graft.ops.Dedup.unpersistIntermediates(spark)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // state-store comparison: default HDFS-backed vs RocksDB (jar ships
+    // with the Spark distribution), same event volume, noop sink
+    def safeThroughput(provider: Option[String]): Double =
+      try streamThroughput(spark, provider, nTx = 10000)
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] stream($provider) failed: ${t.getMessage}"); -1.0 }
+    val evHdfs = safeThroughput(None).round
+    val evRocks = safeThroughput(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")).round
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""stream_hdfs_events_per_sec":$evHdfs,"stream_rocksdb_events_per_sec":$evRocks,""" +
+      s""""sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for the driver's parse: the same JSON at a well-known
     // path, immune to any log prefixing of stdout.

@@ -20,11 +20,25 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class ArrayDotLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // no ExpectsInputTypes: Spark 4 made AbstractDataType private[sql]; the
-  // only call sites ([[graft.ops.Ann]]) always feed array<bigint>
+  // no ExpectsInputTypes: Spark 4 made AbstractDataType private[sql] —
+  // input checking is done via checkInputDataTypes instead, so SQL misuse
+  // is an analysis error, not a runtime ClassCastException
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_dot_long"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def ok(dt: DataType) = dt match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString}); " +
+        "ragged inputs evaluate over the common prefix (min length)")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -69,9 +83,14 @@ object GraftFunctions {
     * a `SparkSessionExtensions` injection would be the cluster-install
     * variant of the same wiring. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotLong, exprs => ArrayDotLong(exprs.head, exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      TopKDotName, exprs => TopKDot(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    // idempotent: re-registering an existing name logs a WARN per call —
+    // 29 queries × 2 functions of pure noise in the bench/verify logs
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(DotLong)))
+      reg.createOrReplaceTempFunction(
+        DotLong, exprs => ArrayDotLong(exprs.head, exprs(1)), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(TopKDotName)))
+      reg.createOrReplaceTempFunction(
+        TopKDotName, exprs => TopKDot(exprs.head, exprs(1), exprs(2)), "scala_udf")
   }
 }

@@ -17,6 +17,33 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Intermediates persisted by the operators below, per session. The
+    * cached table is referenced by the RETURNED lazy plan, so the operator
+    * itself can never unpersist it; callers running many queries in one
+    * session (Verify/Bench run 29) call [[unpersistIntermediates]] after
+    * each action to keep storage memory from accumulating across queries
+    * (ADVICE r1: the caches were never released). Level is
+    * MEMORY_AND_DISK — under pressure blocks spill instead of evicting
+    * and recomputing the whole shingle subtree. */
+  private val tracked =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  private def cacheTracked(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tracked.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+    df
+  }
+
+  /** Release every intermediate this session's dedup operators persisted.
+    * Call after the consuming action; safe anytime (a later re-execution
+    * just recomputes). */
+  def unpersistIntermediates(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val q = tracked.remove(spark)
+    if (q != null) q.forEach(df => df.unpersist(blocking = false))
+  }
+
   /** Exact dedup via content fingerprint: one shuffle on md5(normalized
     * text). Returns (doc_id, fingerprint, canonical_id, is_dup) — the
     * classic keep-first policy (canonical = min doc_id in the group). */
@@ -45,12 +72,11 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     // tokens materialized in their own projection (see shinglesFromTokens);
-    // the exploded shingle table is reused 3× below — cache it (at 100 TB:
-    // persist(DISK_ONLY) or a staged table instead of memory cache)
-    val sh = docs
+    // the exploded shingle table is reused 3× below — persist it, tracked
+    // (at 100 TB: DISK_ONLY or a staged table instead)
+    val sh = cacheTracked(docs
       .select(col(idCol).as("id"), wsTokens(normalizeText(col(textCol))).as("__toks"))
-      .select(col("id"), explode(shinglesFromTokens(col("__toks"), n)).as("shingle"))
-      .cache()
+      .select(col("id"), explode(shinglesFromTokens(col("__toks"), n)).as("shingle")))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val capped = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
@@ -109,10 +135,10 @@ object Dedup {
             .as("band_key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-      // cache: the self-join would otherwise recompute the whole
-      // shingle→signature subtree for both sides (measured 2× cost);
-      // the banded table is bands-per-doc rows, tiny relative to input
-      .cache()
+    // persist (tracked): the self-join would otherwise recompute the whole
+    // shingle→signature subtree for both sides (measured 2× cost);
+    // the banded table is bands-per-doc rows, tiny relative to input
+    cacheTracked(banded)
     banded.as("a").join(banded.as("b"), Seq("band", "band_key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -177,7 +203,9 @@ object Dedup {
           shiftright(col("simhash"), 16 * s).bitwiseAND(lit(0xFFFFL)).as("key"))
       }: _*)).as("s"))
       .select(col("id"), col("simhash"), col("s.seg").as("seg"), col("s.key").as("key"))
-      .cache() // self-joined below; avoids recomputing the signature twice
+    // persist (tracked): self-joined below; avoids recomputing the
+    // signature twice
+    cacheTracked(bySeg)
     // hamming filter BEFORE the distinct: candidates from the 4 segments
     // are much denser than survivors, and hamming is deterministic per
     // pair, so dedup over the filtered set is equivalent and cheaper

@@ -19,10 +19,14 @@ import graft.cdc.{CdcEvent, ReferenceFold, TransactionView}
   *    the batch fold uses — applied per event in arrival order via
   *    `flatMapGroupsWithState` (O10–O13).
   *
-  * Scale notes: state is one small view row + a bounded dup-id window per
-  * live transaction; transactions are finite-lifecycle so state is evicted
-  * via processing-time timeout (mirrors the reference's 10-min lock TTL /
-  * 3-day resume-window envelope, BASELINE.md).
+  * Scale notes: state is one small view row + the seen-event-id set per
+  * live transaction. The id set is NOT pruned within a transaction's
+  * lifetime — it grows one entry per distinct event of that transaction
+  * and is only reclaimed when the state row TTLs out; that is bounded in
+  * practice because transaction lifecycles are short (tens of events over
+  * days, per the reference's domain), not by any windowing here. State is
+  * evicted via event-time timeout (mirrors the reference's 10-min lock
+  * TTL / 3-day resume-window envelope, BASELINE.md).
   */
 object CdcStream {
 

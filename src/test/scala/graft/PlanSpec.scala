@@ -107,6 +107,11 @@ class PlanSpec extends SparkSpec {
       "SELECT graft_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
       .collect()(0).getLong(0)
     assert(out == 32L)
+    // wrong input types must be an ANALYSIS error (checkInputDataTypes),
+    // not a runtime ClassCastException
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot_long(array('a'), array(1L))").collect()
+    }
     // the cluster-install entry point must at least inject cleanly
     // (getOrCreate would silently reuse the suite session, so the full
     // spark.sql.extensions round-trip isn't testable in-process)
