@@ -129,6 +129,65 @@ object Ann {
       .select("id_a", "id_b", "dot", "n2_a", "n2_b")
   }
 
+  /** IVF (inverted-file) approximate top-k: the classic two-level ANN —
+    * a coarse quantizer assigns every corpus vector to its nearest
+    * centroid's list; a query probes only the `nProbe` lists whose
+    * centroids score highest, then reranks candidates exactly.
+    *
+    * The coarse quantizer here is a DETERMINISTIC sample: the `nCentroids`
+    * lowest-id corpus vectors. (A production build would k-means them;
+    * the partitioning and search shape — and therefore the scale
+    * behavior — are identical, and determinism buys an EXACT DuckDB
+    * oracle, which a trained quantizer cannot give.)
+    *
+    * Scale shape: centroid table is tiny and broadcast everywhere; corpus
+    * assignment is one broadcast-nested-loop pass + a partial-aggregated
+    * argmax (one shuffle of (id, bucket) pairs); search joins the probe
+    * lists on bucket — each query touches ~nProbe/nCentroids of the
+    * corpus — and the final ranking goes through the same map-side
+    * bounded-heap [[graft.expressions.TopKDot]] as brute force.
+    * All integer math with fixed tiebreaks (higher dot first, lower id),
+    * so Spark and DuckDB agree bit-for-bit. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val cent = corpus.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("centv"))
+    def scoredAgainstCentroids(df: DataFrame, id: String, qv: String) =
+      df.crossJoin(broadcast(cent))
+        .withColumn("cdot", call_function(GraftFunctions.DotLong, col(qv), col("centv")))
+        .drop("centv")
+    // corpus → nearest centroid (argmax dot, tie → lower cent_id);
+    // max(struct) partial-aggregates, so only one row per vector shuffles
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    val assigned = scoredAgainstCentroids(c, "neighbor_id", "cv")
+      .groupBy("neighbor_id")
+      .agg(
+        max(struct(col("cdot").as("d"), (-col("cent_id")).as("nc"))).as("m"),
+        first(col("cv")).as("cv"))
+      .withColumn("bucket", -col("m.nc"))
+      .select("neighbor_id", "bucket", "cv")
+    // query → its nProbe best centroid lists (window over |Q|·K rows only)
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    val probes = scoredAgainstCentroids(q, "query_id", "qv")
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("bucket"))
+    val scored = assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", call_function(GraftFunctions.DotLong, col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "dot")
+    rankTopK(scored, k)
+  }
+
   /** Scale path for cosine near-dup pairs: candidate pairs from `tables`
     * independent random-hyperplane bucketings (equijoin on (table,
     * bucket) — sub-quadratic, ~|N|²·tables/2^nBits comparisons on random

@@ -26,6 +26,8 @@ object DataPrepQueries {
   val SimhashMaxDist = 3
   val AnnK = 10
   val AnnQueryMod = 5L // vec_id % 5 == 0 → query set
+  val IvfCentroids = 16
+  val IvfProbe = 4
   val CosMinX100 = 40L
   val CosSampleMod = 5L
 
@@ -99,6 +101,18 @@ object DataPrepQueries {
     Ann.lshTopK(
       emb.filter(pmod(col("vec_id"), lit(AnnQueryMod)) === 0), emb, AnnK,
       nBits = 4, probes = 3, tables = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF ANN: deterministic coarse quantizer (the `IvfCentroids` lowest-id
+    * vectors), nProbe-list search, exact rerank — unlike q21's xxhash64
+    * planes this IS fully SQL-expressible, so the approximate result is
+    * oracle-verified exactly. */
+  def q31_ann_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Ann.ivfTopK(
+      emb.filter(pmod(col("vec_id"), lit(AnnQueryMod)) === 0), emb, AnnK,
+      nCentroids = IvfCentroids, nProbe = IvfProbe)
       .orderBy("query_id", "rank")
   }
 
@@ -208,6 +222,7 @@ object DataPrepQueries {
     "q20_ann_brute_topk" -> q20_ann_brute_topk,
     "q21_ann_lsh_topk" -> q21_ann_lsh_topk,
     "q22_cosine_pairs" -> q22_cosine_pairs,
+    "q31_ann_ivf_topk" -> q31_ann_ivf_topk,
     "q23_multimodal_stats" -> q23_multimodal_stats,
     "q24_vocabulary" -> q24_vocabulary,
     "q25_stratified_take" -> q25_stratified_take,
@@ -384,6 +399,30 @@ object DataPrepQueries {
          |  FROM q, c WHERE query_id <> neighbor_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
          |      FROM s)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dot
+         |FROM r WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
+    "q31_ann_ivf_topk" ->
+      s"""WITH v AS (SELECT vec_id, $quantVec AS qv FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, qv AS centv FROM v ORDER BY vec_id LIMIT $IvfCentroids),
+         |ca AS (
+         |  SELECT v.vec_id AS neighbor_id, v.qv AS cv, c.cent_id,
+         |         CAST(list_sum(list_transform(generate_series(1, len(v.qv)), i -> v.qv[i] * c.centv[i])) AS BIGINT) AS cdot
+         |  FROM v, cent c),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY cdot DESC, cent_id ASC) AS rn FROM ca),
+         |assigned AS (SELECT neighbor_id, cv, cent_id AS bucket FROM ar WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id % $AnnQueryMod = 0),
+         |qa AS (
+         |  SELECT q.query_id, q.qv, c.cent_id,
+         |         CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * c.centv[i])) AS BIGINT) AS cdot
+         |  FROM qs q, cent c),
+         |qr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cdot DESC, cent_id ASC) AS pr FROM qa),
+         |probes AS (SELECT query_id, qv, cent_id AS bucket FROM qr WHERE pr <= $IvfProbe),
+         |s AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |         CAST(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.cv[i])) AS BIGINT) AS dot
+         |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+         |  WHERE p.query_id <> a.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank FROM s)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dot
          |FROM r WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
     "q22_cosine_pairs" ->

@@ -58,6 +58,28 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("IVF top-k: valid ranks, reasonable recall vs brute force") {
+    val rnd = new scala.util.Random(19)
+    def unit(): Seq[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    val corpus = vecs((0L until 300L).map(i => i -> unit()): _*)
+    val queries = corpus.filter(col("vec_id") % 30 === 0)
+    val exact = Ann.bruteForceTopK(queries, corpus, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(queries, corpus, k = 10, nCentroids = 16, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ranks are dense 1..k per query
+    ivf.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.size), s"ranks not dense for $q")
+    }
+    val recall = (exact & ivf.map(t => (t._1, t._3)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("LSH cosine pairs: subset of brute force, full recall on planted dups") {
     val rnd = new scala.util.Random(11)
     def unit(): Array[Float] = {
