@@ -168,6 +168,13 @@ object CdcQueries {
       .select(col("user_id"), col("event_id"), col("ts_ms"), col("session_seq"))
       .orderBy("user_id", "ts_ms", "event_id")
 
+  /** Tumbling-window per-user counts — the batch face of the watermarked
+    * streaming aggregation ([[graft.streaming.WindowedCounts]]); the
+    * streaming twin is proven convergent in WindowedCountsSpec. */
+  def q32_windowed_counts(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.WindowedCounts.tumbling(Tables.eventsCents(spark, dir))
+      .orderBy("user_id", "window_start_ms")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_project" -> q01_filter_project,
     "q02_ttl_antifilter" -> q02_ttl_antifilter,
@@ -180,7 +187,8 @@ object CdcQueries {
     "q09_transactions_view" -> q09_transactions_view,
     "q10_checkpoint_cadence" -> q10_checkpoint_cadence,
     "q28_asof_click" -> q28_asof_click,
-    "q29_sessionize" -> q29_sessionize
+    "q29_sessionize" -> q29_sessionize,
+    "q32_windowed_counts" -> q32_windowed_counts
   )
 
   // ---------------------------------------------------------------- oracles
@@ -316,6 +324,16 @@ object CdcQueries {
          |SELECT user_id, event_id, ts_ms,
          |       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-         |FROM g ORDER BY user_id, ts_ms, event_id""".stripMargin
+         |FROM g ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "q32_windowed_counts" ->
+      """SELECT user_id,
+        |       (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        |       count(*) AS n_events,
+        |       CAST(sum(CASE WHEN event_type = 'purchase'
+        |                     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |         AS purchase_c
+        |FROM events
+        |GROUP BY user_id, (epoch_ms(ts) // 3600000) * 3600000
+        |ORDER BY user_id, window_start_ms""".stripMargin
   )
 }
