@@ -34,6 +34,13 @@ object Multimodal {
       payload_md5: String,
       feature: Array[Float])
 
+  /** One sampled video frame (row-expansion output of [[sampleFrames]]). */
+  case class FrameSample(
+      asset_id: Long,
+      frame_idx: Int,
+      frame_ts_ms: Long,
+      frame_md5: String)
+
   /** STUB — deterministic fake decoder standing in for the real image/audio
     * codec (not installed here). Derives a fixed-dim "feature" from payload
     * bytes so tests are reproducible. A real deployment swaps ONLY this
@@ -48,6 +55,28 @@ object Multimodal {
         i += 1
       }
       f
+    }
+
+    /** STUB resize: a real codec decodes, scales and re-encodes; the fake
+      * folds the source bytes into a buffer sized by the target area so
+      * output length and content are a pure function of (payload, w, h). */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](math.max(16, math.min(w * h / 64, 4096)))
+      var i = 0
+      while (i < payload.length) {
+        out(i % out.length) = (out(i % out.length) + payload(i)).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** STUB frame extraction: a real codec seeks and decodes the frame at
+      * `tsMs`; the fake hashes (payload, tsMs) — deterministic per frame. */
+    def frameDigest(md5: java.security.MessageDigest, payload: Array[Byte], tsMs: Long): String = {
+      md5.reset()
+      md5.update(payload)
+      md5.update(java.nio.ByteBuffer.allocate(8).putLong(tsMs).array())
+      md5.digest().map("%02x".format(_)).mkString
     }
   }
 
@@ -84,6 +113,44 @@ object Multimodal {
           n_bytes = a.payload.length.toLong,
           payload_md5 = md5.digest(a.payload).map("%02x".format(_)).mkString,
           feature = FakeCodec.decodeFeatures(a.payload))
+      }
+    }
+  }
+
+  /** Image resize: per-partition batched transform of the image-modality
+    * rows; other modalities pass through untouched (so the operator
+    * composes in a mixed-modality pipeline without a split/union). Same
+    * `mapPartitions` batch shape as [[extractFeatures]] — a real decoder
+    * inits its native scaler once per partition. */
+  def resizeImages(assets: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        if (a.meta.modality != "image") a
+        else a.copy(
+          meta = a.meta.copy(width = w, height = h),
+          payload = FakeCodec.resize(a.payload, w, h))
+      }
+    }
+  }
+
+  /** Video frame sampling: row-expanding per-partition transform — one
+    * output row per sampled timestamp (0, everyMs, 2·everyMs, … <
+    * durationMs). The expansion happens inside the iterator (no
+    * driver-side explode), so a long video becomes many rows WITHOUT
+    * materializing all frames of a partition at once — the shape that
+    * holds when a partition carries hours of footage. */
+  def sampleFrames(assets: Dataset[MediaAsset], everyMs: Long): Dataset[FrameSample] = {
+    import assets.sparkSession.implicits._
+    require(everyMs > 0, "sampling cadence must be positive")
+    assets.mapPartitions { batch =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      batch.filter(_.meta.modality == "video").flatMap { a =>
+        val n = ((a.meta.durationMs + everyMs - 1) / everyMs).toInt
+        (0 until n).iterator.map { i =>
+          val ts = i * everyMs
+          FrameSample(a.asset_id, i, ts, FakeCodec.frameDigest(md5, a.payload, ts))
+        }
       }
     }
   }

@@ -27,6 +27,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).modality == "image" && out(2).modality == "audio")
   }
 
+  test("resizeImages: images transformed, other modalities pass through untouched") {
+    val ds = Seq(asset(1L, "some image bytes"), asset(2L, "audio bytes", "audio")).toDS()
+    val out = Multimodal.resizeImages(ds, 32, 24).collect().sortBy(_.asset_id)
+    assert(out(0).meta.width == 32 && out(0).meta.height == 24)
+    assert(out(0).payload.toSeq ==
+      Multimodal.FakeCodec.resize("some image bytes".getBytes("UTF-8"), 32, 24).toSeq)
+    // non-image untouched, byte-for-byte
+    assert(out(1).meta == asset(2L, "audio bytes", "audio").meta)
+    assert(out(1).payload.toSeq == "audio bytes".getBytes("UTF-8").toSeq)
+    // deterministic across executions
+    val again = Multimodal.resizeImages(ds, 32, 24).collect().sortBy(_.asset_id)
+    assert(again(0).payload.toSeq == out(0).payload.toSeq)
+  }
+
+  test("sampleFrames: cadence, count, determinism; non-video ignored") {
+    val video = MediaAsset(7L, MediaMeta("video", 640, 480, 0, 2500L), "vvv".getBytes("UTF-8"))
+    val ds = Seq(video, asset(8L, "img")).toDS()
+    val frames = Multimodal.sampleFrames(ds, everyMs = 1000L).collect().sortBy(_.frame_idx)
+    // ceil(2500/1000) = 3 frames at ts 0, 1000, 2000; image contributes none
+    assert(frames.map(f => (f.asset_id, f.frame_idx, f.frame_ts_ms)).toSeq ==
+      Seq((7L, 0, 0L), (7L, 1, 1000L), (7L, 2, 2000L)))
+    assert(frames.map(_.frame_md5).distinct.length == 3) // per-frame digests differ
+    val again = Multimodal.sampleFrames(ds, everyMs = 1000L).collect().sortBy(_.frame_idx)
+    assert(again.map(_.frame_md5).toSeq == frames.map(_.frame_md5).toSeq)
+  }
+
   test("ingestFromDocuments: schema contract and assetStats agreement") {
     val docs = Seq((0L, "hello world", "en", "src0", 11L),
       (1L, "ciao", "it", "src1", 4L))
