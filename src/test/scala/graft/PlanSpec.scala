@@ -101,6 +101,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q31 IVF: centroid/probe sides broadcast, corpus never cartesian-joins itself") {
+    val plan = executed(DataPrepQueries.q31_ann_ivf_topk(spark, sfDir))
+    val nodes = collectAll(plan)
+    // assignment and search are broadcast joins (tiny centroid/probe side)
+    val broadcasts = nodes.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(broadcasts.nonEmpty, s"expected broadcast joins:\n$plan")
+    // no sort-merge join and no shuffle of corpus-vector payloads beyond
+    // the assignment argmax aggregation
+    val smj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, s"IVF must not sort-merge join:\n$plan")
+    // ranking goes through the bounded-heap aggregate, not a window
+    val windowsOverData = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.nonEmpty => w
+    }
+    // the only window allowed is the nProbe ranking over |Q|·K rows
+    assert(windowsOverData.size <= 1, s"unexpected windows:\n$plan")
+  }
+
   test("custom expression resolves in SQL after registration; extensions class wires") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(
