@@ -111,4 +111,15 @@ object TextFunctions {
     * unit). Convenience form for single-use contexts (tests). */
   def wordShingles(c: Column, n: Int): Column =
     shinglesFromTokens(wsTokens(normalizeText(c)), n)
+
+  /** Word n-grams WITH multiplicity (no `array_distinct`) — the unit of
+    * repetition analysis, where how often a gram repeats is the signal the
+    * dedup-oriented [[shinglesFromTokens]] deliberately discards. Same
+    * materialized-tokens contract as [[shinglesFromTokens]]. */
+  def ngramsAll(toks: Column, n: Int): Column = {
+    val count = size(toks) - (n - 1)
+    when(count <= 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), count - 1), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
 }

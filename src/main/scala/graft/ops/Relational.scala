@@ -126,6 +126,44 @@ object Relational {
       .drop("__pid", "__mid", "__base", "__offset", "__cnt")
   }
 
+  /** Global inclusive running sum of `valueCol` in the total order
+    * `ordering`, WITHOUT a single-partition window — the same two-phase
+    * shape as [[globalIndex]], generalized from counting to summing:
+    *
+    *   1. range-repartition on the order keys + local sort; a window
+    *      partitioned by `spark_partition_id()` computes the
+    *      partition-LOCAL running sum (32-way parallel — each window
+    *      group is one whole partition, so nothing concentrates).
+    *   2. per-partition totals (one row per partition) → exclusive prefix
+    *      offsets via a window over #partitions rows → broadcast back.
+    *      global cumsum = offset(pid) + local cumsum.
+    *
+    * This is the building block for any "running total over the whole
+    * corpus" semantics (sequence packing, quota assignment, cumulative
+    * byte budgets) at sizes where `Window.orderBy` with no partition —
+    * which moves ALL rows to one task — would be the q10-class
+    * scale-killer (VERDICT r1 #1). */
+  def globalCumSum(df: DataFrame, ordering: Seq[Column], valueCol: Column, as: String): DataFrame = {
+    val sorted = df.repartitionByRange(ordering: _*)
+      .sortWithinPartitions(ordering: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", valueCol.cast("long"))
+    val localW = Window.partitionBy("__pid").orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = sorted.groupBy("__pid").agg(sum("__v").as("__t"))
+    val offsets = totals.withColumn(
+      "__offset",
+      coalesce(
+        sum(col("__t")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    sorted
+      .withColumn("__local", sum(col("__v")).over(localW))
+      .join(broadcast(offsets.select("__pid", "__offset")), "__pid")
+      .withColumn(as, col("__offset") + col("__local"))
+      .drop("__pid", "__v", "__local", "__offset", "__t")
+  }
+
   /** O17 — checkpoint cadence: mark every Nth record in a total order
     * (reference saves the resume token every 5 events,
     * `EcommerceTransactionsLogEventsStream.kt:144-149`). Built on

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.ops.{Ann, Dedup}
+import graft.ops.{Ann, Dedup, Graph, Relational}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline queries (builder prompt: dedup / similarity /
@@ -202,6 +202,126 @@ object DataPrepQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicate-cluster resolution: LSH near-dup pairs (q17 semantics) →
+    * connected components → one canonical doc per cluster. The second half
+    * of dedup that pair queries alone don't give you — see
+    * [[graft.ops.Graph]] for the iterative min-label propagation. */
+  def q33_dup_clusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLshPairs(docs,
+      n = ShingleN, bands = MinhashBands, rowsPerBand = MinhashRows)
+    Graph.dupClusters(docs, pairs).orderBy("doc_id")
+  }
+
+  /** Sequence packing: assign docs (in doc_id order) to fixed token-budget
+    * training windows — pack k = docs whose preceding cumulative token
+    * count lands in [k*B, (k+1)*B). The global running sum uses
+    * [[Relational.globalCumSum]]'s two-phase shape, NOT a single-partition
+    * window, so the assignment parallelizes at any corpus size. */
+  val PackBudget = 512L
+  def q34_pack_sequences(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCountWs(col("text")).cast("long").as("n_tokens"))
+    Relational.globalCumSum(t, Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(PackBudget)).cast("long"))
+      .select("doc_id", "n_tokens", "cum_tokens", "pack_id")
+      .orderBy("doc_id")
+  }
+
+  /** Repetition analysis (the Gopher-style quality signals): distinct-token
+    * ratio and the share of the doc's bigrams taken by its most repeated
+    * bigram. Per-doc explode + two partial-aggregated groupBys — shuffles
+    * only on doc_id. */
+  def q35_repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
+    val base = toks.select(col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+    val gcnt = toks
+      .select(col("doc_id"), explode(TextFunctions.ngramsAll(col("t"), 2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("mx"), sum("cnt").as("nb"))
+    base.join(gcnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0, floor(lit(10000L) * col("n_distinct") / col("n_tokens")))
+          .otherwise(0L).cast("long").as("distinct_per_10k"),
+        coalesce(col("mx"), lit(0L)).as("max_bigram_cnt"),
+        when(coalesce(col("nb"), lit(0L)) > 0, floor(lit(10000L) * col("mx") / col("nb")))
+          .otherwise(0L).cast("long").as("rep_per_10k"))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram corpus-frequency score — the integer-exact skeleton of
+    * unigram-LM quality scoring: per-token commonness = floor(1e8 *
+    * tf/corpus_tokens), per-doc mean over its token occurrences. Two-pass
+    * (vocab aggregate, then a vocab→tokens join); vocab is broadcast here,
+    * and the join degrades gracefully to a shuffle join on token when the
+    * vocabulary outgrows the broadcast threshold. */
+  val CommonScale = 100000000L
+  def q36_unigram_score(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(wsTokens(normalizeText(col("text")))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum("tf").as("n_total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .withColumn("tok_common",
+        floor(lit(CommonScale) * col("tf") / col("n_total")).cast("long"))
+    val agg = toks.join(broadcast(scored.select("token", "tok_common")), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("tok_common").as("common_sum"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("common_sum"), lit(0L)).as("common_sum"))
+      .withColumn("mean_common_x1e8",
+        when(col("n_tokens") > 0, floor(col("common_sum") / col("n_tokens")))
+          .otherwise(0L).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source contamination matrix: near-dup pairs (q17 LSH semantics)
+    * bucketed by the source pair — the decontamination report a training
+    * pipeline runs before a train/eval split (how many near-dups leak
+    * across source boundaries?). Pairs ≪ corpus, so the source joins are
+    * broadcast-size per batch at any scale. */
+  def q37_contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLshPairs(docs,
+      n = ShingleN, bands = MinhashBands, rowsPerBand = MinhashRows)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")), "id_b")
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_cross", (col("source_a") =!= col("source_b")).cast("int"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** TF-IDF-shaped top terms per doc, integer-quantized: score =
+    * floor(1e4 * tf / df) — rarity-weighted term relevance without the
+    * floating-point log. tf/df aggregates are both partial-aggregable;
+    * the ranking window partitions by doc (no global sort). */
+  val TfidfK = 3
+  def q38_tfidf_terms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wsTokens(normalizeText(col("text")))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_x10k").desc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("score_x10k", floor(lit(10000L) * col("tf") / col("df")).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfK)
+      .select("doc_id", "rank", "token", "tf", "df", "score_x10k")
+      .orderBy("doc_id", "rank")
+  }
+
   // ----------------------------------------------------------- multimodal
 
   def q23_multimodal_stats(spark: SparkSession, dir: String): DataFrame =
@@ -228,7 +348,13 @@ object DataPrepQueries {
     "q25_stratified_take" -> q25_stratified_take,
     "q26_quality_filter" -> q26_quality_filter,
     "q27_top_terms_per_lang" -> q27_top_terms_per_lang,
-    "q30_crossmodal_pairs" -> q30_crossmodal_pairs
+    "q30_crossmodal_pairs" -> q30_crossmodal_pairs,
+    "q33_dup_clusters" -> q33_dup_clusters,
+    "q34_pack_sequences" -> q34_pack_sequences,
+    "q35_repetition" -> q35_repetition,
+    "q36_unigram_score" -> q36_unigram_score,
+    "q37_contamination" -> q37_contamination,
+    "q38_tfidf_terms" -> q38_tfidf_terms
   )
 
   // ---------------------------------------------------------------- oracles
@@ -499,7 +625,100 @@ object DataPrepQueries {
          |FROM pairs p
          |JOIN emb ea ON ea.vec_id = p.id_a
          |JOIN emb eb ON eb.vec_id = p.id_b
-         |ORDER BY p.id_a, p.id_b""".stripMargin
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "q33_dup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |mh AS (
+         |  SELECT id,
+         |         $minhashCols
+         |  FROM sh GROUP BY id),
+         |banded AS (
+         |  $bandRows),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS comp FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |lab AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
+         |cs AS (SELECT component_id, count(*) AS cluster_size FROM lab GROUP BY component_id)
+         |SELECT l.doc_id, l.component_id, cs.cluster_size,
+         |       CAST(l.doc_id = l.component_id AS INT) AS is_canonical
+         |FROM lab l JOIN cs USING (component_id) ORDER BY doc_id""".stripMargin,
+    "q34_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        sum(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t)
+         |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+         |       CAST(floor((cum - n_tokens) / $PackBudget) AS BIGINT) AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q35_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $normToks AS t FROM documents),
+         |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |                CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct FROM d),
+         |grams AS (
+         |  SELECT doc_id,
+         |         unnest(CASE WHEN len(t) - 1 <= 0 THEN []
+         |                ELSE list_transform(generate_series(1, len(t) - 1),
+         |                                    i -> concat_ws(' ', t[i], t[i+1])) END) AS gram
+         |  FROM d),
+         |gc AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram),
+         |ag AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS nb FROM gc GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CAST(CASE WHEN b.n_tokens > 0 THEN floor(10000 * b.n_distinct / b.n_tokens) ELSE 0 END AS BIGINT) AS distinct_per_10k,
+         |  CAST(coalesce(ag.mx, 0) AS BIGINT) AS max_bigram_cnt,
+         |  CAST(CASE WHEN coalesce(ag.nb, 0) > 0 THEN floor(10000 * ag.mx / ag.nb) ELSE 0 END AS BIGINT) AS rep_per_10k
+         |FROM base b LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q36_unigram_score" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($normToks) AS token FROM documents),
+         |v AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+         |t AS (SELECT sum(tf) AS n_total FROM v),
+         |s AS (SELECT token, CAST(floor($CommonScale * tf / n_total) AS BIGINT) AS tok_common FROM v, t),
+         |a AS (SELECT doc_id, count(*) AS n_tokens, sum(tok_common) AS cs
+         |      FROM tok JOIN s USING (token) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(a.cs, 0) AS BIGINT) AS common_sum,
+         |       CAST(CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN floor(a.cs / a.n_tokens) ELSE 0 END AS BIGINT) AS mean_common_x1e8
+         |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q37_contamination" ->
+      s"""WITH $shingleCte,
+         |mh AS (
+         |  SELECT id,
+         |         $minhashCols
+         |  FROM sh GROUP BY id),
+         |banded AS (
+         |  $bandRows),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+         |SELECT da.source AS source_a, db.source AS source_b,
+         |       count(*) AS n_pairs,
+         |       CAST(da.source <> db.source AS INT) AS is_cross
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.id_a
+         |JOIN documents db ON db.doc_id = p.id_b
+         |GROUP BY da.source, db.source
+         |ORDER BY source_a, source_b""".stripMargin,
+    "q38_tfidf_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($normToks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY token),
+         |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |             CAST(floor(10000 * tf.tf / df.df) AS BIGINT) AS score_x10k
+         |      FROM tf JOIN df USING (token)),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY score_x10k DESC, token ASC) AS rank FROM s)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, score_x10k
+         |FROM r WHERE rank <= $TfidfK ORDER BY doc_id, rank""".stripMargin
     // q21_ann_lsh_topk: intentionally no oracle (rows-only check) — see scaladoc.
   )
 }

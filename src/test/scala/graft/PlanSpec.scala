@@ -125,6 +125,33 @@ class PlanSpec extends SparkSpec {
     assert(windowsOverData.size <= 1, s"unexpected windows:\n$plan")
   }
 
+  test("q34 sequence packing: no unpartitioned window over the data (scale-safe cumsum)") {
+    val plan = executed(DataPrepQueries.q34_pack_sequences(spark, sfDir))
+    val nodes = collectAll(plan)
+    // the data-path window is partitioned by spark_partition_id(); the only
+    // unpartitioned window allowed is the prefix-offset one, which sits
+    // ABOVE the per-partition aggregate (one row per partition)
+    val globalWindows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    globalWindows.foreach { w =>
+      val aboveAgg = collectAll(w).exists {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+        case _ => false
+      }
+      assert(aboveAgg,
+        s"unpartitioned window directly over the data (no aggregate below):\n$plan")
+    }
+    // offsets join back must be a broadcast, not a shuffle of the data
+    val bhj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, s"expected broadcast offsets join:\n$plan")
+  }
+
   test("custom expression resolves in SQL after registration; extensions class wires") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(

@@ -65,4 +65,26 @@ class RelationalSpec extends SparkSpec {
     // order: e4(50), e1(100), e2(300), e3(300) → rows 2 and 4 marked
     assert(out == Seq(2L -> "e1", 4L -> "e3"))
   }
+
+  test("globalCumSum equals a sequential running sum across many partitions") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 1000).map(i => (i.toLong, rnd.nextInt(100).toLong))
+    val in = spark.createDataFrame(rows).toDF("k", "v").repartition(16)
+    val got = globalCumSum(in, Seq(col("k")), col("v"), "cum")
+      .select("k", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (k, v) =>
+      acc += v
+      assert(got(k) == acc, s"k=$k")
+    }
+  }
+
+  test("globalCumSum handles duplicate order keys deterministically with a tiebreak") {
+    val in = Seq((1L, 0L, 10L), (1L, 1L, 20L), (2L, 0L, 5L))
+      .toDF("k", "tie", "v")
+    val got = globalCumSum(in, Seq(col("k"), col("tie")), col("v"), "cum")
+      .select("k", "tie", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 0L) -> 10L, (1L, 1L) -> 30L, (2L, 0L) -> 35L))
+  }
 }
