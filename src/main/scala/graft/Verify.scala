@@ -16,6 +16,9 @@ object Verify {
       // unless read as raw nanos (Tables.events converts to epoch millis).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf, default 100 — see Bench.scala: the 38-query surface
+      // churns the whole-stage-codegen class cache otherwise
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -38,10 +38,12 @@ object Graph {
       srcCol: String = "id_a",
       dstCol: String = "id_b",
       maxIter: Int = 25): DataFrame = {
+    // materialize the edge list BEFORE symmetrizing: union's two branches
+    // are separate plan subtrees, so an un-materialized `edges` (often an
+    // expensive LSH pair pipeline) would execute twice; after this the
+    // loop re-reads checkpointed blocks only
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    // symmetrize once and materialize: every iteration re-reads this, and
-    // the upstream pair computation (shingle→minhash→band join) must not
-    // re-run per round
+      .localCheckpoint(eager = true)
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(eager = true)
     var labels = sym.select(col("src").as("id")).distinct()

@@ -164,6 +164,36 @@ object Relational {
       .drop("__pid", "__v", "__local", "__offset", "__t")
   }
 
+  /** Ordered funnel: per key, the first time each stage was reached, where
+    * stage i counts only at-or-after the first reach of stage i-1 (the
+    * classic view→click→purchase conversion question; a MATCH_RECOGNIZE
+    * subset). `stages` maps stage name → row predicate.
+    *
+    * Shape: ONE shuffle on the key; each stage adds a running-min window
+    * column over the same window spec (one sort, chained WindowExecs), and
+    * the inclusive frame makes "stage i-1 reached as of this row" a null
+    * check on the previous stage's running min. The final per-key reduce
+    * reuses the window's hash partitioning — no second shuffle. Tie rows
+    * at the same `orderCol` are sequenced by `tieCol`, so the result is
+    * deterministic on any input order. */
+  def funnel(df: DataFrame, keys: Seq[String], orderCol: Column, tieCol: Column,
+      stages: Seq[(String, Column)]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = stages.zipWithIndex.foldLeft(df) { case (cur, ((name, pred), i)) =>
+      val qualified =
+        if (i == 0) pred
+        else pred && col(s"__reach_${stages(i - 1)._1}").isNotNull
+      cur.withColumn(s"__reach_$name", min(when(qualified, orderCol)).over(w))
+    }
+    staged.groupBy(keys.map(col): _*)
+      .agg(
+        min(col(s"__reach_${stages.head._1}")).as(s"t_${stages.head._1}"),
+        stages.tail.map { case (name, _) =>
+          min(col(s"__reach_$name")).as(s"t_$name")
+        }: _*)
+  }
+
   /** O17 — checkpoint cadence: mark every Nth record in a total order
     * (reference saves the resume token every 5 events,
     * `EcommerceTransactionsLogEventsStream.kt:144-149`). Built on

@@ -175,6 +175,24 @@ object CdcQueries {
     graft.streaming.WindowedCounts.tumbling(Tables.eventsCents(spark, dir))
       .orderBy("user_id", "window_start_ms")
 
+  /** Ordered conversion funnel view→click→purchase per user
+    * ([[graft.ops.Relational.funnel]]): one shuffle, chained running-min
+    * windows, per-key reduce on the same partitioning. */
+  def q39_funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(spark, dir), Seq("user_id"), col("ts_ms"), col("event_id"),
+      Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+      .withColumn("reached_stages",
+        col("t_view").isNotNull.cast("int") +
+          col("t_click").isNotNull.cast("int") +
+          col("t_purchase").isNotNull.cast("int"))
+      .withColumn("conv_ms",
+        when(col("t_purchase").isNotNull, col("t_purchase") - col("t_view")))
+      .select("user_id", "t_view", "t_click", "t_purchase", "reached_stages", "conv_ms")
+      .orderBy("user_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_project" -> q01_filter_project,
     "q02_ttl_antifilter" -> q02_ttl_antifilter,
@@ -188,7 +206,8 @@ object CdcQueries {
     "q10_checkpoint_cadence" -> q10_checkpoint_cadence,
     "q28_asof_click" -> q28_asof_click,
     "q29_sessionize" -> q29_sessionize,
-    "q32_windowed_counts" -> q32_windowed_counts
+    "q32_windowed_counts" -> q32_windowed_counts,
+    "q39_funnel" -> q39_funnel
   )
 
   // ---------------------------------------------------------------- oracles
@@ -334,6 +353,25 @@ object CdcQueries {
         |         AS purchase_c
         |FROM events
         |GROUP BY user_id, (epoch_ms(ts) // 3600000) * 3600000
-        |ORDER BY user_id, window_start_ms""".stripMargin
+        |ORDER BY user_id, window_start_ms""".stripMargin,
+    "q39_funnel" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_ms END) OVER win AS r_view
+        |       FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND r_view IS NOT NULL THEN ts_ms END)
+        |         OVER win AS r_click
+        |       FROM w1 WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND r_click IS NOT NULL THEN ts_ms END)
+        |         OVER win AS r_purchase
+        |       FROM w2 WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id,
+        |       min(r_view) AS t_view, min(r_click) AS t_click, min(r_purchase) AS t_purchase,
+        |       (CAST(min(r_view) IS NOT NULL AS INT) + CAST(min(r_click) IS NOT NULL AS INT)
+        |        + CAST(min(r_purchase) IS NOT NULL AS INT)) AS reached_stages,
+        |       CASE WHEN min(r_purchase) IS NOT NULL THEN min(r_purchase) - min(r_view) END AS conv_ms
+        |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -322,6 +322,27 @@ object DataPrepQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Per-group embedding centroids (element-wise integer mean of the
+    * quantized vectors), grouped by language — the vector AGGREGATE a
+    * semantic-dedup / cluster-summary stage needs. Shape: posexplode to
+    * (group, dim) rows → one partial-aggregated groupBy — dim fan-out is
+    * a constant (×64), the shuffle carries only (group, dim) partials, so
+    * this survives any corpus size. Exploded output (one row per group ×
+    * dim) keeps the oracle compare scalar-exact. */
+  def q40_lang_centroids(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val emb = Tables.embeddings(spark, dir).select(
+      col("vec_id").as("doc_id"),
+      graft.functions.VectorFunctions.quantize(col("embedding")).as("qv"))
+    docs.join(emb, "doc_id")
+      .select(col("lang"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("lang"), col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_docs"), sum("v").as("sum_v"))
+      .withColumn("centroid_v", floor(col("sum_v") / col("n_docs")).cast("long"))
+      .select("lang", "pos", "n_docs", "sum_v", "centroid_v")
+      .orderBy("lang", "pos")
+  }
+
   // ----------------------------------------------------------- multimodal
 
   def q23_multimodal_stats(spark: SparkSession, dir: String): DataFrame =
@@ -354,7 +375,8 @@ object DataPrepQueries {
     "q35_repetition" -> q35_repetition,
     "q36_unigram_score" -> q36_unigram_score,
     "q37_contamination" -> q37_contamination,
-    "q38_tfidf_terms" -> q38_tfidf_terms
+    "q38_tfidf_terms" -> q38_tfidf_terms,
+    "q40_lang_centroids" -> q40_lang_centroids
   )
 
   // ---------------------------------------------------------------- oracles
@@ -718,7 +740,17 @@ object DataPrepQueries {
          |r AS (SELECT *, row_number() OVER
          |        (PARTITION BY doc_id ORDER BY score_x10k DESC, token ASC) AS rank FROM s)
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, score_x10k
-         |FROM r WHERE rank <= $TfidfK ORDER BY doc_id, rank""".stripMargin
+         |FROM r WHERE rank <= $TfidfK ORDER BY doc_id, rank""".stripMargin,
+    "q40_lang_centroids" ->
+      s"""WITH emb AS (SELECT vec_id AS doc_id, $quantVec AS qv FROM embeddings),
+         |j AS (SELECT d.lang, e.qv FROM documents d JOIN emb e USING (doc_id)),
+         |x AS (SELECT lang, CAST(unnest(generate_series(1, len(qv))) - 1 AS BIGINT) AS pos,
+         |             unnest(qv) AS v
+         |      FROM j)
+         |SELECT lang, pos, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(v) AS BIGINT) AS sum_v,
+         |       CAST(floor(sum(v) / count(*)) AS BIGINT) AS centroid_v
+         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin
     // q21_ann_lsh_topk: intentionally no oracle (rows-only check) — see scaladoc.
   )
 }

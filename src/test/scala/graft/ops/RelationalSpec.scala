@@ -79,6 +79,43 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("funnel: stages count only at-or-after the previous stage's first reach") {
+    val events = Seq(
+      // u1: click(10) BEFORE view(20) must not count; click(30) after does;
+      //     purchase(25) before the qualified click must not count
+      ("u1", 10L, "click"), ("u1", 20L, "view"), ("u1", 25L, "purchase"),
+      ("u1", 30L, "click"), ("u1", 40L, "purchase"),
+      // u2: full funnel in order
+      ("u2", 1L, "view"), ("u2", 2L, "click"), ("u2", 3L, "purchase"),
+      // u3: never views → nothing downstream counts
+      ("u3", 5L, "click"), ("u3", 6L, "purchase")
+    ).toDF("user", "ts", "etype").withColumn("eid", col("ts"))
+    val out = funnel(events, Seq("user"), col("ts"), col("eid"),
+      Seq("view" -> (col("etype") === "view"),
+        "click" -> (col("etype") === "click"),
+        "purchase" -> (col("etype") === "purchase")))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out("u1") == (Some(20L), Some(30L), Some(40L)))
+    assert(out("u2") == (Some(1L), Some(2L), Some(3L)))
+    assert(out("u3") == (None, None, None))
+  }
+
+  test("funnel ties at the same timestamp resolve by the tiebreak column") {
+    // view and click at the SAME ts: click's eid is larger → view sorts
+    // first → click qualifies; reversed eids → it must not
+    val ev = Seq(("u", 10L, 1L, "view"), ("u", 10L, 2L, "click")).toDF("user", "ts", "eid", "etype")
+    val out = funnel(ev, Seq("user"), col("ts"), col("eid"),
+      Seq("view" -> (col("etype") === "view"), "click" -> (col("etype") === "click")))
+      .collect().head
+    assert(Option(out.get(2)) == Some(10L))
+    val ev2 = Seq(("u", 10L, 2L, "view"), ("u", 10L, 1L, "click")).toDF("user", "ts", "eid", "etype")
+    val out2 = funnel(ev2, Seq("user"), col("ts"), col("eid"),
+      Seq("view" -> (col("etype") === "view"), "click" -> (col("etype") === "click")))
+      .collect().head
+    assert(Option(out2.get(2)).isEmpty)
+  }
+
   test("globalCumSum handles duplicate order keys deterministically with a tiebreak") {
     val in = Seq((1L, 0L, 10L), (1L, 1L, 20L), (2L, 0L, 5L))
       .toDF("k", "tie", "v")
