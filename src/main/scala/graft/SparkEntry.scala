@@ -18,8 +18,8 @@ object SparkEntry {
     CdcQueries.q09_transactions_view(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CdcQueries.defs ++ DataPrepQueries.defs
+    CdcQueries.defs ++ DataPrepQueries.defs ++ RelationalQueries.defs
 
   def oracleSql: Map[String, String] =
-    CdcQueries.oracles ++ DataPrepQueries.oracles
+    CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles
 }

@@ -164,6 +164,25 @@ object Relational {
       .drop("__pid", "__v", "__local", "__offset", "__t")
   }
 
+  /** Skew-safe equi-join: salt the left side's rows into `salt` sub-keys
+    * (hash of a unique tiebreak column — deterministic, uniform), replicate
+    * the right side once per salt value, join on (key, salt). The result
+    * is value-identical to the plain join (spec-pinned); the point is the
+    * SHUFFLE layout: a hot key's rows land on `salt` tasks instead of one.
+    *
+    * This is the explicit lever for skew AQE can't fix: AQE's skew-join
+    * only splits sort-merge partitions at runtime, and only when the join
+    * is the last thing in the stage — a grouped aggregate right after, or
+    * a broadcast-ineligible build side, leaves the hot task in place.
+    * Replication cost: |right| × salt rows shuffled, so use for
+    * moderate-size right sides (dimension tables) against a skewed fact. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTieCol: Column, salt: Int): DataFrame = {
+    val l = left.withColumn("__salt", pmod(hash(leftTieCol), lit(salt)))
+    val r = right.withColumn("__salt", explode(array((0 until salt).map(lit(_)): _*)))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Ordered funnel: per key, the first time each stage was reached, where
     * stage i counts only at-or-after the first reach of stage i-1 (the
     * classic view→click→purchase conversion question; a MATCH_RECOGNIZE

@@ -175,6 +175,15 @@ object CdcQueries {
     graft.streaming.WindowedCounts.tumbling(Tables.eventsCents(spark, dir))
       .orderBy("user_id", "window_start_ms")
 
+  /** Per-session aggregate via `session_window` — the streaming-native
+    * sessionization ([[graft.streaming.Sessions]]); the same expression
+    * runs batch (here, oracle-checked) and streaming (SessionsSpec proves
+    * micro-batch convergence). Gap contract (spec-pinned): splits only on
+    * diff > gap — the same rule as q29's per-event labeling. */
+  def q41_session_stats(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessions.sessionStats(Tables.events(spark, dir))
+      .orderBy("user_id", "session_start_ms")
+
   /** Ordered conversion funnel view→click→purchase per user
     * ([[graft.ops.Relational.funnel]]): one shuffle, chained running-min
     * windows, per-key reduce on the same partitioning. */
@@ -207,7 +216,8 @@ object CdcQueries {
     "q28_asof_click" -> q28_asof_click,
     "q29_sessionize" -> q29_sessionize,
     "q32_windowed_counts" -> q32_windowed_counts,
-    "q39_funnel" -> q39_funnel
+    "q39_funnel" -> q39_funnel,
+    "q41_session_stats" -> q41_session_stats
   )
 
   // ---------------------------------------------------------------- oracles
@@ -372,6 +382,17 @@ object CdcQueries {
         |       (CAST(min(r_view) IS NOT NULL AS INT) + CAST(min(r_click) IS NOT NULL AS INT)
         |        + CAST(min(r_purchase) IS NOT NULL AS INT)) AS reached_stages,
         |       CASE WHEN min(r_purchase) IS NOT NULL THEN min(r_purchase) - min(r_view) END AS conv_ms
-        |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q41_session_stats" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+        |                       OR ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq FROM g)
+        |SELECT user_id, min(ts_ms) AS session_start_ms,
+        |       max(ts_ms) + 1800000 AS session_end_ms,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, seq ORDER BY user_id, session_start_ms""".stripMargin
   )
 }

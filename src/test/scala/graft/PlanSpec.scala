@@ -152,6 +152,38 @@ class PlanSpec extends SparkSpec {
     assert(bhj.nonEmpty, s"expected broadcast offsets join:\n$plan")
   }
 
+  test("q44 star join: all dimension sides broadcast, fact table never sort-merge joins") {
+    val plan = executed(graft.queries.RelationalQueries.q44_region_volume(spark, sfDir))
+    val nodes = collectAll(plan)
+    val bhj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 3, s"expected >= 3 broadcast joins (cust/supp/nation):\n$plan")
+    val smj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, s"star join must not sort-merge the fact table:\n$plan")
+  }
+
+  test("q43 top-k executes as TakeOrderedAndProject (no global sort of the aggregate)") {
+    val plan = executed(graft.queries.RelationalQueries.q43_top_orders(spark, sfDir))
+    val tops = collectAll(plan).collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(tops.nonEmpty, s"expected TakeOrderedAndProject:\n$plan")
+  }
+
+  test("q45 salted join: the physical join key includes the salt column") {
+    val plan = executed(graft.queries.RelationalQueries.q45_skew_join_agg(spark, sfDir))
+    val joins = collectAll(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+    }
+    assert(joins.exists(_.exists(_.toString.contains("__salt"))),
+      s"expected a join keyed on (user_id, __salt):\n$plan")
+  }
+
   test("custom expression resolves in SQL after registration; extensions class wires") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(

@@ -17,6 +17,9 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf, default 100: the suite executes hundreds of distinct
+      // plans; cache thrash re-compiles codegen per stage (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -116,6 +116,59 @@ class RelationalSpec extends SparkSpec {
     assert(Option(out2.get(2)).isEmpty)
   }
 
+  test("saltedJoin == plain join on skewed data, for any salt width") {
+    val rnd = new scala.util.Random(11)
+    // 90% of fact rows hit one hot key
+    val fact = (0 until 2000).map { i =>
+      (if (rnd.nextDouble() < 0.9) 7L else rnd.nextInt(50).toLong, i.toLong, rnd.nextInt(1000).toLong)
+    }.toDF("k", "rid", "v")
+    val dim = (0L until 50L).map(k => (k, s"d$k")).toDF("k", "label")
+    val plain = fact.join(dim, "k")
+      .groupBy("label").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (salt <- Seq(1, 4, 16)) {
+      val salted = saltedJoin(fact, dim, "k", col("rid"), salt)
+        .groupBy("label").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(salted == plain, s"salt=$salt")
+    }
+  }
+
+  test("funnel == sequential reference on random event streams (ScalaCheck)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val stages = Seq("a", "b", "c")
+    // reference: single-pass scan in (ts, eid) order with the same
+    // "stage i at-or-after first reach of stage i-1" rule
+    def ref(events: Seq[(Long, Long, String)]): (Option[Long], Option[Long], Option[Long]) = {
+      var ra, rb, rc = Option.empty[Long]
+      events.sortBy(e => (e._1, e._2)).foreach { case (ts, _, st) =>
+        if (st == "a" && ra.isEmpty) ra = Some(ts)
+        if (st == "b" && rb.isEmpty && ra.nonEmpty) rb = Some(ts)
+        if (st == "c" && rc.isEmpty && rb.nonEmpty) rc = Some(ts)
+      }
+      (ra, rb, rc)
+    }
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      evs <- Gen.listOfN(n, for {
+        ts <- Gen.choose(0L, 10L) // narrow range → frequent ties
+        st <- Gen.oneOf(stages)
+      } yield (ts, st))
+    } yield evs.zipWithIndex.map { case ((ts, st), i) => (ts, i.toLong, st) }
+    val prop = forAll(gen) { evs =>
+      val df = evs.toDF("ts", "eid", "etype").withColumn("user", lit("u"))
+      val row = funnel(df, Seq("user"), col("ts"), col("eid"),
+        stages.map(s => s -> (col("etype") === s))).collect().head
+      val got = (Option(row.get(1)).map(_.asInstanceOf[Long]),
+        Option(row.get(2)).map(_.asInstanceOf[Long]),
+        Option(row.get(3)).map(_.asInstanceOf[Long]))
+      got == ref(evs)
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("globalCumSum handles duplicate order keys deterministically with a tiebreak") {
     val in = Seq((1L, 0L, 10L), (1L, 1L, 20L), (2L, 0L, 5L))
       .toDF("k", "tie", "v")
