@@ -112,6 +112,25 @@ object TextFunctions {
   def wordShingles(c: Column, n: Int): Column =
     shinglesFromTokens(wsTokens(normalizeText(c)), n)
 
+  /** Overlapping fixed-size character chunks — the context-window
+    * splitting step of a training pipeline (long doc → chunk rows).
+    * Chunk i covers [i·stride, i·stride + size); the last chunk may be
+    * short; a doc never produces zero chunks. Returns
+    * array<struct<chunk_idx, chunk_start, chunk_text>> for a single
+    * `posexplode`-free explode (index is carried in the struct so the
+    * expression stays one `transform(sequence(...))`). */
+  def charChunks(c: Column, size: Int, stride: Int): Column = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    val len = length(c)
+    val n = when(len <= size, lit(1)).otherwise(
+      floor((len - size + stride - 1) / lit(stride)).cast("int") + 1)
+    transform(sequence(lit(0), n - 1), i =>
+      struct(
+        i.cast("long").as("chunk_idx"),
+        (i * stride).cast("long").as("chunk_start"),
+        c.substr(lit(1) + i * stride, lit(size)).as("chunk_text")))
+  }
+
   /** Word n-grams WITH multiplicity (no `array_distinct`) — the unit of
     * repetition analysis, where how often a gram repeats is the signal the
     * dedup-oriented [[shinglesFromTokens]] deliberately discards. Same

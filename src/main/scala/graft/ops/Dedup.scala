@@ -56,6 +56,27 @@ object Dedup {
       .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
   }
 
+  /** Streaming exact dedup: keep the first-arrived doc per content
+    * fingerprint across micro-batches — the continuous-ingest twin of
+    * [[exact]] (a training pipeline ingesting a crawl feed dedups AS data
+    * arrives, not in a nightly batch). State = one fingerprint per unique
+    * doc inside the watermark horizon (`dropDuplicatesWithinWatermark`
+    * evicts state older than the delay, so unbounded streams don't
+    * accumulate unbounded fingerprints — the standard state/recall
+    * trade-off, spec-pinned in DedupStreamSpec). */
+  def exactStreaming(
+      docs: DataFrame,
+      delay: String = "1 hour",
+      tsMsCol: String = "ts_ms",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.timestamp_millis
+    docs
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+      .withColumn("eventTime", timestamp_millis(col(tsMsCol)))
+      .withWatermark("eventTime", delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+  }
+
   /** Candidate pairs by shared word-n-gram shingle, with exact Jaccard.
     * Shape: explode shingles → self-join on shingle (inverted index) →
     * per-pair intersection count → Jaccard from the per-doc set sizes.

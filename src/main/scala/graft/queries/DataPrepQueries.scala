@@ -343,6 +343,23 @@ object DataPrepQueries {
       .orderBy("lang", "pos")
   }
 
+  /** Context-window chunking: split docs into overlapping fixed-size
+    * character chunks (size 200, stride 150) — one `transform(sequence)`
+    * + explode, embarrassingly parallel, no shuffle before the output
+    * sort. Chunk text is reported as md5 so the oracle compare stays
+    * scalar and the result stays narrow. */
+  val ChunkSize = 200
+  val ChunkStride = 150
+  def q46_chunking(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFunctions.charChunks(col("text"), ChunkSize, ChunkStride)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_start").as("chunk_start"),
+        length(col("c.chunk_text")).cast("long").as("chunk_len"),
+        md5(col("c.chunk_text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   // ----------------------------------------------------------- multimodal
 
   def q23_multimodal_stats(spark: SparkSession, dir: String): DataFrame =
@@ -376,7 +393,8 @@ object DataPrepQueries {
     "q36_unigram_score" -> q36_unigram_score,
     "q37_contamination" -> q37_contamination,
     "q38_tfidf_terms" -> q38_tfidf_terms,
-    "q40_lang_centroids" -> q40_lang_centroids
+    "q40_lang_centroids" -> q40_lang_centroids,
+    "q46_chunking" -> q46_chunking
   )
 
   // ---------------------------------------------------------------- oracles
@@ -750,7 +768,20 @@ object DataPrepQueries {
          |SELECT lang, pos, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(v) AS BIGINT) AS sum_v,
          |       CAST(floor(sum(v) / count(*)) AS BIGINT) AS centroid_v
-         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin
+         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q46_chunking" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |         CASE WHEN length(text) <= $ChunkSize THEN 1
+         |              ELSE CAST(floor((length(text) - $ChunkSize + $ChunkStride - 1) / $ChunkStride) AS INT) + 1
+         |         END AS n_chunks
+         |  FROM documents),
+         |c AS (SELECT doc_id, text, unnest(generate_series(0, n_chunks - 1)) AS i FROM d)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |       CAST(i * $ChunkStride AS BIGINT) AS chunk_start,
+         |       CAST(length(substr(text, i * $ChunkStride + 1, $ChunkSize)) AS BIGINT) AS chunk_len,
+         |       md5(substr(text, i * $ChunkStride + 1, $ChunkSize)) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
     // q21_ann_lsh_topk: intentionally no oracle (rows-only check) — see scaladoc.
   )
 }

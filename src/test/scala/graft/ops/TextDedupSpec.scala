@@ -31,6 +31,24 @@ class TextDedupSpec extends SparkSpec {
     assert(df(4L) == (2, 6))
   }
 
+  test("charChunks: short doc → 1 chunk; boundaries overlap by size-stride; full coverage") {
+    // size 10, stride 7: len 10 → 1 chunk; len 11 → 2; len 24 → 3
+    val out = docs(
+      1L -> "a" * 10,
+      2L -> "b" * 11,
+      3L -> ("0123456789" + "ABCDEFGHIJ" + "wxyz"))
+      .select(col("doc_id"), explode(charChunks(col("text"), 10, 7)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_start"), col("c.chunk_text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out.keys.count(_._1 == 1L) == 1)
+    assert(out.keys.count(_._1 == 2L) == 2)
+    assert(out((2L, 1L)) == (7L, "b" * 4)) // tail chunk short
+    assert(out.keys.count(_._1 == 3L) == 3)
+    assert(out((3L, 0L)) == (0L, "0123456789"))
+    assert(out((3L, 1L)) == (7L, "789ABCDEFG")) // 3-char overlap with chunk 0
+    assert(out((3L, 2L)) == (14L, "EFGHIJwxyz"))
+  }
+
   test("language id picks the stopword-richest language, und when none hit") {
     val df = docs(
       1L -> "the cat and the dog of it",
