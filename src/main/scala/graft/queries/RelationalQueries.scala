@@ -131,11 +131,52 @@ object RelationalQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Multi-dimensional rollup (GROUPING SETS machinery): pricing totals at
+    * (returnflag, linestatus), per-returnflag subtotal, and grand total in
+    * ONE pass — Spark expands the sets map-side, still partial-aggregated.
+    * `grouping_id` disambiguates NULL-as-subtotal from NULL data. */
+  def q47_rollup_pricing(spark: SparkSession, dir: String): DataFrame =
+    lineitemCents(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum("disc_price_c").as("sum_disc_c"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+
+  /** Exact median (per-group): both engines sort-and-interpolate exactly;
+    * integer cents make the only possible fractions .0/.5, exact in a
+    * double. Medians don't partial-aggregate — at 100 TB per-group sorts
+    * are the cost, which the (few) groups here parallelize over; for
+    * corpus-wide percentiles at scale, switch to a mergeable sketch. */
+  def q48_median_value(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsCents(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        percentile(col("value_c"), lit(0.5)).as("median_value_c"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Fixed-width histogram of document lengths — the corpus length-
+    * distribution report of a curation pipeline. Pure integer bucketing,
+    * one partial-aggregated shuffle over ~n_buckets rows. */
+  val HistBucket = 50L
+  def q49_length_histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket_lo", (floor(col("n_chars") / lit(HistBucket)) * lit(HistBucket)).cast("long"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("bucket_lo")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_pricing_summary" -> q42_pricing_summary,
     "q43_top_orders" -> q43_top_orders,
     "q44_region_volume" -> q44_region_volume,
-    "q45_skew_join_agg" -> q45_skew_join_agg
+    "q45_skew_join_agg" -> q45_skew_join_agg,
+    "q47_rollup_pricing" -> q47_rollup_pricing,
+    "q48_median_value" -> q48_median_value,
+    "q49_length_histogram" -> q49_length_histogram
   )
 
   val oracles: Map[String, String] = Map(
@@ -184,6 +225,25 @@ object RelationalQueries {
       """SELECT c.c_mktsegment, count(*) AS n_events,
         |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_sum_c
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
-        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    "q47_rollup_pricing" ->
+      s"""WITH li AS ($liCentsSql)
+         |SELECT l_returnflag, l_linestatus,
+         |       CAST(sum(disc_price_c) AS BIGINT) AS sum_disc_c,
+         |       count(*) AS n_rows,
+         |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+         |FROM li GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin,
+    "q48_median_value" ->
+      """SELECT event_type,
+        |       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS median_value_c,
+        |       count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q49_length_histogram" ->
+      s"""SELECT CAST(floor(n_chars / $HistBucket) * $HistBucket AS BIGINT) AS bucket_lo,
+         |       count(*) AS n_docs,
+         |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+         |       CAST(max(n_chars) AS BIGINT) AS max_chars
+         |FROM documents GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin
   )
 }
