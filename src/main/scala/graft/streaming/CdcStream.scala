@@ -143,7 +143,8 @@ object CdcStream {
       batch: Dataset[CdcEvent],
       viewPath: String,
       batchId: Long,
-      metrics: Option[OutcomeCountsAccumulator] = None): Unit = {
+      metrics: Option[OutcomeCountsAccumulator] = None,
+      trace: Option[TraceLog.Emitter] = None): Unit = {
     import spark.implicits._
     if (ViewStore.alreadyApplied(spark, viewPath, batchId)) return
     val filtered = preFilter(batch)
@@ -175,5 +176,8 @@ object CdcStream {
     ViewStore.commit(spark, viewPath,
       merged.toDF().withColumn("__bucket", ViewStore.bucketOf(col("transactionId"))),
       touched, batchId)
+    // span-parity structured records: one JSON line per (eventCode,
+    // outcome) delta this batch (TraceLog scaladoc for the design)
+    trace.foreach(_.emit(batchId))
   }
 }
