@@ -169,6 +169,25 @@ object RelationalQueries {
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
       .orderBy("bucket_lo")
 
+  /** Promotion revenue share (TPC-H Q14 shape): fact ⋈ broadcast part dim
+    * with a conditional aggregate; the ratio is integer-quantized. */
+  val Q50From = "1997-01-01 00:00:00"
+  val Q50To = "1998-01-01 00:00:00"
+  def q50_promo_revenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitemCents(spark, dir)
+      .filter(col("l_shipdate") >= lit(Q50From).cast("timestamp") &&
+        col("l_shipdate") < lit(Q50To).cast("timestamp"))
+      .select("l_partkey", "disc_price_c")
+    val part = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("disc_price_c")).otherwise(lit(0L)))
+          .as("promo_c"),
+        sum(col("disc_price_c")).as("total_c"))
+      .withColumn("promo_share_x10k",
+        floor(lit(10000L) * col("promo_c") / col("total_c")).cast("long"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_pricing_summary" -> q42_pricing_summary,
     "q43_top_orders" -> q43_top_orders,
@@ -176,7 +195,8 @@ object RelationalQueries {
     "q45_skew_join_agg" -> q45_skew_join_agg,
     "q47_rollup_pricing" -> q47_rollup_pricing,
     "q48_median_value" -> q48_median_value,
-    "q49_length_histogram" -> q49_length_histogram
+    "q49_length_histogram" -> q49_length_histogram,
+    "q50_promo_revenue" -> q50_promo_revenue
   )
 
   val oracles: Map[String, String] = Map(
@@ -244,6 +264,14 @@ object RelationalQueries {
          |       count(*) AS n_docs,
          |       CAST(min(n_chars) AS BIGINT) AS min_chars,
          |       CAST(max(n_chars) AS BIGINT) AS max_chars
-         |FROM documents GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin
+         |FROM documents GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin,
+    "q50_promo_revenue" ->
+      s"""WITH li AS ($liCentsSql)
+         |SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN l.disc_price_c ELSE 0 END) AS BIGINT) AS promo_c,
+         |       CAST(sum(l.disc_price_c) AS BIGINT) AS total_c,
+         |       CAST(floor(10000 * sum(CASE WHEN p.p_type = 'PROMO' THEN l.disc_price_c ELSE 0 END)
+         |                  / sum(l.disc_price_c)) AS BIGINT) AS promo_share_x10k
+         |FROM li l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE l.l_shipdate >= TIMESTAMP '$Q50From' AND l.l_shipdate < TIMESTAMP '$Q50To'""".stripMargin
   )
 }

@@ -20,6 +20,9 @@ object SparkSpec {
       // static conf, default 100: the suite executes hundreds of distinct
       // plans; cache thrash re-compiles codegen per stage (see Bench.scala)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // managed tables (BucketingSpec) must not land in the repo cwd
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
