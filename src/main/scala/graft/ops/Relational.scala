@@ -113,11 +113,14 @@ object Relational {
       .withColumn("__mid", monotonically_increasing_id())
     val counts = sorted.groupBy("__pid")
       .agg(count(lit(1)).as("__cnt"), min("__mid").as("__base"))
+    // one row per partition (~tasks rows): the constant partition key is
+    // semantically the no-partition window but skips WindowExec's
+    // move-everything warning, which would otherwise read like a scale bug
     val offsets = counts.withColumn(
       "__offset",
       coalesce(
         sum(col("__cnt")).over(
-          Window.orderBy("__pid")
+          Window.partitionBy(lit(0)).orderBy("__pid")
             .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
     sorted
@@ -155,7 +158,10 @@ object Relational {
       "__offset",
       coalesce(
         sum(col("__t")).over(
-          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          // constant partition key: see globalIndex — same tiny input,
+          // no move-everything warning
+          Window.partitionBy(lit(0)).orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
     sorted
       .withColumn("__local", sum(col("__v")).over(localW))

@@ -360,6 +360,53 @@ object DataPrepQueries {
         md5(col("c.chunk_text")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Reproducible pseudo-random sampling: keep a doc iff the first 16 bits
+    * of md5(seed:doc_id) land under the rate threshold — the deterministic
+    * form of `sample()` a data pipeline actually wants (same subset on
+    * every run/engine/retry, seed-switchable, no RNG state). Pure scalar
+    * filter, embarrassingly parallel. */
+  val SampleSeed = "s1"
+  val SampleKeep = 6554L // of 65536 ≈ 10%
+  def q51_hash_sample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h",
+        conv(substring(md5(concat(lit(SampleSeed), lit(":"), col("doc_id").cast("string"))), 1, 4),
+          16, 10).cast("long"))
+      .filter(col("h") < SampleKeep)
+      .select(col("doc_id"), col("h").as("sample_hash"))
+      .orderBy("doc_id")
+
+  /** End-to-end corpus curation in ONE DataFrame program — the composition
+    * the individual operators exist for: drop exact duplicates (keep-first
+    * canonical), resolve near-dup clusters (LSH → connected components)
+    * and keep one doc per cluster, apply the quality gate, and report the
+    * surviving corpus per language. Each stage is the already-verified
+    * operator (q15/q33/q26 semantics); the value here is that the whole
+    * pass composes into one lazy plan — no materialization between
+    * stages — and still oracle-matches. */
+  def q52_corpus_curation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exactCanonical = Dedup.exact(docs)
+      .filter(col("is_dup") === 0).select("doc_id")
+    val clusterCanonical = Graph.dupClusters(docs,
+      Dedup.minhashLshPairs(docs, n = ShingleN, bands = MinhashBands, rowsPerBand = MinhashRows))
+      .filter(col("is_canonical") === 1).select("doc_id")
+    val metrics = qualityMetrics(col("text")).map { case (n, c) => c.as(n) }
+    val qualityPass = docs.select(col("doc_id") +: metrics: _*)
+      .filter(col("n_tokens") >= 10 && col("n_tokens") <= 500 &&
+        col("stop_per_10k") <= 3000 &&
+        col("mean_tok_len_x100") >= 200 && col("mean_tok_len_x100") <= 800)
+      .select("doc_id")
+    docs
+      .join(exactCanonical, "doc_id")
+      .join(clusterCanonical, "doc_id")
+      .join(qualityPass, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountWs(col("text")).cast("long")).as("total_tokens"))
+      .orderBy("lang")
+  }
+
   // ----------------------------------------------------------- multimodal
 
   def q23_multimodal_stats(spark: SparkSession, dir: String): DataFrame =
@@ -394,7 +441,9 @@ object DataPrepQueries {
     "q37_contamination" -> q37_contamination,
     "q38_tfidf_terms" -> q38_tfidf_terms,
     "q40_lang_centroids" -> q40_lang_centroids,
-    "q46_chunking" -> q46_chunking
+    "q46_chunking" -> q46_chunking,
+    "q51_hash_sample" -> q51_hash_sample,
+    "q52_corpus_curation" -> q52_corpus_curation
   )
 
   // ---------------------------------------------------------------- oracles
@@ -781,7 +830,52 @@ object DataPrepQueries {
          |       CAST(i * $ChunkStride AS BIGINT) AS chunk_start,
          |       CAST(length(substr(text, i * $ChunkStride + 1, $ChunkSize)) AS BIGINT) AS chunk_len,
          |       md5(substr(text, i * $ChunkStride + 1, $ChunkSize)) AS chunk_md5
-         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q51_hash_sample" ->
+      s"""SELECT doc_id,
+         |       CAST(CAST(concat('0x', substr(md5(concat('$SampleSeed', ':', CAST(doc_id AS VARCHAR))), 1, 4)) AS INT) AS BIGINT) AS sample_hash
+         |FROM documents
+         |WHERE CAST(concat('0x', substr(md5(concat('$SampleSeed', ':', CAST(doc_id AS VARCHAR))), 1, 4)) AS INT) < $SampleKeep
+         |ORDER BY doc_id""".stripMargin,
+    "q52_corpus_curation" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |mh AS (
+         |  SELECT id,
+         |         $minhashCols
+         |  FROM sh GROUP BY id),
+         |banded AS (
+         |  $bandRows),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS comp FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |lab AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
+         |fp AS (SELECT doc_id, md5($norm) AS fingerprint FROM documents),
+         |fg AS (SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY fingerprint),
+         |exd AS (SELECT fp.doc_id FROM fp JOIN fg USING (fingerprint)
+         |        WHERE fp.doc_id = fg.canonical_id),
+         |qm AS (
+         |  SELECT doc_id,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    CAST(CASE WHEN len($toks) > 0 THEN floor(10000 * ${hitsSql("en")} / len($toks)) ELSE 0 END AS BIGINT) AS stop_per_10k,
+         |    CAST(CASE WHEN len($toks) > 0 THEN floor(100 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len($toks)) ELSE 0 END AS BIGINT) AS mean_tok_len_x100
+         |  FROM documents),
+         |keepq AS (SELECT doc_id FROM qm
+         |          WHERE n_tokens >= 10 AND n_tokens <= 500 AND stop_per_10k <= 3000
+         |            AND mean_tok_len_x100 >= 200 AND mean_tok_len_x100 <= 800)
+         |SELECT d.lang, count(*) AS n_docs, CAST(sum(len($toks)) AS BIGINT) AS total_tokens
+         |FROM documents d
+         |JOIN lab ON lab.doc_id = d.doc_id AND lab.component_id = d.doc_id
+         |JOIN exd ON exd.doc_id = d.doc_id
+         |JOIN keepq ON keepq.doc_id = d.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
     // q21_ann_lsh_topk: intentionally no oracle (rows-only check) — see scaladoc.
   )
 }
