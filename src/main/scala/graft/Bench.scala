@@ -102,13 +102,18 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // state-store comparison: default HDFS-backed vs RocksDB (jar ships
     // with the Spark distribution), same event volume, noop sink
-    def safeThroughput(provider: Option[String]): Double =
-      try streamThroughput(spark, provider, nTx = 10000)
+    def safeThroughput(provider: Option[String], nTx: Int): Double =
+      try streamThroughput(spark, provider, nTx)
       catch { case t: Throwable =>
         System.err.println(s"[bench] stream($provider) failed: ${t.getMessage}"); -1.0 }
-    val evHdfs = safeThroughput(None).round
+    // warm each provider's path first (state-store init + codegen + JIT
+    // dominated the first run and made the reported number swing 4×)
+    safeThroughput(None, nTx = 1000)
+    val evHdfs = safeThroughput(None, nTx = 10000).round
+    safeThroughput(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"), nTx = 1000)
     val evRocks = safeThroughput(Some(
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")).round
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"), nTx = 10000).round
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""stream_hdfs_events_per_sec":$evHdfs,"stream_rocksdb_events_per_sec":$evRocks,""" +
       s""""sf":"$sfDir"}"""
