@@ -152,6 +152,16 @@ class PlanSpec extends SparkSpec {
     assert(bhj.nonEmpty, s"expected broadcast offsets join:\n$plan")
   }
 
+  test("q16 inverted-index pairs: equijoins only, never a cartesian/BNLJ candidate step") {
+    val plan = executed(DataPrepQueries.q16_jaccard_pairs(spark, sfDir))
+    val nodes = collectAll(plan)
+    val cart = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    assert(cart.isEmpty, s"near-dup candidates must come from the shingle equijoin:\n$plan")
+  }
+
   test("q44 star join: all dimension sides broadcast, fact table never sort-merge joins") {
     val plan = executed(graft.queries.RelationalQueries.q44_region_volume(spark, sfDir))
     val nodes = collectAll(plan)

@@ -134,6 +134,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin keeps inner-join semantics for keys missing on either side") {
+    val fact = Seq((1L, 10L, 5L), (2L, 11L, 6L), (9L, 12L, 7L)).toDF("k", "rid", "v")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "label")
+    val out = saltedJoin(fact, dim, "k", col("rid"), 4)
+      .select("k", "label", "v").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // key 9 (no dim row) and key 3 (no fact row) both drop, like a plain inner join
+    assert(out == Set((1L, "a", 5L), (2L, "b", 6L)))
+  }
+
+  test("globalCumSum on an empty input returns empty, not an error") {
+    val in = Seq.empty[(Long, Long)].toDF("k", "v")
+    assert(globalCumSum(in, Seq(col("k")), col("v"), "cum").count() == 0)
+  }
+
+  test("funnel with a single stage reduces to first-reach per key") {
+    val ev = Seq(("u", 5L, 1L, "a"), ("u", 3L, 2L, "a"), ("v", 9L, 3L, "b")).toDF("user", "ts", "eid", "etype")
+    val out = funnel(ev, Seq("user"), col("ts"), col("eid"), Seq("a" -> (col("etype") === "a")))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out == Map("u" -> Some(3L), "v" -> None))
+  }
+
   test("funnel == sequential reference on random event streams (ScalaCheck)") {
     import org.scalacheck.{Gen, Test => SCTest}
     import org.scalacheck.Prop.forAll

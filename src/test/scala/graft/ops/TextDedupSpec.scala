@@ -49,6 +49,15 @@ class TextDedupSpec extends SparkSpec {
     assert(out((3L, 2L)) == (14L, "EFGHIJwxyz"))
   }
 
+  test("charChunks with stride == size tiles without overlap and covers every char") {
+    val out = docs(1L -> ("x" * 25))
+      .select(explode(charChunks(col("text"), 10, 10)).as("c"))
+      .select(col("c.chunk_start"), col("c.chunk_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 10L, 20L))
+    assert(out.map(_._2.length).sum == 25)
+  }
+
   test("language id picks the stopword-richest language, und when none hit") {
     val df = docs(
       1L -> "the cat and the dog of it",
