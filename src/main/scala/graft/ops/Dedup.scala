@@ -139,7 +139,10 @@ object Dedup {
     * `rowsPerBand` hashes; docs agreeing on any full band are candidates.
     * Banding shuffles on (band, band_key) — the classic sub-quadratic
     * near-dup join (prob. of candidacy ≈ 1-(1-j^r)^b). */
-  def minhashLshPairs(
+  /** Per-doc LSH band keys `(id, band, band_key)` — the bucketable form of
+    * the MinHash signature, shared by the pair join ([[minhashLshPairs]])
+    * and set-vs-set screens ([[graft.queries.DataPrepQueries.q53_decontaminate]]). */
+  def minhashBands(
       docs: DataFrame,
       n: Int = 3,
       bands: Int = 4,
@@ -147,7 +150,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val sig = minhashSignature(docs, n, bands * rowsPerBand, idCol, textCol)
-    val banded = sig.select(
+    sig.select(
       col("id"),
       explode(array((0 until bands).map { b =>
         struct(
@@ -156,6 +159,16 @@ object Dedup {
             .as("band_key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  def minhashLshPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val banded = minhashBands(docs, n, bands, rowsPerBand, idCol, textCol)
     // persist (tracked): the self-join would otherwise recompute the whole
     // shingle→signature subtree for both sides (measured 2× cost);
     // the banded table is bands-per-doc rows, tiny relative to input

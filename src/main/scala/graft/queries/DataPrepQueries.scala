@@ -407,6 +407,30 @@ object DataPrepQueries {
       .orderBy("lang")
   }
 
+  /** Eval-set decontamination — the train/eval hygiene pass: drop every
+    * training doc whose MinHash band signature collides with ANY eval-set
+    * doc (catches exact AND near duplicates of eval items in one screen).
+    * The eval set here is the deterministic doc_id % `EvalMod` == 0 slice
+    * (stand-in for a held-out benchmark). Shape: band keys both sides,
+    * eval side reduced to DISTINCT keys (≪ corpus, broadcastable), then a
+    * LEFT ANTI join — the corpus is filtered in one pass, no pair
+    * materialization. */
+  val EvalMod = 20L
+  def q53_decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val banded = Dedup.minhashBands(docs,
+      n = ShingleN, bands = MinhashBands, rowsPerBand = MinhashRows)
+    val evalKeys = banded.filter(pmod(col("id"), lit(EvalMod)) === 0)
+      .select("band", "band_key").distinct()
+    val contaminated = banded.filter(pmod(col("id"), lit(EvalMod)) =!= 0)
+      .join(broadcast(evalKeys), Seq("band", "band_key"))
+      .select(col("id").as("doc_id")).distinct()
+    docs.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------- multimodal
 
   def q23_multimodal_stats(spark: SparkSession, dir: String): DataFrame =
@@ -443,7 +467,8 @@ object DataPrepQueries {
     "q40_lang_centroids" -> q40_lang_centroids,
     "q46_chunking" -> q46_chunking,
     "q51_hash_sample" -> q51_hash_sample,
-    "q52_corpus_curation" -> q52_corpus_curation
+    "q52_corpus_curation" -> q52_corpus_curation,
+    "q53_decontaminate" -> q53_decontaminate
   )
 
   // ---------------------------------------------------------------- oracles
@@ -875,7 +900,23 @@ object DataPrepQueries {
          |JOIN lab ON lab.doc_id = d.doc_id AND lab.component_id = d.doc_id
          |JOIN exd ON exd.doc_id = d.doc_id
          |JOIN keepq ON keepq.doc_id = d.doc_id
-         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q53_decontaminate" ->
+      s"""WITH $shingleCte,
+         |mh AS (
+         |  SELECT id,
+         |         $minhashCols
+         |  FROM sh GROUP BY id),
+         |banded AS (
+         |  $bandRows),
+         |eb AS (SELECT DISTINCT band, band_key FROM banded WHERE id % $EvalMod = 0),
+         |cont AS (
+         |  SELECT DISTINCT b.id FROM banded b JOIN eb USING (band, band_key)
+         |  WHERE b.id % $EvalMod <> 0)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id % $EvalMod <> 0
+         |  AND NOT EXISTS (SELECT 1 FROM cont WHERE cont.id = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     // q21_ann_lsh_topk: intentionally no oracle (rows-only check) — see scaladoc.
   )
 }
