@@ -37,4 +37,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // executor threads; 8g GC-thrashed once the surface grew past ~35
   // queries (the box has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The 53-query bench surface JIT-compiles thousands of generated
+  // whole-stage-codegen classes (× warmup + measured SFs + streams); the
+  // JDK-17 default ReservedCodeCacheSize=240m can fill mid-run, at which
+  // point the JIT shuts off and EVERYTHING after runs interpreted — the
+  // round-2 driver bench degraded exactly this way (late queries uniformly
+  // 10-20× their local cost, stream throughput 4× down). 1g leaves the
+  // sweeper headroom it never had.
+  "-XX:ReservedCodeCacheSize=1g",
 )

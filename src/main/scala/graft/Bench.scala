@@ -15,6 +15,28 @@ import java.nio.file.{Files, Paths}
 object Bench {
   private val WarmupDir = "/root/testdata/sf0.001"
 
+  /** One-line JVM health snapshot (stderr only): cumulative GC and JIT
+    * compilation time plus CodeHeap occupancy. The round-2 driver run
+    * degraded uniformly from q43 onward (plain star joins at 10-20× their
+    * local cost, stream throughput 4× down) — the signature of a JVM-wide
+    * condition (code-cache exhaustion disabling the JIT, or GC thrash),
+    * not a per-query plan problem. This makes the next such run
+    * attributable from the artifact's stderr alone. */
+  private def jvmDiag(): String = {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    val gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+    val compMs = ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+    val heapMb = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    val code = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(p => s"${p.getName.stripPrefix("CodeHeap '").stripSuffix("'")}=" +
+        s"${p.getUsage.getUsed >> 20}/${p.getUsage.getMax >> 20}MB")
+      .mkString(" ")
+    s"gcMs=$gcMs jitMs=$compMs heapMB=$heapMb $code"
+  }
+
   /** Throughput of the stateful streaming path (flatMapGroupsWithState
     * merge ladder) under a given state-store provider, in events/sec.
     * Generated events flow through a MemoryStream in several micro-batches
@@ -79,32 +101,64 @@ object Bench {
       catch { case _: Throwable => () }
       finally graft.ops.Dedup.unpersistIntermediates(spark)
     }
+    System.err.println(s"[bench] warmup done ${jvmDiag()}")
     // Per-query time = min over `reps` runs: this VM shows intermittent
-    // multi-second CPU-steal spikes (one run measured q17 at 115 s vs its
-    // stable 3 s), and the min over independent repetitions is the
-    // standard robust estimator of true cost under transient interference.
+    // CPU-steal windows lasting seconds to MINUTES (one run measured q17 at
+    // 115 s vs its stable 3 s; the round-2 driver run had a contiguous slow
+    // window covering eleven sub-second queries at 5-30 s EACH, both reps),
+    // and the min over repetitions is the standard robust estimator of true
+    // cost under transient interference. Reps are INTERLEAVED as full
+    // passes over the query list (pass 1 = every query once, then pass 2)
+    // so a contiguous interference window — which back-to-back reps sit
+    // inside together — lands on at most one rep of each query.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val results = names.map { name =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // a failed query must NOT be reported as a (fast) success — mark -1
-        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case t: Throwable =>
-          System.err.println(s"[bench] $name failed: ${t.getMessage}"); false
-        }
-        finally graft.ops.Dedup.unpersistIntermediates(spark)
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      // a failed query must NOT be reported as a (fast) success — mark -1
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] $name failed: ${t.getMessage}"); false
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      finally graft.ops.Dedup.unpersistIntermediates(spark)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val byName = scala.collection.mutable.Map(
+      names.map(n => n -> Vector.empty[Double]): _*)
+    (1 to reps).foreach { pass =>
+      names.foreach { name => byName(name) :+= timeOne(name) }
+      System.err.println(s"[bench] pass $pass done ${jvmDiag()}")
+    }
+    // targeted retry: a query whose best time is still slow may have had
+    // every pass clipped by an interference window — one more rep each is
+    // bounded extra wall time and recovers the true cost
+    val RetryAboveSec = 3.0
+    names.foreach { name =>
+      val ts = byName(name)
+      if (ts.forall(_ < 0) || ts.filter(_ >= 0).min > RetryAboveSec)
+        byName(name) :+= timeOne(name)
+    }
+    val results = names.map { name =>
+      val times = byName(name)
+      System.err.println(s"[bench] $name reps=${times.map(t => f"$t%.2f").mkString(",")}")
+      // failed_reps surfaces intermittent failures that min-of-reps would
+      // otherwise mask as a clean (fastest-passing) success
+      name -> (
+        (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0),
+        times.count(_ < 0))
+    }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedReps = results.collect { case (k, (_, f)) if f > 0 => "\"" + k + "\":" + f }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     // state-store comparison: default HDFS-backed vs RocksDB (jar ships
     // with the Spark distribution), same event volume, noop sink
     def safeThroughput(provider: Option[String], nTx: Int): Double =
-      try streamThroughput(spark, provider, nTx)
-      catch { case t: Throwable =>
+      try {
+        val r = streamThroughput(spark, provider, nTx)
+        System.err.println(s"[bench] stream($provider,$nTx)=${r.round} ev/s ${jvmDiag()}")
+        r
+      } catch { case t: Throwable =>
         System.err.println(s"[bench] stream($provider) failed: ${t.getMessage}"); -1.0 }
     // warm each provider's path first (state-store init + codegen + JIT
     // dominated the first run and made the reported number swing 4×)
@@ -115,6 +169,7 @@ object Bench {
     val evRocks = safeThroughput(Some(
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"), nTx = 10000).round
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed_reps":$failedReps,""" +
       s""""stream_hdfs_events_per_sec":$evHdfs,"stream_rocksdb_events_per_sec":$evRocks,""" +
       s""""sf":"$sfDir"}"""
     println(line)

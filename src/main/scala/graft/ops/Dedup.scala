@@ -29,7 +29,12 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
 
-  private def cacheTracked(df: DataFrame): DataFrame = {
+  /** Persist `df` (MEMORY_AND_DISK) and track it for
+    * [[unpersistIntermediates]]. Public so queries that reuse a dedup
+    * intermediate in several plan branches (e.g. q53's banded table, read
+    * by both the eval-keys and contaminated sides) share the same release
+    * mechanism instead of recomputing the subtree per branch. */
+  def cacheTracked(df: DataFrame): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tracked.computeIfAbsent(df.sparkSession,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)

@@ -29,15 +29,20 @@ object Graph {
     * `(srcCol, dstCol)`. Returns one row per distinct node:
     * `(id, component_id)` with `component_id` = min node id reachable.
     *
-    * `maxIter` bounds the driver loop; the loop exits early at the
-    * fixpoint (no label changed), detected on the already-materialized
-    * checkpoint so the extra action is a local scan, not a recompute.
+    * `maxIter` is a SAFETY CAP, not a result parameter: the loop exits at
+    * the fixpoint (no label changed — detected on the already-materialized
+    * checkpoint, so the extra action is a local scan, not a recompute), and
+    * hitting the cap without converging THROWS rather than returning
+    * partial labels. Long near-dup chains (templated/shifting documents)
+    * can exceed any fixed diameter bound at corpus scale, and silently
+    * truncated labels would corrupt every cluster-canonical decision
+    * downstream; a loud failure tells the operator to raise the cap.
     */
   def connectedComponents(
       edges: DataFrame,
       srcCol: String = "id_a",
       dstCol: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     // materialize the edge list BEFORE symmetrizing: union's two branches
     // are separate plan subtrees, so an un-materialized `edges` (often an
     // expensive LSH pair pipeline) would execute twice; after this the
@@ -66,6 +71,10 @@ object Graph {
       labels = next.select("id", "comp")
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter label-propagation " +
+        "rounds (component diameter exceeds the cap); partial labels would be wrong — " +
+        "raise maxIter")
     labels.select(col("id"), col("comp").as("component_id"))
   }
 

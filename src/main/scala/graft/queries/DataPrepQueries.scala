@@ -256,9 +256,11 @@ object DataPrepQueries {
   /** Unigram corpus-frequency score — the integer-exact skeleton of
     * unigram-LM quality scoring: per-token commonness = floor(1e8 *
     * tf/corpus_tokens), per-doc mean over its token occurrences. Two-pass
-    * (vocab aggregate, then a vocab→tokens join); vocab is broadcast here,
-    * and the join degrades gracefully to a shuffle join on token when the
-    * vocabulary outgrows the broadcast threshold. */
+    * (vocab aggregate, then a vocab→tokens join); the join side is left
+    * unhinted so the optimizer/AQE broadcasts the vocab while it fits the
+    * threshold and falls back to a shuffle join on token when a real
+    * corpus vocabulary outgrows it (a forced broadcast would OOM the
+    * driver instead of degrading). */
   val CommonScale = 100000000L
   def q36_unigram_score(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -269,7 +271,7 @@ object DataPrepQueries {
     val scored = vocab.crossJoin(broadcast(total))
       .withColumn("tok_common",
         floor(lit(CommonScale) * col("tf") / col("n_total")).cast("long"))
-    val agg = toks.join(broadcast(scored.select("token", "tok_common")), "token")
+    val agg = toks.join(scored.select("token", "tok_common"), "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("tok_common").as("common_sum"))
     docs.select("doc_id").join(agg, Seq("doc_id"), "left")
@@ -418,8 +420,12 @@ object DataPrepQueries {
   val EvalMod = 20L
   def q53_decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val banded = Dedup.minhashBands(docs,
-      n = ShingleN, bands = MinhashBands, rowsPerBand = MinhashRows)
+    // persist (tracked): the banded table feeds BOTH the eval-keys branch
+    // and the contaminated branch — uncached, the full shingle→MinHash
+    // signature subtree would execute twice (the same measured 2× cost
+    // minhashLshPairs persists against)
+    val banded = Dedup.cacheTracked(Dedup.minhashBands(docs,
+      n = ShingleN, bands = MinhashBands, rowsPerBand = MinhashRows))
     val evalKeys = banded.filter(pmod(col("id"), lit(EvalMod)) === 0)
       .select("band", "band_key").distinct()
     val contaminated = banded.filter(pmod(col("id"), lit(EvalMod)) =!= 0)

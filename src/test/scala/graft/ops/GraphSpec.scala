@@ -70,6 +70,16 @@ class GraphSpec extends SparkSpec {
     assert(out.length == 10)
   }
 
+  test("connectedComponents throws instead of returning partial labels at the cap") {
+    // path of length 12 needs ~11 propagation rounds; maxIter=3 must fail
+    // LOUDLY (silently truncated labels would corrupt cluster canonicals)
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Graph.connectedComponents(pairs, maxIter = 3).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("dupClusters converges on a long path (diameter > 1 iteration)") {
     // path 0-1-2-...-19: worst-case diameter for min propagation
     val docs = (0L to 19L).toDF("doc_id")
