@@ -18,8 +18,10 @@ object SparkEntry {
     CdcQueries.q09_transactions_view(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CdcQueries.defs ++ DataPrepQueries.defs ++ RelationalQueries.defs
+    CdcQueries.defs ++ DataPrepQueries.defs ++ RelationalQueries.defs ++
+      PipelineQueries.defs
 
   def oracleSql: Map[String, String] =
-    CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles
+    CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
+      PipelineQueries.oracles
 }

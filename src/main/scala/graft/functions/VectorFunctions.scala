@@ -36,6 +36,21 @@ object VectorFunctions {
   def qcosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / sqrt(n2a.cast("double") * n2b.cast("double"))
 
+  /** Max absolute element of a quantized vector (the symmetric-quantization
+    * scale denominator), BIGINT-exact. */
+  def qmaxAbs(qv: Column): Column =
+    aggregate(qv, lit(0L), (acc, x) => greatest(acc, abs(x)))
+
+  /** Symmetric int8 quantization of a quantized(1000) vector: each element
+    * maps to floor(127·x / scale) for scale = max |element| (0-vectors map
+    * to all zeros). Integer inputs + IEEE-exact double division + floor
+    * make the result identical across engines — the storage-compression
+    * step (4 bytes/float → 1 byte) an embedding pipeline applies before
+    * shipping vectors to an index, expressed as a pure codegen'd scalar. */
+  def int8Quantize(qv: Column, qscale: Column): Column =
+    transform(qv, x =>
+      when(qscale > 0, floor(x * lit(127L) / qscale)).otherwise(lit(0L)).cast("long"))
+
   /** Random-hyperplane LSH bucket for cosine similarity: `nBits` sign bits
     * of pseudo-random ±1 projections. Hyperplane j's coefficient on
     * coordinate i is `sign(xxhash64(j, i))` — deterministic, shipped as

@@ -219,6 +219,31 @@ object Relational {
         }: _*)
   }
 
+  /** Range join as an EQUI-join: match each left row to the right rows with
+    * the same `key` and `rightTs` in [`leftTs`, `leftTs` + `windowMs`).
+    *
+    * Spark plans a raw time-inequality join as a broadcast-nested-loop (or
+    * worse, a cartesian) — O(|L|·|R|) per key and the classic range-join
+    * scale-killer. Binning restores the hash shuffle: right rows get their
+    * `windowMs`-wide time bucket, left rows explode to the (at most) TWO
+    * buckets their window can overlap, the join runs on (key, bucket) —
+    * shuffle-partitionable, AQE-skew-splittable — and the exact inequality
+    * is a post-join filter. A right row's single bucket matches at most one
+    * of a left row's two candidate buckets, so no dedup is needed.
+    *
+    * `leftTs`/`rightTs` must be differently-named epoch-ms columns; all
+    * other column names must be disjoint apart from `key`. */
+  def binnedRangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowMs: Long): DataFrame = {
+    val lb = left.withColumn("__bin", explode(array(
+      expr(s"$leftTs div ${windowMs}L"),
+      expr(s"$leftTs div ${windowMs}L + 1"))))
+    val rb = right.withColumn("__bin", expr(s"$rightTs div ${windowMs}L"))
+    lb.join(rb, Seq(key, "__bin"))
+      .filter(col(rightTs) >= col(leftTs) && col(rightTs) < col(leftTs) + lit(windowMs))
+      .drop("__bin")
+  }
+
   /** O17 — checkpoint cadence: mark every Nth record in a total order
     * (reference saves the resume token every 5 events,
     * `EcommerceTransactionsLogEventsStream.kt:144-149`). Built on
