@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.defs ++ DataPrepQueries.defs ++ RelationalQueries.defs ++
-      PipelineQueries.defs
+      PipelineQueries.defs ++ AnalyticsQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++ AnalyticsQueries.oracles
 }

@@ -76,6 +76,16 @@ case class ArrayDotLong(left: Expression, right: Expression)
 object GraftFunctions {
   val DotLong = "graft_dot_long"
   val TopKDotName = "graft_topk_dot"
+  val MinHashSigName = "graft_minhash_sig"
+  val SimHash64Name = "graft_simhash64"
+
+  /** Literal-int extraction for builder lambdas (k arguments must be
+    * foldable — a non-literal k is a registration-time error, not a
+    * runtime surprise). */
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    require(e.foldable, s"expected a literal int argument, got $e")
+    e.eval().asInstanceOf[Int]
+  }
 
   /** Idempotently register the engine's custom expressions on a session.
     * Called from the operators that use them (the driver hands us a bare
@@ -92,5 +102,11 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(TopKDotName)))
       reg.createOrReplaceTempFunction(
         TopKDotName, exprs => TopKDot(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(MinHashSigName)))
+      reg.createOrReplaceTempFunction(
+        MinHashSigName, exprs => MinHashSig(exprs.head, litInt(exprs(1))), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(SimHash64Name)))
+      reg.createOrReplaceTempFunction(
+        SimHash64Name, exprs => SimHash64(exprs.head), "scala_udf")
   }
 }

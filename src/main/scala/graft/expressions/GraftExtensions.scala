@@ -20,5 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.TopKDotName),
       new ExpressionInfo(classOf[TopKDot].getName, GraftFunctions.TopKDotName),
       (exprs: Seq[Expression]) => TopKDot(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.MinHashSigName),
+      new ExpressionInfo(classOf[MinHashSig].getName, GraftFunctions.MinHashSigName),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head,
+        { require(exprs(1).foldable); exprs(1).eval().asInstanceOf[Int] })))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.SimHash64Name),
+      new ExpressionInfo(classOf[SimHash64].getName, GraftFunctions.SimHash64Name),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
   }
 }

@@ -99,12 +99,29 @@ object TextFunctions {
     * (`.withColumn("toks", wsTokens(normalizeText(text)))`) — passing the
     * normalize+split expression directly would re-evaluate it inside every
     * `element_at`, i.e. ~3n times per row (measured 8× slowdown on the
-    * shingle pipeline). */
+    * shingle pipeline).
+    *
+    * The distinct SET of shingles, in sorted order. Dedup is sort +
+    * adjacent-compare — `array_distinct` on string arrays is O(s²)
+    * pairwise (measured 29 s for one sf0.1 partition, ~500–2000 shingles
+    * per doc; a 100k-token doc would be ~10¹⁰ comparisons), the sort path
+    * is O(s log s). The adjacent compare is `zip_with` against a
+    * shifted-by-one copy — zip_with evaluates each argument array ONCE
+    * per row, where an index-lambda `element_at(sorted, i)` would re-sort
+    * per element. Every consumer treats the result as a set (explode →
+    * aggregate, or MinHash min), so the order change is unobservable;
+    * SQL oracles compare exploded rows, not list order. */
   def shinglesFromTokens(toks: Column, n: Int): Column = {
     val count = size(toks) - (n - 1)
+    val grams = transform(sequence(lit(0), count - 1), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    val sorted = array_sort(grams)
+    val prev = concat(array(lit(null).cast("string")),
+      slice(sorted, lit(1), size(sorted) - 1))
     when(count <= 0, array().cast("array<string>")).otherwise(
-      array_distinct(transform(sequence(lit(0), count - 1), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      filter(zip_with(sorted, prev, (x, p) =>
+        when(x <=> p, lit(null).cast("string")).otherwise(x)),
+        x => x.isNotNull))
   }
 
   /** Word n-gram shingles over the normalized text (the MinHash/Jaccard

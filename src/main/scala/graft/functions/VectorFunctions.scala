@@ -30,6 +30,11 @@ object VectorFunctions {
   def qnorm2(v: Column): Column =
     aggregate(v, lit(0L), (acc, x) => acc + x * x)
 
+  /** Exact squared L2 distance between two quantized vectors. */
+  def qdist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
   /** Double cosine similarity from quantized parts — for ranking/tests
     * (derived from exact integers, so cross-engine stable when only
     * compared, not hashed). */

@@ -49,6 +49,22 @@ object Dedup {
     if (q != null) q.forEach(df => df.unpersist(blocking = false))
   }
 
+  /** Spread a narrow input across the session's cores before a
+    * compute-heavy scalar stage. The fused signature expressions removed
+    * the explode→groupBy shuffle from the LSH family — which also removed
+    * the repartitioning that shuffle incidentally provided, so a corpus
+    * arriving as fewer splits than cores (the bench's single 600 KB
+    * parquet; any small file) would hash single-threaded (measured 33 s vs
+    * ~3 s at sf0.1). At real scale the input has ≫ cores splits and this
+    * is a NO-OP — the round-robin shuffle only fires for under-split
+    * inputs, where it moves less data than the explode shuffle it
+    * replaced ever did. */
+  private def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch partitioning is the source's
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup via content fingerprint: one shuffle on md5(normalized
     * text). Returns (doc_id, fingerprint, canonical_id, is_dup) — the
     * classic keep-first policy (canonical = min doc_id in the group). */
@@ -100,8 +116,11 @@ object Dedup {
     // tokens materialized in their own projection (see shinglesFromTokens);
     // the exploded shingle table is reused 3× below — persist it, tracked
     // (at 100 TB: DISK_ONLY or a staged table instead)
-    val sh = cacheTracked(docs
-      .select(col(idCol).as("id"), wsTokens(normalizeText(col(textCol))).as("__toks"))
+    // spread before the shingle build: without it, an under-split input
+    // (one parquet file locally) computes every doc's sorted shingle set
+    // on one task before the first shuffle (see spread())
+    val sh = cacheTracked(spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), wsTokens(normalizeText(col("__text"))).as("__toks"))
       .select(col("id"), explode(shinglesFromTokens(col("__toks"), n)).as("shingle")))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val capped = sh.join(
@@ -125,19 +144,38 @@ object Dedup {
   /** MinHash signature: `numHashes` independent min-hashes of the shingle
     * set. Hash h_i(s) = md5(i || ':' || s); the signature component is the
     * lexicographic MIN hex string — a uniform permutation min, and exactly
-    * expressible in the SQL oracle. One shuffle (groupBy id). */
+    * expressible in the SQL oracle.
+    *
+    * Computed by the fused [[graft.expressions.MinHashSig]] scalar: one
+    * pass over the document's shingle array with a reused MessageDigest,
+    * NO explode and NO shuffle (the declarative explode → 16 md5 columns →
+    * groupBy(id) form shuffled |docs|·|shingles| rows and allocated a
+    * digest per (shingle, hash); measured ~2× the whole LSH query). The
+    * signature is bit-identical — the oracle SQL is unchanged. */
   def minhashSignature(
       docs: DataFrame,
       n: Int = 3,
       numHashes: Int = 16,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), wsTokens(normalizeText(col(textCol))).as("__toks"))
-      .select(col("id"), explode(shinglesFromTokens(col("__toks"), n)).as("shingle"))
-    val mins = (0 until numHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit(":"), col("shingle")))).as(s"mh$i"))
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), wsTokens(normalizeText(col("__text"))).as("__toks"))
+      // "docs with no shingles emit no signature row" (the explode
+      // formulation's semantics) — expressed as a PRE-filter on the token
+      // count (exactly ⟺ sig IS NOT NULL: shingles exist iff ≥ n tokens).
+      // A post-filter on the signature column gets predicate-pushed below
+      // the spread() exchange into the scan, where the single scan task
+      // would evaluate the whole shingle+hash subtree serially per row
+      // (measured 30 s vs 0.5 s at sf0.1). The token count is the cheap
+      // pushable equivalent.
+      .where(size(col("__toks")) >= n)
+      .select(col("id"), shinglesFromTokens(col("__toks"), n).as("__sh"))
+      .select(col("id"),
+        call_function(graft.expressions.GraftFunctions.MinHashSigName,
+          col("__sh"), lit(numHashes)).as("__sig"))
+      .select(col("id") +:
+        (0 until numHashes).map(i => col("__sig").getItem(i).as(s"mh$i")): _*)
   }
 
   /** MinHash LSH candidate pairs: split the signature into `bands` bands of
@@ -203,25 +241,22 @@ object Dedup {
     * 64-bit pattern, negative when bit 63 is set — both engines do the
     * identical two's-complement arithmetic. */
   def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(wsTokens(normalizeText(col(textCol)))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val nibbles = toks.select(col("id") +: (0 until 16).map { p =>
-      conv(substring(col("h"), p + 1, 1), 16, 10).cast("int").as(s"v$p")
-    }: _*)
-    val bitSums = (0 until 64).map { j =>
-      sum(when(col(s"v${j / 4}").bitwiseAND(lit(1 << (j % 4))) > 0, lit(1))
-        .otherwise(lit(-1))).as(s"s$j")
-    }
-    // bit-63 term is Long.MinValue (2^63 wraps); prefix sums of the
-    // ascending-j fold never overflow: sum of bits 0..62 <= 2^63-1
-    val sigBits = (0 until 64).map { j =>
-      val term = if (j == 63) Long.MinValue else 1L << j
-      when(col(s"s$j") >= 0, lit(term)).otherwise(lit(0L))
-    }
-    nibbles.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash", sigBits.reduce(_ + _))
-      .select(col("id"), col("simhash"))
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    // fused scalar (graft.expressions.SimHash64): one md5 per token with a
+    // reused digest, bit-majority accumulated in a local int[64] — replaces
+    // the explode → 16 nibble columns → 64 sum() aggregates formulation,
+    // which shuffled every token row and re-decoded nibbles per bit. Same
+    // bit-for-bit signature; oracle SQL unchanged.
+    spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), wsTokens(normalizeText(col("__text"))).as("__toks"))
+      // token-less docs emit no row (explode semantics), as a PRE-filter:
+      // ≥1 token ⟺ simhash IS NOT NULL, and the cheap token count is what
+      // gets predicate-pushed to the scan — not the fused hash (see
+      // minhashSignature)
+      .where(size(col("__toks")) >= 1)
+      .select(col("id"),
+        call_function(graft.expressions.GraftFunctions.SimHash64Name, col("__toks"))
+          .as("simhash"))
   }
 
   /** SimHash near-dup pairs: hamming distance <= maxDist. Candidate

@@ -115,12 +115,15 @@ object Relational {
       .agg(count(lit(1)).as("__cnt"), min("__mid").as("__base"))
     // one row per partition (~tasks rows): the constant partition key is
     // semantically the no-partition window but skips WindowExec's
-    // move-everything warning, which would otherwise read like a scale bug
+    // move-everything warning, which would otherwise read like a scale bug.
+    // pmod(__pid, 1) not lit(0): Spark 4's EliminateWindowPartitions folds
+    // a LITERAL partition key to the empty spec, resurrecting the warning —
+    // a column-referencing constant is not foldable, so the spec survives
     val offsets = counts.withColumn(
       "__offset",
       coalesce(
         sum(col("__cnt")).over(
-          Window.partitionBy(lit(0)).orderBy("__pid")
+          Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy("__pid")
             .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
     sorted
@@ -158,9 +161,10 @@ object Relational {
       "__offset",
       coalesce(
         sum(col("__t")).over(
-          // constant partition key: see globalIndex — same tiny input,
-          // no move-everything warning
-          Window.partitionBy(lit(0)).orderBy("__pid")
+          // non-foldable constant partition key: see globalIndex — same
+          // tiny input, no move-everything warning, survives
+          // EliminateWindowPartitions
+          Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy("__pid")
             .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
     sorted

@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.ops.{Intervals, KMeans, Relational}
+
+/** Round-3b analytics surface: temporal tables (SCD2, LOCF gap-fill),
+  * n-gram language-model counts, deterministic k-means, Zipf head-coverage,
+  * and a mergeable quantile sketch. Same oracle conventions as the sibling
+  * modules: integer quantization, md5-free exact arithmetic, identical
+  * aliases both sides, ORDER BY a unique key.
+  */
+object AnalyticsQueries {
+
+  val DayMs = 86400000L
+  val TriMinCount = 3
+  val KmeansK = 8
+  val KmeansIters = 2
+  val ZipfTopK = 30
+  val Percentiles = Seq(50, 90, 99)
+
+  /** X53 — SCD Type-2 status intervals: each user's event-type history
+    * collapsed to change intervals with validity ranges and version
+    * numbers — the "what was the state WHEN" table the reference's
+    * current-state view (§2.3 q09) cannot answer. One shuffle on user_id;
+    * both windows and the run-collapse share it. */
+  def q62_scd2_intervals(spark: SparkSession, dir: String): DataFrame =
+    Intervals.scd2(Tables.events(spark, dir),
+      key = "user_id", ts = "ts_ms", tie = "event_id", attr = "event_type")
+      .select(col("user_id"), col("status"),
+        col("valid_from").as("valid_from_ms"),
+        col("valid_to").as("valid_to_ms"), col("version"))
+      .orderBy("user_id", "version")
+
+  /** X54 — LOCF daily gap-fill: per user, a dense daily series carrying
+    * the last observed event type forward across silent days — the as-of
+    * snapshot grid feature stores and retention dashboards sit on. Grid
+    * fan-out is bounded by the calendar span; every window is per-key. */
+  def q63_locf_daily(spark: SparkSession, dir: String): DataFrame =
+    Intervals.locfDailyFill(Tables.events(spark, dir),
+      key = "user_id", tsMs = "ts_ms", tie = "event_id",
+      attr = "event_type", dayMs = DayMs)
+      .orderBy("user_id", "day_ms")
+
+  /** X55 — trigram language-model counts with Kneser–Ney continuation
+    * counts: trigram frequencies (thresholded) joined with the distinct
+    * left-context count of each trigram's suffix bigram — the two tables a
+    * smoothed n-gram LM interpolates. Two partial-aggregated shuffles over
+    * exploded n-grams + one equi-join on the bigram. */
+  def q64_trigram_lm(spark: SparkSession, dir: String): DataFrame = {
+    val tris = Tables.documents(spark, dir)
+      .select(wsTokens(normalizeText(col("text"))).as("t"))
+      .select(explode(ngramsAll(col("t"), 3)).as("tri"))
+    val suffix = expr("substring(tri, instr(tri, ' ') + 1)")
+    val triCounts = tris.groupBy("tri").agg(count(lit(1)).as("n_tri"))
+      .filter(col("n_tri") >= TriMinCount)
+    val cont = tris
+      .select(substring_index(col("tri"), " ", 1).as("w1"), suffix.as("bigram"))
+      .groupBy("bigram").agg(countDistinct("w1").as("n_continuations"))
+    triCounts.withColumn("bigram", suffix)
+      .join(cont, "bigram")
+      .select(col("tri"), col("bigram"), col("n_tri"), col("n_continuations"))
+      .orderBy("tri")
+  }
+
+  /** X56 — deterministic k-means (2 Lloyd rounds, k = 8, lowest-id seed):
+    * the IVF-coarse-quantizer training loop, oracle-verified end-to-end.
+    * Per round: one broadcast crossJoin (corpus never shuffles) + one
+    * k·dim-cell centroid aggregate. */
+  def q65_kmeans_assign(spark: SparkSession, dir: String): DataFrame =
+    KMeans.lloydAssign(Tables.embeddings(spark, dir), KmeansK, KmeansIters)
+      .select(col("id").as("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+
+  /** X57 — Zipf head-coverage: the top-`ZipfTopK` corpus tokens with
+    * cumulative coverage of total token mass — the "how much does the
+    * head explain" report behind vocabulary-size and stopword decisions.
+    * Top-k via TakeOrderedAndProject (no global sort), then rank/cumsum by
+    * the two-phase global index/cumsum over the k surviving rows. */
+  def q66_zipf_coverage(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(wsTokens(normalizeText(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = vocab.agg(sum("n").as("total_n"))
+    val top = vocab.orderBy(col("n").desc, col("token")).limit(ZipfTopK)
+    val ranked = Relational.globalIndex(top, Seq(col("n").desc, col("token")), "rank")
+    Relational.globalCumSum(ranked, Seq(col("rank")), col("n"), "cum_n")
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("n"), col("cum_n"),
+        floor(lit(10000L) * col("cum_n") / col("total_n")).cast("long")
+          .as("coverage_x10k"))
+      .orderBy("rank")
+  }
+
+  /** X58 — mergeable quantile sketch: per event type, approximate p50/p90/
+    * p99 of the money column via `percentile_approx` — like the HLL sketch
+    * (X50), the partial aggregate is a mergeable sketch, so the shuffle
+    * carries one sketch per (type, task) instead of every value; the exact
+    * `percentile` (q48) needs the full value multiset per group.
+    * Approximate ⇒ no SQL oracle (rows-only); AnalyticsSpec pins each
+    * estimate within 1% of the exact percentile and the split-merge
+    * equality at test scale. */
+  def q67_quantile_sketch(spark: SparkSession, dir: String): DataFrame = {
+    val pArr = array(Percentiles.map(p => lit(p / 100.0)): _*)
+    Tables.eventsCents(spark, dir)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value_c"), pArr, lit(10000)).as("__qs"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        posexplode(col("__qs")).as(Seq("__pos", "approx_value_c")))
+      .select(col("event_type"),
+        element_at(array(Percentiles.map(p => lit(p.toLong)): _*),
+          col("__pos") + 1).as("p_x100"),
+        col("approx_value_c"), col("n_events"))
+      .orderBy("event_type", "p_x100")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_scd2_intervals" -> q62_scd2_intervals,
+    "q63_locf_daily" -> q63_locf_daily,
+    "q64_trigram_lm" -> q64_trigram_lm,
+    "q65_kmeans_assign" -> q65_kmeans_assign,
+    "q66_zipf_coverage" -> q66_zipf_coverage,
+    "q67_quantile_sketch" -> q67_quantile_sketch
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val norm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g'))"
+  private val normToks =
+    s"CASE WHEN len(trim($norm)) = 0 THEN [] ELSE regexp_split_to_array(trim($norm), '\\s+') END"
+  private val quantVec =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** One Lloyd round in DuckDB: assignment CTEs from centroids `cin`,
+    * producing assignment `aout`. */
+  private def lloydRound(i: Int, cin: String): String =
+    s"""p$i AS (SELECT q.id, $cin.cluster, unnest(q.vq) AS a, unnest($cin.cvq) AS b
+       |        FROM q, $cin),
+       |d$i AS (SELECT id, cluster, CAST(sum((a-b)*(a-b)) AS BIGINT) AS d2
+       |        FROM p$i GROUP BY id, cluster),
+       |a$i AS (SELECT id, cluster FROM (
+       |          SELECT id, cluster,
+       |                 row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+       |          FROM d$i) WHERE rn = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q62_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+        |         lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, ts_ms, event_id, event_type FROM e
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS status, ts_ms AS valid_from_ms,
+        |       CAST(coalesce(lead(ts_ms) OVER
+        |         (PARTITION BY user_id ORDER BY ts_ms, event_id), -1) AS BIGINT)
+        |         AS valid_to_ms,
+        |       CAST(row_number() OVER
+        |         (PARTITION BY user_id ORDER BY ts_ms, event_id) AS BIGINT) AS version
+        |FROM c ORDER BY user_id, version""".stripMargin,
+    "q63_locf_daily" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ms(ts) // $DayMs AS day, epoch_ms(ts) AS ts_ms,
+         |         event_id, event_type
+         |  FROM events),
+         |d AS (SELECT user_id, day, event_type AS day_last,
+         |             count(*) OVER (PARTITION BY user_id, day) AS n,
+         |             row_number() OVER (PARTITION BY user_id, day
+         |                                ORDER BY ts_ms DESC, event_id DESC) AS rn
+         |      FROM e),
+         |dl AS (SELECT user_id, day, day_last, n FROM d WHERE rn = 1),
+         |s AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY user_id),
+         |g AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM s),
+         |j AS (SELECT g.user_id, g.day, dl.day_last, dl.n
+         |      FROM g LEFT JOIN dl ON g.user_id = dl.user_id AND g.day = dl.day)
+         |SELECT user_id, CAST(day * $DayMs AS BIGINT) AS day_ms,
+         |       last_value(day_last IGNORE NULLS) OVER
+         |         (PARTITION BY user_id ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS event_type_filled,
+         |       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+         |       CAST(CASE WHEN day_last IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed
+         |FROM j ORDER BY user_id, day_ms""".stripMargin,
+    "q64_trigram_lm" ->
+      s"""WITH d AS (SELECT $normToks AS t FROM documents),
+         |tri AS (
+         |  SELECT unnest(CASE WHEN len(t) - 2 <= 0 THEN []
+         |         ELSE list_transform(generate_series(1, len(t) - 2),
+         |                             i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS tri
+         |  FROM d),
+         |tc AS (SELECT tri, count(*) AS n_tri FROM tri GROUP BY tri
+         |       HAVING count(*) >= $TriMinCount),
+         |ct AS (SELECT substr(tri, strpos(tri, ' ') + 1) AS bigram,
+         |              count(DISTINCT split_part(tri, ' ', 1)) AS n_continuations
+         |       FROM tri GROUP BY bigram)
+         |SELECT tc.tri, ct.bigram, CAST(tc.n_tri AS BIGINT) AS n_tri,
+         |       CAST(ct.n_continuations AS BIGINT) AS n_continuations
+         |FROM tc JOIN ct ON substr(tc.tri, strpos(tc.tri, ' ') + 1) = ct.bigram
+         |ORDER BY tc.tri""".stripMargin,
+    "q65_kmeans_assign" ->
+      s"""WITH q AS (SELECT vec_id AS id, $quantVec AS vq FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cluster,
+         |              vq AS cvq
+         |       FROM (SELECT id, vq FROM q ORDER BY id LIMIT $KmeansK)),
+         |${lloydRound(1, "c0")},
+         |e1 AS (SELECT a1.cluster,
+         |              unnest(generate_series(1, len(q.vq))) AS pos, unnest(q.vq) AS v
+         |       FROM q JOIN a1 ON q.id = a1.id),
+         |m1 AS (SELECT cluster, pos,
+         |              CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |       FROM e1 GROUP BY cluster, pos),
+         |c1 AS (SELECT cluster, list(cv ORDER BY pos) AS cvq FROM m1 GROUP BY cluster),
+         |${lloydRound(2, "c1")}
+         |SELECT id AS vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
+    "q66_zipf_coverage" ->
+      s"""WITH tok AS (SELECT unnest($normToks) AS token FROM documents),
+         |v AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM v),
+         |top AS (SELECT token, n,
+         |               CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+         |        FROM v ORDER BY n DESC, token LIMIT $ZipfTopK)
+         |SELECT rank, token, CAST(n AS BIGINT) AS n,
+         |       CAST(sum(n) OVER (ORDER BY rank) AS BIGINT) AS cum_n,
+         |       CAST(floor(10000 * CAST(sum(n) OVER (ORDER BY rank) AS BIGINT)
+         |                  / total_n) AS BIGINT) AS coverage_x10k
+         |FROM top, t ORDER BY rank""".stripMargin
+    // q67: approximate sketch — intentionally no SQL oracle (rows-only);
+    // AnalyticsSpec pins the estimates against the exact percentiles
+  )
+}

@@ -194,6 +194,34 @@ class PlanSpec extends SparkSpec {
       s"expected a join keyed on (user_id, __salt):\n$plan")
   }
 
+  test("q62 SCD2: exactly one data shuffle (both windows share the user_id exchange)") {
+    val plan = executed(graft.queries.AnalyticsQueries.q62_scd2_intervals(spark, sfDir))
+    // shuffles that move event rows: exchanges keyed on user_id. The final
+    // orderBy adds a range exchange; the two windows + run-collapse must
+    // NOT re-exchange between them.
+    val hashExchanges = collectAll(plan).collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.startsWith("hashpartitioning") &&
+            e.outputPartitioning.toString.contains("user_id") => e
+    }
+    assert(hashExchanges.size <= 1,
+      s"SCD2 must reuse one user_id exchange, found ${hashExchanges.size}:\n$plan")
+  }
+
+  test("q65 k-means: centroids broadcast, the corpus side never sort-merge joins") {
+    val plan = executed(graft.queries.AnalyticsQueries.q65_kmeans_assign(spark, sfDir))
+    val nodes = collectAll(plan)
+    val broadcasts = nodes.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(broadcasts.nonEmpty, s"expected broadcast centroid joins:\n$plan")
+    val smj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, s"k-means must not sort-merge join the corpus:\n$plan")
+  }
+
   test("custom expression resolves in SQL after registration; extensions class wires") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(

@@ -28,8 +28,9 @@ class QueriesSmokeSpec extends SparkSpec {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
     // rows-only exceptions must stay rare and intentional (q21: xxhash64
-    // planes not SQL-expressible; q61: approximate sketch estimate)
-    assert((qs -- os) == Set("q21_ann_lsh_topk", "q61_distinct_sketch"),
+    // planes not SQL-expressible; q61/q67: approximate sketch estimates)
+    assert((qs -- os) ==
+      Set("q21_ann_lsh_topk", "q61_distinct_sketch", "q67_quantile_sketch"),
       s"unexpected rows-only: ${qs -- os}")
   }
 }
