@@ -117,13 +117,51 @@ object AnalyticsQueries {
       .orderBy("event_type", "p_x100")
   }
 
+  /** X60 — rolling event-time frame aggregate: per user, each active day's
+    * trailing-7-day spend and activity, via a RANGE frame on the integer
+    * day (rows-frames would silently skip calendar gaps). One shuffle on
+    * (user, day) for the daily rollup; the frame window reuses the user
+    * partitioning. State per task = one frame, never the whole key. */
+  def q68_rolling_spend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.eventsCents(spark, dir)
+      .withColumn("day", expr(s"ts_ms div ${DayMs}L"))
+      .groupBy("user_id", "day")
+      .agg(sum("value_c").as("day_value_c"), count(lit(1)).as("day_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+    daily
+      .select(col("user_id"), (col("day") * lit(DayMs)).as("day_ms"),
+        col("day_value_c"), col("day_events"),
+        sum("day_value_c").over(w).as("sum_7d_c"),
+        count(lit(1)).over(w).as("days_7d"))
+      .orderBy("user_id", "day_ms")
+  }
+
+  /** X61 — scale-safe decile assignment: documents ranked by (n_chars
+    * desc, doc_id) through the two-phase global index, decile = explicit
+    * `floor((rank-1)·10 / total)` (NOT `ntile`, whose remainder-spreading
+    * is engine-specific) — the global-sort bucketing `ntile(10) OVER
+    * (ORDER BY …)` would do on ONE task at any corpus size. */
+  def q69_length_deciles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    val total = docs.agg(count(lit(1)).as("total_n"))
+    Relational.globalIndex(docs, Seq(col("n_chars").desc, col("doc_id")), "rank")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_chars"), col("rank"),
+        (floor((col("rank") - 1) * lit(10L) / col("total_n")) + 1).cast("long")
+          .as("decile"))
+      .orderBy("rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_scd2_intervals" -> q62_scd2_intervals,
     "q63_locf_daily" -> q63_locf_daily,
     "q64_trigram_lm" -> q64_trigram_lm,
     "q65_kmeans_assign" -> q65_kmeans_assign,
     "q66_zipf_coverage" -> q66_zipf_coverage,
-    "q67_quantile_sketch" -> q67_quantile_sketch
+    "q67_quantile_sketch" -> q67_quantile_sketch,
+    "q68_rolling_spend" -> q68_rolling_spend,
+    "q69_length_deciles" -> q69_length_deciles
   )
 
   // ---------------------------------------------------------------- oracles
@@ -228,8 +266,31 @@ object AnalyticsQueries {
          |       CAST(sum(n) OVER (ORDER BY rank) AS BIGINT) AS cum_n,
          |       CAST(floor(10000 * CAST(sum(n) OVER (ORDER BY rank) AS BIGINT)
          |                  / total_n) AS BIGINT) AS coverage_x10k
-         |FROM top, t ORDER BY rank""".stripMargin
+         |FROM top, t ORDER BY rank""".stripMargin,
     // q67: approximate sketch — intentionally no SQL oracle (rows-only);
     // AnalyticsSpec pins the estimates against the exact percentiles
+    "q68_rolling_spend" ->
+      s"""WITH d AS (
+         |  SELECT user_id, epoch_ms(ts) // $DayMs AS day,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_value_c,
+         |         count(*) AS day_events
+         |  FROM events GROUP BY user_id, day)
+         |SELECT user_id, CAST(day * $DayMs AS BIGINT) AS day_ms,
+         |       day_value_c, day_events,
+         |       CAST(sum(day_value_c) OVER
+         |         (PARTITION BY user_id ORDER BY day
+         |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_7d_c,
+         |       CAST(count(*) OVER
+         |         (PARTITION BY user_id ORDER BY day
+         |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_7d
+         |FROM d ORDER BY user_id, day_ms""".stripMargin,
+    "q69_length_deciles" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total_n FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |             CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+        |      FROM documents)
+        |SELECT doc_id, n_chars, rank,
+        |       CAST(floor((rank - 1) * 10 / total_n) + 1 AS BIGINT) AS decile
+        |FROM r, t ORDER BY rank""".stripMargin
   )
 }

@@ -51,15 +51,20 @@ object ViewStore {
 
   private val ManifestRe = "MANIFEST-([0-9]{20})".r
 
-  def readManifest(spark: SparkSession, viewPath: String): Option[Manifest] = {
-    val f = fs(spark, viewPath)
-    val root = new Path(viewPath)
-    if (!f.exists(root)) return None
-    val manifests = f.listStatus(root).map(_.getPath.getName).collect {
+  /** Superseded manifests kept live for time-travel reads ([[readAt]]).
+    * Every generation dir referenced by ANY retained manifest survives GC,
+    * so the last `RetainManifests` snapshots stay fully readable — the
+    * plain-parquet form of table-format snapshot retention. */
+  val RetainManifests = 3
+
+  private def manifestSeqs(f: FileSystem, root: Path): Seq[(Long, String)] = {
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).map(_.getPath.getName).collect {
       case n @ ManifestRe(seq) => (seq.toLong, n)
-    }
-    if (manifests.isEmpty) return None
-    val (seq, name) = manifests.maxBy(_._1)
+    }.toSeq.sortBy(_._1)
+  }
+
+  private def parseManifest(f: FileSystem, root: Path, seq: Long, name: String): Manifest = {
     val in = f.open(new Path(root, name))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty)
@@ -68,7 +73,30 @@ object ViewStore {
       val Array(b, rel) = l.split("=", 2)
       b.toInt -> rel
     }.toMap
-    Some(Manifest(seq, batchId, buckets))
+    Manifest(seq, batchId, buckets)
+  }
+
+  def readManifest(spark: SparkSession, viewPath: String): Option[Manifest] = {
+    val f = fs(spark, viewPath)
+    val root = new Path(viewPath)
+    val seqs = manifestSeqs(f, root)
+    seqs.lastOption.map { case (seq, name) => parseManifest(f, root, seq, name) }
+  }
+
+  /** All live snapshot sequence numbers, oldest first (≤ RetainManifests). */
+  def snapshots(spark: SparkSession, viewPath: String): Seq[Long] =
+    manifestSeqs(fs(spark, viewPath), new Path(viewPath)).map(_._1)
+
+  /** Time travel: the view as of manifest `seq` — None if that snapshot
+    * was never written or has been GC'd past the retention window. */
+  def readAt(spark: SparkSession, viewPath: String, seq: Long): Option[DataFrame] = {
+    val f = fs(spark, viewPath)
+    val root = new Path(viewPath)
+    manifestSeqs(f, root).find(_._1 == seq).flatMap { case (s, name) =>
+      val m = parseManifest(f, root, s, name)
+      if (m.buckets.isEmpty) None
+      else Some(spark.read.parquet(m.buckets.values.map(rel => s"$viewPath/$rel").toSeq: _*))
+    }
   }
 
   def alreadyApplied(spark: SparkSession, viewPath: String, batchId: Long): Boolean =
@@ -117,7 +145,38 @@ object ViewStore {
       lastBatchId = batchId,
       buckets = prior.map(_.buckets).getOrElse(Map.empty) ++ updated)
     writeManifest(f, root, next)
-    gc(f, root, prior, next)
+    gc(f, root)
+  }
+
+  /** Maintenance compaction: rewrite every live bucket into ONE fresh
+    * generation with one task (→ one file) per bucket, then flip the
+    * manifest. Streaming appends accumulate a generation dir per
+    * micro-batch and several files per touched bucket (one per writing
+    * task); compaction bounds both — run it like a table format's OPTIMIZE,
+    * between batches (single-writer contract covers it, since foreachBatch
+    * serializes). `keyCol` re-derives `__bucket` (the partition column is
+    * not recoverable from the leaf-dir reads). The compacted manifest
+    * keeps `lastBatchId`, so replay idempotence is unaffected. */
+  def compact(spark: SparkSession, viewPath: String, keyCol: String): Unit = {
+    val f = fs(spark, viewPath)
+    val root = new Path(viewPath)
+    readManifest(spark, viewPath).foreach { m =>
+      if (m.buckets.nonEmpty) {
+        val df = spark.read
+          .parquet(m.buckets.values.map(rel => s"$viewPath/$rel").toSeq: _*)
+          .withColumn("__bucket", bucketOf(col(keyCol)))
+        val genRel = f"compact-${m.seq + 1}%020d"
+        df.repartition(m.buckets.size, col("__bucket"))
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(s"$viewPath/$genRel")
+        val live = m.buckets.keys.flatMap { b =>
+          val rel = s"$genRel/__bucket=$b"
+          if (f.exists(new Path(root, rel))) Some(b -> rel) else None
+        }.toMap
+        writeManifest(f, root, Manifest(m.seq + 1, m.lastBatchId, live))
+        gc(f, root)
+      }
+    }
   }
 
   private def writeManifest(f: FileSystem, root: Path, m: Manifest): Unit = {
@@ -131,23 +190,32 @@ object ViewStore {
       throw new java.io.IOException(s"manifest rename failed at $root seq ${m.seq}")
   }
 
-  /** Drop superseded manifests and bucket dirs no longer referenced.
-    * Runs AFTER the new manifest is live, so a crash mid-GC only leaves
-    * harmless garbage, never a missing live file. */
-  private def gc(f: FileSystem, root: Path, prior: Option[Manifest], next: Manifest): Unit = {
-    prior.foreach { p =>
-      f.delete(new Path(root, f"MANIFEST-${p.seq}%020d"), false)
-      val dead = p.buckets.filter { case (b, rel) => next.buckets.get(b).exists(_ != rel) }
-      dead.values.foreach(rel => f.delete(new Path(root, rel), true))
-      // remove generation parents that hold no live bucket dirs anymore
-      // (bucket dirs are `__bucket=N` — NOT generic "_" metadata like
-      // _SUCCESS, so match them explicitly)
-      dead.values.map(_.split("/").head).toSet[String].foreach { gen =>
-        val gp = new Path(root, gen)
-        if (f.exists(gp) && !f.listStatus(gp).exists(
-          _.getPath.getName.startsWith("__bucket=")))
-          f.delete(gp, true)
+  /** Drop manifests beyond the retention window, then every bucket dir no
+    * retained manifest references. Runs AFTER the new manifest is live, so
+    * a crash mid-GC only leaves harmless garbage, never a missing live
+    * file. Bucket dirs are `__bucket=N` under a generation parent — NOT
+    * generic "_" metadata like _SUCCESS, so they're matched explicitly. */
+  private def gc(f: FileSystem, root: Path): Unit = {
+    val all = manifestSeqs(f, root)
+    val (expired, retained) = all.splitAt(math.max(all.size - RetainManifests, 0))
+    expired.foreach { case (_, name) => f.delete(new Path(root, name), false) }
+    val live: Set[String] = retained
+      .flatMap { case (seq, name) => parseManifest(f, root, seq, name).buckets.values }
+      .toSet
+    f.listStatus(root)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && (n.startsWith("gen-") || n.startsWith("compact-"))
       }
-    }
+      .foreach { gen =>
+        f.listStatus(gen.getPath)
+          .filter(_.getPath.getName.startsWith("__bucket="))
+          .foreach { st =>
+            val rel = s"${gen.getPath.getName}/${st.getPath.getName}"
+            if (!live.contains(rel)) f.delete(st.getPath, true)
+          }
+        if (!f.listStatus(gen.getPath).exists(_.getPath.getName.startsWith("__bucket=")))
+          f.delete(gen.getPath, true)
+      }
   }
 }
