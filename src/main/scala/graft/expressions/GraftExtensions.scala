@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.SimHash64Name),
       new ExpressionInfo(classOf[SimHash64].getName, GraftFunctions.SimHash64Name),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    // pure range-inequality joins plan as nested loops; this rewrites them
+    // to the binned equi-join (see graft.plans.BinnedRangeJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
   }
 }
