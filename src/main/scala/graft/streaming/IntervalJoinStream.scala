@@ -28,12 +28,19 @@ object IntervalJoinStream {
     * `follows` (cols: `user_id`, `f_ts` epoch-ms, `value_c`) on same user
     * and `f_ts` in `[s_ts, s_ts + windowMs)`. Both inputs may be streaming
     * DataFrames; event-time columns are derived from the epoch-ms values.
+    *
+    * `joinType = "left_outer"` additionally emits each unmatched signup
+    * ONCE (null `f_ts`/`value_c`) — but only after the global watermark
+    * (min of both streams) passes the signup's window end, i.e. once no
+    * future follow can still match it. Until then the signup stays
+    * buffered; outer results are inherently watermark-delayed.
     */
   def followOn(
       signups: DataFrame,
       follows: DataFrame,
       windowMs: Long,
-      lateness: String = "10 seconds"): DataFrame = {
+      lateness: String = "10 seconds",
+      joinType: String = "inner"): DataFrame = {
     val s = signups
       .withColumn("s_time", timestamp_millis(col("s_ts")))
       .withWatermark("s_time", lateness)
@@ -46,7 +53,7 @@ object IntervalJoinStream {
       col("user_id") === col("f_user_id") &&
         col("f_time") >= col("s_time") &&
         col("f_time") < col("s_time") + expr(s"INTERVAL $windowMs MILLISECONDS"),
-      "inner")
+      joinType)
       .select("user_id", "s_event_id", "s_ts", "f_ts", "value_c")
   }
 }

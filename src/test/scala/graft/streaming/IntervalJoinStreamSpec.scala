@@ -72,6 +72,43 @@ class IntervalJoinStreamSpec extends SparkSpec {
     assert(streamPairs(1) == batchPairs)
   }
 
+  test("left_outer: unmatched signups emit once with nulls after the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)]
+    val mf = MemoryStream[(Long, Long, Long)]
+    val out = scala.collection.mutable.Set.empty[(Long, Option[Long])]
+    val q = IntervalJoinStream.followOn(
+      ms.toDF().toDF("user_id", "s_ts", "s_event_id"),
+      mf.toDF().toDF("user_id", "f_ts", "value_c"),
+      windowMs, lateness = "0 seconds", joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          out += ((r.getLong(1), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ijo-ckpt").toString)
+      .start()
+    try {
+      // signup 1 matched, signup 2 unmatched; horizon not yet passed
+      ms.addData(Seq((1L, 1000L, 1L), (2L, 1000L, 2L)))
+      mf.addData(Seq((1L, 1050L, 77L)))
+      q.processAllAvailable()
+      assert(!out.exists(_._1 == 2L),
+        "unmatched signup must NOT emit before its window closes")
+      // sentinels push BOTH watermarks past 1000 + windowMs
+      ms.addData(Seq((9L, 100000L, 9L)))
+      mf.addData(Seq((9L, 100000L, 99L)))
+      q.processAllAvailable()
+      // one more batch: watermark updates take effect on the next trigger
+      ms.addData(Seq((9L, 100001L, 10L)))
+      mf.addData(Seq((9L, 100001L, 98L)))
+      q.processAllAvailable()
+      assert(out.contains((1L, Some(77L))), s"matched pair missing: $out")
+      assert(out.contains((2L, None)), s"unmatched signup must emit nulls: $out")
+    } finally q.stop()
+  }
+
   test("window boundary: ts + window is excluded, ts itself included") {
     implicit val ctx = spark.sqlContext
     val s = Seq((1L, 100L, 1L)).toDF("user_id", "s_ts", "s_event_id")
