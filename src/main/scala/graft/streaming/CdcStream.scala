@@ -138,13 +138,41 @@ object CdcStream {
     * driver-side state. Only buckets containing batch keys are re-read
     * and rewritten; replayed batchIds are skipped (the ladder itself is
     * replay-idempotent, the skip just saves the I/O). */
+  /** One row of the view's OWN change feed (see `changelog` below): the
+    * before/after image of a key the batch touched — `op` is "c" (created)
+    * or "u" (updated). The reference CONSUMES a change stream; a view
+    * maintainer in a pipeline must also PRODUCE one for its downstream
+    * (the outbox/CDC-relay pattern). */
+  case class ViewChange(
+      transactionId: String,
+      op: String,
+      beforeStatus: Option[String],
+      afterStatus: Option[String],
+      beforeTs: Option[Long],
+      afterTs: Option[Long],
+      batchId: Long)
+
+  // not private: the codegen'd encoder (SpecificSafeProjection) must be
+  // able to access the class from generated code
+  case class MergedRow(view: TransactionView, change: Option[ViewChange])
+
+  /** The accumulated change feed (every batch's before/after images), or
+    * None if no changelog was ever emitted. */
+  def readChangelog(spark: SparkSession, viewPath: String): Option[Dataset[ViewChange]] = {
+    import spark.implicits._
+    val dir = java.nio.file.Paths.get(viewPath, "_changelog")
+    if (!java.nio.file.Files.isDirectory(dir)) None
+    else Some(spark.read.parquet(s"$viewPath/_changelog/*").as[ViewChange])
+  }
+
   def mergeBatchIntoParquet(
       spark: SparkSession,
       batch: Dataset[CdcEvent],
       viewPath: String,
       batchId: Long,
       metrics: Option[OutcomeCountsAccumulator] = None,
-      trace: Option[TraceLog.Emitter] = None): Unit = {
+      trace: Option[TraceLog.Emitter] = None,
+      changelog: Boolean = false): Unit = {
     import spark.implicits._
     if (ViewStore.alreadyApplied(spark, viewPath, batchId)) return
     val filtered = preFilter(batch)
@@ -166,16 +194,34 @@ object CdcStream {
         metrics.foreach { m =>
           raw.diff(evs).foreach(e => m.add(MergeMetrics.key(e.eventCode, MergeMetrics.DupDropped)))
         }
-        if (evs.isEmpty) v0.iterator
-        else Iterator.single(
-          evs.foldLeft(v0) { (v, e) =>
+        if (evs.isEmpty) v0.map(MergedRow(_, None)).iterator
+        else {
+          val after = evs.foldLeft(v0) { (v, e) =>
             metrics.foreach(_.add(MergeMetrics.key(e.eventCode, MergeMetrics.classify(v, e))))
             Some(ReferenceFold.processOne(v, e))
-          }.get)
+          }.get
+          Iterator.single(MergedRow(after, Some(ViewChange(
+            after.transactionId,
+            if (v0.isEmpty) "c" else "u",
+            v0.flatMap(_.status), after.status,
+            v0.flatMap(_.lastProcessedEventAt), after.lastProcessedEventAt,
+            batchId))))
+        }
       }
-    ViewStore.commit(spark, viewPath,
-      merged.toDF().withColumn("__bucket", ViewStore.bucketOf(col("transactionId"))),
-      touched, batchId)
+    // with changelog on, the cogroup feeds two actions (view + feed) —
+    // persist so the merge ladder and bucket reads run once, not twice
+    if (changelog) merged.persist()
+    try {
+      ViewStore.commit(spark, viewPath,
+        merged.map(_.view).toDF()
+          .withColumn("__bucket", ViewStore.bucketOf(col("transactionId"))),
+        touched, batchId)
+      if (changelog)
+        // per-batch dir, overwrite mode: a batch retry after a commit
+        // failure rewrites the same dir — the feed stays exactly-once
+        merged.flatMap(_.change.toSeq).write.mode("overwrite")
+          .parquet(f"$viewPath/_changelog/batch-$batchId%020d")
+    } finally if (changelog) merged.unpersist()
     // span-parity structured records: one JSON line per (eventCode,
     // outcome) delta this batch (TraceLog scaladoc for the design)
     trace.foreach(_.emit(batchId))

@@ -136,6 +136,41 @@ class CdcStreamSpec extends SparkSpec {
     assert(got == canonical(events))
   }
 
+  test("changelog: the merge emits before/after images, exactly-once across replays") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-view-cl").toString
+    val viewPath = dir + "/transactions-view"
+    val events = EventGen.generate(nTx = 8, seed = 55L)
+      .distinctBy(_.id).sortBy(e => (e.tsMs, e.id))
+    val (b0, b1) = events.splitAt(events.size / 2)
+    CdcStream.mergeBatchIntoParquet(spark, b0.toDS(), viewPath, 0L, changelog = true)
+    CdcStream.mergeBatchIntoParquet(spark, b1.toDS(), viewPath, 1L, changelog = true)
+    // replay of batch 1 must not duplicate feed rows
+    CdcStream.mergeBatchIntoParquet(spark, b1.toDS(), viewPath, 1L, changelog = true)
+    val feed = CdcStream.readChangelog(spark, viewPath).get.collect()
+    // exactly one change row per (key, batch) that touched it
+    assert(feed.groupBy(c => (c.transactionId, c.batchId)).forall(_._2.length == 1))
+    // batch-0 rows are all creations with no before image
+    assert(feed.filter(_.batchId == 0L).forall(c => c.op == "c" && c.beforeStatus.isEmpty))
+    // keys touched in both batches: batch-1 row is an update whose BEFORE
+    // equals the view state after batch 0
+    val viewAfterB0 = b0.groupBy(_.transactionId).view.mapValues(evs =>
+      evs.sortBy(e => (e.tsMs, e.id)).foldLeft(Option.empty[graft.cdc.TransactionView])(
+        (v, e) => Some(graft.cdc.ReferenceFold.processOne(v, e))).get).toMap
+    val both = feed.filter(c => c.batchId == 1L && viewAfterB0.contains(c.transactionId))
+    assert(both.nonEmpty)
+    both.foreach { c =>
+      assert(c.op == "u" && c.beforeStatus == viewAfterB0(c.transactionId).status,
+        s"before image mismatch for ${c.transactionId}")
+    }
+    // the feed's final after-images agree with the stored view
+    val view = ViewStore.read(spark, viewPath).get.as[TransactionView].collect()
+      .map(v => v.transactionId -> v.status).toMap
+    feed.groupBy(_.transactionId).foreach { case (tx, cs) =>
+      assert(cs.maxBy(_.batchId).afterStatus == view(tx))
+    }
+  }
+
   test("merge sink: replayed batchId is a no-op; untouched buckets' files unchanged") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-view2").toString
