@@ -87,6 +87,37 @@ object ViewStore {
   def snapshots(spark: SparkSession, viewPath: String): Seq[Long] =
     manifestSeqs(fs(spark, viewPath), new Path(viewPath)).map(_._1)
 
+  /** What changed between two retained snapshots, by `keyCol`: one row per
+    * key present in either, op ∈ a(dded)/r(emoved)/c(hanged) — unchanged
+    * keys are dropped. A full-outer self-join of two snapshot reads on the
+    * key (both prune to their manifests' dirs); comparison is on the
+    * md5 of the row's non-key columns, so any field change surfaces
+    * without enumerating the schema. The audit/debug tool time travel
+    * exists for: "what did batch N do to the view". */
+  def snapshotDiff(
+      spark: SparkSession, viewPath: String,
+      fromSeq: Long, toSeq: Long, keyCol: String): Option[DataFrame] =
+    for {
+      a <- readAt(spark, viewPath, fromSeq)
+      b <- readAt(spark, viewPath, toSeq)
+    } yield {
+      def keyed(df: DataFrame, tag: String) = {
+        // null-safe per-column encoding (escaped marker + separator)
+        // so ("a", null) and (null, "a") hash differently
+        val others = df.columns.filterNot(_ == keyCol).sorted
+          .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+        df.select(col(keyCol).as("key"),
+          md5(concat_ws("\u0001", others: _*)).as(s"sig_$tag"))
+      }
+      keyed(a, "from").join(keyed(b, "to"), Seq("key"), "full_outer")
+        .withColumn("op",
+          when(col("sig_from").isNull, lit("a"))
+            .when(col("sig_to").isNull, lit("r"))
+            .when(col("sig_from") =!= col("sig_to"), lit("c")))
+        .where(col("op").isNotNull)
+        .select(col("key"), col("op"))
+    }
+
   /** Time travel: the view as of manifest `seq` — None if that snapshot
     * was never written or has been GC'd past the retention window. */
   def readAt(spark: SparkSession, viewPath: String, seq: Long): Option[DataFrame] = {

@@ -222,6 +222,32 @@ class PlanSpec extends SparkSpec {
     assert(smj.isEmpty, s"k-means must not sort-merge join the corpus:\n$plan")
   }
 
+  test("LSH signatures: the fused hash never lands in the scan's data filters") {
+    // regression pin for the round-3 finding: a post-sig IS NOT NULL
+    // filter was predicate-pushed through the spread() exchange into the
+    // (serial, single-split) scan, evaluating the whole shingle+hash
+    // subtree per row on one task (~30 s per LSH query at sf0.1). The
+    // null semantics now ride on a cheap token-count PRE-filter, so the
+    // scan's data filters must never mention the fused expressions.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    Seq(
+      graft.ops.Dedup.minhashSignature(docs),
+      graft.ops.Dedup.simhash64(docs)
+    ).foreach { df =>
+      val scans = collectAll(executed(df)).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty)
+      scans.foreach { s =>
+        val filters = s.dataFilters.mkString(";")
+        assert(!filters.contains("graft_minhash_sig") &&
+          !filters.contains("graft_simhash64") &&
+          !filters.contains("array_sort"),
+          s"expensive expression pushed into the scan: $filters")
+      }
+    }
+  }
+
   test("custom expression resolves in SQL after registration; extensions class wires") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(

@@ -44,6 +44,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("scd2 reconstructs every event's status on random logs (ScalaCheck)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val event = for {
+      u <- Gen.choose(1L, 3L); ts <- Gen.choose(0L, 50L); s <- Gen.oneOf("a", "b", "c")
+    } yield (u, ts, s)
+    val logs = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, event))
+    val prop = forAll(logs) { evs =>
+      // unique (user, ts): interval boundaries are then unambiguous
+      val rows = evs.distinctBy(e => (e._1, e._2)).zipWithIndex
+        .map { case ((u, ts, s), i) => (u, ts, i.toLong, s) }
+      val df = rows.toDF("user_id", "ts_ms", "event_id", "event_type")
+      val iv = Intervals.scd2(df, "user_id", "ts_ms", "event_id", "event_type")
+        .as[(Long, String, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._5)).toMap
+      // the interval covering each event's ts carries that event's status
+      // (= the last-observation-carried-forward reconstruction)
+      rows.forall { case (u, ts, _, _) =>
+        val expected = rows.filter(r => r._1 == u && r._2 <= ts).maxBy(_._2)._4
+        iv(u).exists(v =>
+          v._3 <= ts && (v._4 == -1L || ts < v._4) && v._2 == expected)
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("locfDailyFill: dense grid, forward fill across silent days, observed flags") {
     val day = 86400000L
     val ev = Seq(

@@ -88,6 +88,23 @@ class ViewStoreSpec extends SparkSpec {
     assert(after == before + ((100L, 100L)))
   }
 
+  test("snapshotDiff: added/removed/changed keys between retained snapshots") {
+    val path = tmp()
+    commitBatch(path, 0L, Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // batch 1: key 1 changed, key 4 added, keys 2/3 untouched (their
+    // buckets may still be rewritten — diff must compare VALUES, not dirs)
+    commitBatch(path, 1L, Seq((1L, 11L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    val diff = ViewStore.snapshotDiff(spark, path, 0L, 1L, "k").get
+      .as[(Long, String)].collect().toSet
+    assert(diff == Set((1L, "c"), (4L, "a")), s"got $diff")
+    // reverse direction flips add/remove
+    val rev = ViewStore.snapshotDiff(spark, path, 1L, 0L, "k").get
+      .as[(Long, String)].collect().toSet
+    assert(rev == Set((1L, "c"), (4L, "r")))
+    // GC'd snapshot → None
+    assert(ViewStore.snapshotDiff(spark, path, 99L, 1L, "k").isEmpty)
+  }
+
   test("compaction of an empty store is a no-op") {
     val path = tmp()
     ViewStore.compact(spark, path, "k") // no manifest — must not throw
