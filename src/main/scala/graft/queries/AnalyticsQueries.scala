@@ -153,7 +153,30 @@ object AnalyticsQueries {
       .orderBy("rank")
   }
 
+  /** X66 — deterministic train/val/test assignment: md5(seed:id) digit
+    * buckets → 80/10/10 split, stable under reruns, retries, engines and
+    * corpus growth (a doc's split never depends on other docs — the
+    * property random-number splits lack). Pure scalar + one tiny
+    * aggregate; the per-split stats are the sanity report a training run
+    * starts with. */
+  val SplitSeed = "sp1"
+  def q70_split_assign(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat_ws(":", lit(SplitSeed), col("doc_id").cast("string")))
+    // first 2 hex digits → uniform [0, 256): <204 train (~80%), <230 val
+    // (~10%), else test (~10%); integer thresholds keep it exact
+    val bucket = conv(substring(h, 1, 2), 16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+          .as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc_id"))
+      .orderBy("split")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_split_assign" -> q70_split_assign,
     "q62_scd2_intervals" -> q62_scd2_intervals,
     "q63_locf_daily" -> q63_locf_daily,
     "q64_trigram_lm" -> q64_trigram_lm,
@@ -284,6 +307,18 @@ object AnalyticsQueries {
          |         (PARTITION BY user_id ORDER BY day
          |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_7d
          |FROM d ORDER BY user_id, day_ms""".stripMargin,
+    "q70_split_assign" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, n_chars,
+         |         CAST(concat('0x', substr(md5(concat('$SplitSeed', ':',
+         |           CAST(doc_id AS VARCHAR))), 1, 2)) AS BIGINT) AS bucket
+         |  FROM documents)
+         |SELECT CASE WHEN bucket < 204 THEN 'train'
+         |            WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "q69_length_deciles" ->
       """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total_n FROM documents),
         |r AS (SELECT doc_id, n_chars,
