@@ -30,6 +30,17 @@ object DatePartitioning {
     df.withColumn("day", expr(s"$tsMsCol div ${DayMs}L"))
       .write.mode("overwrite").partitionBy("day").parquet(path)
 
+  /** Idempotent day-level backfill: replace exactly the day partitions
+    * present in `df`, leaving every other day's files untouched (dynamic
+    * partition overwrite). THE re-land primitive: a corrected day's data
+    * re-lands atomically per dir without a full-table rewrite, and running
+    * the same backfill twice converges to the same state. */
+  def relandDays(df: DataFrame, tsMsCol: String, path: String): Unit =
+    df.withColumn("day", expr(s"$tsMsCol div ${DayMs}L"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+
   /** Events with `tsMsCol` in `[fromMs, untilMs)`, reading only the day
     * directories that can contain them. The `day` filter prunes partitions
     * at planning time; the `tsMsCol` filter trims the boundary days'

@@ -61,6 +61,34 @@ class DatePartitioningSpec extends SparkSpec {
     assert(selected == 2, s"expected 2 pruned-in day partitions, got $selected")
   }
 
+  test("relandDays replaces only the backfilled day; other days' files untouched") {
+    val path = written()
+    def files(d: Long): Map[String, Long] = {
+      val dir = java.nio.file.Paths.get(path, s"day=$d")
+      val it = java.nio.file.Files.list(dir)
+      try it.filter(_.toString.endsWith(".parquet")).toArray
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(p.toString)).toMillis).toMap
+      finally it.close()
+    }
+    val day0Before = files(0L)
+    val day2Before = files(2L)
+    // corrected day-1 data: different rows entirely
+    val fixed = Seq((1 * day + 100L, 900L), (1 * day + 200L, 901L))
+      .toDF("ts_ms", "event_id")
+    DatePartitioning.relandDays(fixed, "ts_ms", path)
+    assert(files(0L) == day0Before && files(2L) == day2Before,
+      "untouched days must keep their exact files")
+    val day1 = spark.read.parquet(path).where(col("day") === 1L)
+      .select("event_id").as[Long].collect().toSet
+    assert(day1 == Set(900L, 901L), s"day 1 must hold ONLY the re-landed rows: $day1")
+    // idempotence: re-running the same backfill converges
+    DatePartitioning.relandDays(fixed, "ts_ms", path)
+    assert(spark.read.parquet(path).where(col("day") === 1L).count() == 2L)
+    // the rest of the table is intact
+    assert(spark.read.parquet(path).count() == (events.size - 4 + 2).toLong)
+  }
+
   test("full-range read sees every row (derived day bounds are inclusive-exact)") {
     val path = written()
     val got = DatePartitioning.readRange(spark, path, "ts_ms", 0L, 10 * day)
