@@ -50,6 +50,10 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
+  /** The returned window is the EXCLUSIVE range length: `r < l + W` keeps
+    * W; the inclusive `r <= l + W` (what BETWEEN desugars to) becomes
+    * W + 1, so the two-bucket cover (bin width ≥ range length) still
+    * holds. */
   private def asUpper(e: Expression, l: LogicalPlan, r: LogicalPlan): Option[(Expression, Expression, Long)] =
     e match {
       case LessThan(rts, Add(lts, Literal(w: Long, LongType), _)) if sided(lts, l) && sided(rts, r) =>
@@ -58,6 +62,12 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         Some((lts, rts, w))
       case GreaterThan(Add(lts, Literal(w: Long, LongType), _), rts) if sided(lts, l) && sided(rts, r) =>
         Some((lts, rts, w))
+      case LessThanOrEqual(rts, Add(lts, Literal(w: Long, LongType), _)) if sided(lts, l) && sided(rts, r) && w < Long.MaxValue =>
+        Some((lts, rts, w + 1))
+      case LessThanOrEqual(rts, Add(Literal(w: Long, LongType), lts, _)) if sided(lts, l) && sided(rts, r) && w < Long.MaxValue =>
+        Some((lts, rts, w + 1))
+      case GreaterThanOrEqual(Add(lts, Literal(w: Long, LongType), _), rts) if sided(lts, l) && sided(rts, r) && w < Long.MaxValue =>
+        Some((lts, rts, w + 1))
       case _ => None
     }
 

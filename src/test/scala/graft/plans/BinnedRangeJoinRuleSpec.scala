@@ -73,6 +73,28 @@ class BinnedRangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("BETWEEN (inclusive upper) also rewrites, with exact boundary semantics") {
+    val l = Seq((100L, 1L)).toDF("l_ts", "lid")
+    val r = Seq((99L, 10L), (100L, 11L), (200L, 12L), (201L, 13L)).toDF("r_ts", "rid")
+    withRule {
+      val joined = l.join(r, col("r_ts").between(col("l_ts"), col("l_ts") + lit(100L)))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("__bin") && !plan.contains("NestedLoop"),
+        s"inclusive range must also rewrite:\n$plan")
+      assert(joined.select("rid").as[Long].collect().toSet == Set(11L, 12L))
+    }
+    // inclusive result equality on random data
+    val want = lts.toDF("l_ts", "lid").join(rts.toDF("r_ts", "rid"),
+      col("r_ts").between(col("l_ts"), col("l_ts") + lit(100L)))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val got = withRule {
+      lts.toDF("l_ts", "lid").join(rts.toDF("r_ts", "rid"),
+        col("r_ts").between(col("l_ts"), col("l_ts") + lit(100L)))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+    }
+    assert(got == want && want.nonEmpty)
+  }
+
   test("boundary semantics survive the rewrite: [ts, ts+W) half-open") {
     val l = Seq((100L, 1L)).toDF("l_ts", "lid")
     val r = Seq((99L, 10L), (100L, 11L), (199L, 12L), (200L, 13L)).toDF("r_ts", "rid")
