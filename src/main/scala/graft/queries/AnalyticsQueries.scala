@@ -175,7 +175,30 @@ object AnalyticsQueries {
       .orderBy("split")
   }
 
+  /** X68 — correlated scalar subqueries through the SQL front door:
+    * orders beating 1.5× their customer's average order value. Written as
+    * the natural correlated form; Catalyst decorrelates both subqueries
+    * into aggregate+join (no per-row re-execution, no cartesian — the
+    * rewrite IS the scale story, plan-pinned in PlanSpec). Integer-exact:
+    * `total·n > 1.5·sum` is compared as `2·total·n > 3·sum` in cents, so
+    * no float average crosses an engine boundary. */
+  def q71_above_avg_orders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o.o_orderkey,
+        |       o.o_custkey,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_c
+        |FROM orders_v o
+        |WHERE 2 * CAST(round(o.o_totalprice * 100) AS BIGINT) *
+        |        (SELECT count(*) FROM orders_v o2
+        |         WHERE o2.o_custkey = o.o_custkey)
+        |      > 3 * (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |             FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_above_avg_orders" -> q71_above_avg_orders,
     "q70_split_assign" -> q70_split_assign,
     "q62_scd2_intervals" -> q62_scd2_intervals,
     "q63_locf_daily" -> q63_locf_daily,
@@ -307,6 +330,15 @@ object AnalyticsQueries {
          |         (PARTITION BY user_id ORDER BY day
          |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_7d
          |FROM d ORDER BY user_id, day_ms""".stripMargin,
+    "q71_above_avg_orders" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_c
+        |FROM orders o
+        |WHERE 2 * CAST(round(o.o_totalprice * 100) AS BIGINT) *
+        |        (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |      > 3 * (SELECT CAST(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
     "q70_split_assign" ->
       s"""WITH s AS (
          |  SELECT doc_id, n_chars,

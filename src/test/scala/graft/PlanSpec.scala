@@ -222,6 +222,20 @@ class PlanSpec extends SparkSpec {
     assert(smj.isEmpty, s"k-means must not sort-merge join the corpus:\n$plan")
   }
 
+  test("q71 correlated subqueries decorrelate: aggregate+join, no per-row re-execution") {
+    val plan = executed(graft.queries.AnalyticsQueries.q71_above_avg_orders(spark, sfDir))
+    val nodes = collectAll(plan)
+    val cartesian = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    assert(cartesian.isEmpty, s"correlated subquery must decorrelate:\n$plan")
+    val aggs = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.nonEmpty, s"expected the decorrelated per-customer aggregate:\n$plan")
+  }
+
   test("LSH signatures: the fused hash never lands in the scan's data filters") {
     // regression pin for the round-3 finding: a post-sig IS NOT NULL
     // filter was predicate-pushed through the spread() exchange into the
