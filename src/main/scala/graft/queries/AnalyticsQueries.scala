@@ -197,7 +197,32 @@ object AnalyticsQueries {
         |ORDER BY o.o_orderkey""".stripMargin)
   }
 
+  /** X69 — anomaly detection over windowed activity: per 6h window, users whose
+    * event count exceeds the window's mean + 2σ. The σ-test runs in EXACT
+    * integer arithmetic — `c > mean + 2σ` ⟺ `cn − S > 0 ∧ (cn − S)² >
+    * 4(n·S2 − S²)` on the window's integer (n, Σc, Σc²) — so no float
+    * variance ever crosses an engine boundary, and the per-window stats
+    * are an algebraic partial aggregate (the same mergeability that makes
+    * it streamable over X18's windowed counts). One shuffle for the
+    * per-(window, user) counts; window stats are a tiny broadcast side. */
+  val AnomalyWindowMs = 21600000L // 6h: dense enough for outliers at every SF
+  def q72_anomalous_windows(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .withColumn("window_ms", expr(s"ts_ms div ${AnomalyWindowMs}L * ${AnomalyWindowMs}L"))
+      .groupBy("window_ms", "user_id").agg(count(lit(1)).as("c"))
+    val stats = counts.groupBy("window_ms").agg(
+      count(lit(1)).as("n"), sum("c").as("s"), sum(col("c") * col("c")).as("s2"))
+    counts.join(broadcast(stats), "window_ms")
+      .withColumn("__d", col("c") * col("n") - col("s"))
+      .where(col("__d") > 0 &&
+        col("__d") * col("__d") > lit(4L) * (col("n") * col("s2") - col("s") * col("s")))
+      .select(col("window_ms"), col("user_id"), col("c").as("n_events"),
+        col("n").as("n_active_users"))
+      .orderBy("window_ms", "user_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_anomalous_windows" -> q72_anomalous_windows,
     "q71_above_avg_orders" -> q71_above_avg_orders,
     "q70_split_assign" -> q70_split_assign,
     "q62_scd2_intervals" -> q62_scd2_intervals,
@@ -330,6 +355,21 @@ object AnalyticsQueries {
          |         (PARTITION BY user_id ORDER BY day
          |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS days_7d
          |FROM d ORDER BY user_id, day_ms""".stripMargin,
+    "q72_anomalous_windows" ->
+      s"""WITH c AS (
+         |  SELECT epoch_ms(ts) // $AnomalyWindowMs * $AnomalyWindowMs AS window_ms, user_id,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY window_ms, user_id),
+         |st AS (
+         |  SELECT window_ms, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS s2
+         |  FROM c GROUP BY window_ms)
+         |SELECT c.window_ms, c.user_id, c.c AS n_events, st.n AS n_active_users
+         |FROM c JOIN st ON c.window_ms = st.window_ms
+         |WHERE c.c * st.n - st.s > 0
+         |  AND (c.c * st.n - st.s) * (c.c * st.n - st.s)
+         |      > 4 * (st.n * st.s2 - st.s * st.s)
+         |ORDER BY c.window_ms, c.user_id""".stripMargin,
     "q71_above_avg_orders" ->
       """SELECT o.o_orderkey, o.o_custkey,
         |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_c
