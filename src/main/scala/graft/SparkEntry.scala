@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.defs ++ DataPrepQueries.defs ++ RelationalQueries.defs ++
-      PipelineQueries.defs ++ AnalyticsQueries.defs
+      PipelineQueries.defs ++ AnalyticsQueries.defs ++ CurationQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
-      PipelineQueries.oracles ++ AnalyticsQueries.oracles
+      PipelineQueries.oracles ++ AnalyticsQueries.oracles ++ CurationQueries.oracles
 }

@@ -113,15 +113,66 @@ object Dedup {
       maxDf: Int = 1000,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val (inter, sizes) = shingleIntersections(docs, n, maxDf, idCol, textCol)
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("jaccard_x10k",
+        floor(lit(10000L) * col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+          .cast("long"))
+      .filter(col("jaccard_x10k") >= minJaccardX10k)
+      .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard_x10k")
+  }
+
+  /** Containment near-dup pairs: `containment_x10k = floor(1e4 · |A∩B| /
+    * min(|A|, |B|))` over the same df-capped inverted index as
+    * [[jaccardPairs]]. Containment catches SUBSET duplication — a short
+    * doc embedded verbatim in a long one scores near 10000 here while its
+    * Jaccard (÷ the union) can sit far below any sane threshold — the
+    * standard screen for quote/template inclusion that symmetric
+    * similarity misses. Same scale shape: shingle-equijoin candidates,
+    * never all pairs. */
+  def containmentPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      minContainX10k: Long = 8000L,
+      maxDf: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (inter, sizes) = shingleIntersections(docs, n, maxDf, idCol, textCol)
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("containment_x10k",
+        floor(lit(10000L) * col("n_common") / least(col("size_a"), col("size_b")))
+          .cast("long"))
+      .filter(col("containment_x10k") >= minContainX10k)
+      .select("id_a", "id_b", "n_common", "size_a", "size_b", "containment_x10k")
+  }
+
+  /** Per-doc distinct-shingle table `(id, shingle)` + the pairwise
+    * intersection counts of the df-capped inverted index — the shared core
+    * of [[jaccardPairs]] and [[containmentPairs]].
+    *
+    * Shape: explode shingles → self-join on shingle (inverted index) →
+    * per-pair intersection count. The inverted-index join shuffles on the
+    * shingle — hot shingles are the skew risk, which word-level n≥3
+    * shingling plus the document-frequency cap (`maxDf`) bounds; AQE
+    * skew-join handles the rest. Returns `(inter(id_a, id_b, n_common),
+    * sizes(id, set_size))`. */
+  private def shingleIntersections(
+      docs: DataFrame,
+      n: Int,
+      maxDf: Int,
+      idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     // tokens materialized in their own projection (see shinglesFromTokens);
     // the exploded shingle table is reused 3× below — persist it, tracked
     // (at 100 TB: DISK_ONLY or a staged table instead)
     // spread before the shingle build: without it, an under-split input
     // (one parquet file locally) computes every doc's sorted shingle set
     // on one task before the first shuffle (see spread())
-    val sh = cacheTracked(spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), wsTokens(normalizeText(col("__text"))).as("__toks"))
-      .select(col("id"), explode(shinglesFromTokens(col("__toks"), n)).as("shingle")))
+    val sh = shingleTable(docs, n, idCol, textCol)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val capped = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
@@ -131,14 +182,85 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
-      .withColumn("jaccard_x10k",
-        floor(lit(10000L) * col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
-          .cast("long"))
-      .filter(col("jaccard_x10k") >= minJaccardX10k)
-      .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard_x10k")
+    (inter, sizes)
+  }
+
+  /** One row per (doc, DISTINCT word-n-gram shingle) — persisted (tracked)
+    * because every consumer reads it more than once. */
+  private def shingleTable(
+      docs: DataFrame, n: Int, idCol: String, textCol: String): DataFrame =
+    cacheTracked(spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), wsTokens(normalizeText(col("__text"))).as("__toks"))
+      .select(col("id"), explode(shinglesFromTokens(col("__toks"), n)).as("shingle")))
+
+  /** Exact n-gram eval-contamination screen (the GPT-3/PaLM-style overlap
+    * report, the exact-match complement of the MinHash band screen in
+    * q53): for every training doc, how many of its distinct n-grams
+    * appear in ANY eval-set doc. `evalCol` marks the eval slice of
+    * `docs`.
+    *
+    * Scale: the eval side collapses to DISTINCT n-grams — eval sets are
+    * benchmark-sized (≪ corpus), so the set broadcasts and the training
+    * corpus is screened in ONE pass with no shuffle of the corpus side;
+    * the per-doc counts then aggregate on the doc id. Returns every train
+    * doc with ≥1 shingle: `(doc_id, n_ngrams, n_shared, shared_x10k,
+    * contaminated)`. */
+  def exactNgramOverlap(
+      docs: DataFrame,
+      evalCol: String,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = cacheTracked(
+      spread(docs.select(col(idCol).as("id"), col(textCol).as("__text"),
+        col(evalCol).cast("boolean").as("__eval")))
+        .select(col("id"), col("__eval"),
+          wsTokens(normalizeText(col("__text"))).as("__toks"))
+        .select(col("id"), col("__eval"),
+          explode(shinglesFromTokens(col("__toks"), n)).as("shingle")))
+    val evalGrams = sh.filter(col("__eval")).select("shingle").distinct()
+    val train = sh.filter(!col("__eval"))
+    val shared = train.join(broadcast(evalGrams), "shingle")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    train.groupBy("id").agg(count(lit(1)).as("n_ngrams"))
+      .join(shared, Seq("id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(col("id").as(idCol), col("n_ngrams"), col("n_shared"),
+        floor(lit(10000L) * col("n_shared") / col("n_ngrams")).cast("long")
+          .as("shared_x10k"),
+        (col("n_shared") > 0).cast("int").as("contaminated"))
+  }
+
+  /** Boilerplate-share report (the C4/RefinedWeb-style repeated-content
+    * screen): an n-gram occurring in ≥ `minDf` DISTINCT docs is
+    * "boilerplate" (headers, footers, templates, license blurbs); each
+    * doc reports what fraction of its distinct n-grams is boilerplate —
+    * the filter signal for template-heavy pages.
+    *
+    * Scale: one shuffle on the shingle for the df count, one equijoin
+    * back (the hot set is exactly the skewed shingles, but the join fans
+    * out at most the doc's own shingle rows), one per-doc aggregate.
+    * Returns every doc with ≥1 shingle: `(doc_id, n_ngrams,
+    * n_boilerplate, boilerplate_x10k)`. */
+  def boilerplateShare(
+      docs: DataFrame,
+      minDf: Int,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = shingleTable(docs, n, idCol, textCol)
+    // per-doc shingles are DISTINCT (shinglesFromTokens dedups), so
+    // count(*) per shingle IS the distinct-doc frequency
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("shingle")
+    val boiler = sh.join(hot, "shingle")
+      .groupBy("id").agg(count(lit(1)).as("n_boilerplate"))
+    sh.groupBy("id").agg(count(lit(1)).as("n_ngrams"))
+      .join(boiler, Seq("id"), "left")
+      .withColumn("n_boilerplate", coalesce(col("n_boilerplate"), lit(0L)))
+      .select(col("id").as(idCol), col("n_ngrams"), col("n_boilerplate"),
+        floor(lit(10000L) * col("n_boilerplate") / col("n_ngrams")).cast("long")
+          .as("boilerplate_x10k"))
   }
 
   /** MinHash signature: `numHashes` independent min-hashes of the shingle

@@ -256,4 +256,34 @@ object Relational {
     globalIndex(df, ordering, "checkpoint_seq")
       .filter(pmod(col("checkpoint_seq"), lit(n.toLong)) === 0)
   }
+
+  /** Top-k rows per group by `(ordCol DESC, idCol ASC)` WITHOUT a window:
+    * the standard `row_number() OVER (PARTITION BY g ORDER BY v DESC) <= k`
+    * sorts every group's full row set inside each task before discarding
+    * all but k — at corpus scale that is a sort of the whole table to keep
+    * a sliver. Here the [[graft.expressions.TopKDot]] bounded heap runs as
+    * a map-side partial aggregate (ObjectHashAggregate), so each task
+    * forwards ≤ k `(ord, id)` entries per group it saw and the exchange
+    * carries ≤ k·tasks rows per group instead of the group's rows.
+    *
+    * Returns `(groupCols*, rank, idCol, ordCol)` with rank 1..k in
+    * `(ord DESC, id ASC)` order — the deterministic tie-break the SQL
+    * window form shares. `ordCol`/`idCol` must be long-typed (quantize
+    * money/ratios first, as everywhere in this engine). */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      ordCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function(graft.expressions.GraftFunctions.TopKDotName,
+        col(ordCol), col(idCol), lit(k)).as("__top"))
+      .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__pos", "__e")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("__pos") + 1).cast("long").as("rank"),
+        col("__e.neighbor_id").as(idCol),
+        col("__e.dot").as(ordCol)): _*)
+  }
 }

@@ -484,9 +484,9 @@ object DataPrepQueries {
     "CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
   private val toksLower =
     "CASE WHEN len(trim(lower(text))) = 0 THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
-  private val norm =
+  private[queries] val norm =
     "trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g'))"
-  private val normToks =
+  private[queries] val normToks =
     s"CASE WHEN len(trim($norm)) = 0 THEN [] ELSE regexp_split_to_array(trim($norm), '\\s+') END"
 
   private def stopList(lang: String): String =
@@ -496,7 +496,7 @@ object DataPrepQueries {
     s"len(list_filter($toksLower, t -> list_contains(${stopList(lang)}, t)))"
 
   /** Shingle list SQL (word n-grams over the token-list column `t`). */
-  private def shinglesSql(n: Int): String = {
+  private[queries] def shinglesSql(n: Int): String = {
     val gram = (0 until n).map(j => s"t[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
     s"""CASE WHEN len(t) - ${n - 1} <= 0 THEN []
        |     ELSE list_distinct(list_transform(generate_series(1, len(t) - ${n - 1}), i -> $gram)) END"""
@@ -504,7 +504,7 @@ object DataPrepQueries {
   }
 
   /** Common CTE: one row per (doc, distinct shingle). */
-  private def shingleCte: String =
+  private[queries] def shingleCte: String =
     s"""docs AS (SELECT doc_id, $normToks AS t FROM documents),
        |sh AS (
        |  SELECT doc_id AS id, unnest(${shinglesSql(ShingleN)}) AS shingle FROM docs)""".stripMargin
