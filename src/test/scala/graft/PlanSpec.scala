@@ -262,6 +262,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q77 top-k per group: bounded-heap aggregate, no window and no per-group sort") {
+    val plan = executed(
+      graft.queries.CurationQueries.q77_top_orders_per_cust(spark, sfDir))
+    val windows = collectAll(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"topKPerGroup must rank via the bounded heap, not a window:\n$plan")
+    // map-side partial heap below the exchange: ≤ k rows per (group, task)
+    val partialAggs = collectAll(plan).collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString.contains("Partial")) => a
+    }
+    assert(partialAggs.nonEmpty, s"expected a partial ObjectHashAggregate:\n$plan")
+    // the only sort allowed is the final ORDER BY — nothing below the agg
+    val aggSubtrees = collectAll(plan).collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }.flatMap(a => a.children.flatMap(collectAll))
+    assert(!aggSubtrees.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      s"no sort may feed the heap aggregate:\n$plan")
+  }
+
+  test("q73 exact contamination: eval n-grams broadcast, corpus side never shuffles for the screen") {
+    val plan = executed(
+      graft.queries.CurationQueries.q73_exact_contamination(spark, sfDir))
+    val bhj = collectAll(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty,
+      s"the distinct eval-gram side must broadcast into the train screen:\n$plan")
+    val bnlj = collectAll(plan).collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty, s"no nested-loop candidate step allowed:\n$plan")
+  }
+
   test("custom expression resolves in SQL after registration; extensions class wires") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(
