@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pure range-inequality joins plan as nested loops; this rewrites them
     // to the binned equi-join (see graft.plans.BinnedRangeJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+    // plans the native as-of join node (see graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

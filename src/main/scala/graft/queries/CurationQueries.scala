@@ -100,7 +100,30 @@ object CurationQueries {
       .select("o_custkey", "rank", "o_orderkey", "total_c")
       .orderBy("o_custkey", "rank")
 
+  /** X78 — NATIVE as-of join (custom LogicalPlan + Strategy + SparkPlan,
+    * [[graft.plans.AsOfJoinStrategy]]): q28's purchase←latest-click
+    * attribution through the merge-walk physical operator instead of the
+    * union+running-window encoding — one exchange per side, each side
+    * sorted (key, ts) within partitions, a linear merge per partition, no
+    * blended table and no window state. Tie semantics identical to q28
+    * (same-ts click qualifies; highest click id wins), so the oracle is
+    * the same window SQL. */
+  def q78_asof_native(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_ms").as("asof_click_ts"),
+        col("event_id").as("asof_click_id"))
+    graft.plans.AsOfJoinStrategy.asofJoin(purchases, clicks,
+      leftKey = "user_id", leftTs = "ts_ms",
+      rightKey = "c_user", rightTs = "asof_click_ts", rightTie = "asof_click_id")
+      .select("event_id", "user_id", "ts_ms", "asof_click_id", "asof_click_ts")
+      .orderBy("event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_asof_native" -> q78_asof_native,
     "q73_exact_contamination" -> q73_exact_contamination,
     "q74_boilerplate_share" -> q74_boilerplate_share,
     "q75_retention_cohorts" -> q75_retention_cohorts,
@@ -111,6 +134,22 @@ object CurationQueries {
   // ---------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q78_asof_native" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |s AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ms, is_purchase, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_ms END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ms, is_purchase, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_ts
+        |  FROM e)
+        |SELECT event_id, user_id, ts_ms, asof_click_id, asof_click_ts
+        |FROM s WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q73_exact_contamination" ->
       s"""WITH ${DataPrepQueries.shingleCte},
          |tagged AS (SELECT id, shingle, (id % $EvalMod = 0) AS ev FROM sh),
