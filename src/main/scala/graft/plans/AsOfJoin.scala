@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
@@ -139,7 +139,7 @@ case class AsOfJoinExec(
       val rBuf = rIter.buffered
       // the latest right row seen for candidateKey (copied: iterator rows
       // are reused by the upstream sort)
-      var candidate: UnsafeRow = null
+      var candidate: InternalRow = null
       var candidateKey = 0L
       lIter.map { lRow =>
         val k = lRow.getLong(lKeyOrd)
@@ -153,7 +153,7 @@ case class AsOfJoinExec(
           if (hk < k || (hk == k && head.getLong(rTsOrd) <= t)) {
             val row = rBuf.next()
             if (hk == k) {
-              candidate = row.asInstanceOf[UnsafeRow].copy()
+              candidate = row.copy()
               candidateKey = k
             }
             continue = rBuf.hasNext
