@@ -78,6 +78,60 @@ class CurationSpec extends SparkSpec {
     assert(got == want)
   }
 
+  private def refShingles(t: String, n: Int): Set[String] = {
+    val w = t.split("\\s+").toSeq
+    (0 to w.size - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+  }
+
+  test("containment pairs == brute-force reference on random corpora (ScalaCheck)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val word = Gen.choose(0, 20).map(i => s"w$i")
+    val doc = Gen.choose(5, 25).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, doc))
+    val prop = forAll(corpus) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(d, n = 2, minContainX10k = 5000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+      Dedup.unpersistIntermediates(spark)
+      val expected = (for {
+        a <- texts.indices; b <- texts.indices if a < b
+        sa = refShingles(texts(a), 2); sb = refShingles(texts(b), 2)
+        if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size if inter > 0
+        c = 10000L * inter / math.min(sa.size, sb.size) if c >= 5000L
+      } yield (a.toLong, b.toLong) -> c).toMap
+      got == expected
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("exact n-gram overlap == brute-force reference on random split corpora (ScalaCheck)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val word = Gen.choose(0, 12).map(i => s"w$i") // small vocab → real overlap
+    val doc = Gen.choose(4, 20).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.choose(4, 10).flatMap(n => Gen.listOfN(n, doc))
+    val prop = forAll(corpus) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, i % 3 == 0) }
+        .toDF("doc_id", "text", "is_eval")
+      val got = Dedup.exactNgramOverlap(d, "is_eval", n = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      Dedup.unpersistIntermediates(spark)
+      val evalGrams = texts.indices.filter(_ % 3 == 0)
+        .flatMap(i => refShingles(texts(i), 2)).toSet
+      val expected = (for {
+        i <- texts.indices if i % 3 != 0
+        sh = refShingles(texts(i), 2) if sh.nonEmpty
+      } yield i.toLong -> ((sh.size.toLong, (sh & evalGrams).size.toLong))).toMap
+      got == expected
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("topKPerGroup handles groups smaller than k and k = 1") {
     val df = Seq((1L, 10L, 5L), (1L, 11L, 5L), (2L, 20L, 9L))
       .toDF("g", "id", "v")
