@@ -276,6 +276,7 @@ object Relational {
       ordCol: String,
       idCol: String,
       k: Int): DataFrame = {
+    require(k > 0, s"topKPerGroup needs k > 0, got $k")
     graft.expressions.GraftFunctions.register(df.sparkSession)
     df.groupBy(groupCols.map(col): _*)
       .agg(call_function(graft.expressions.GraftFunctions.TopKDotName,

@@ -137,30 +137,43 @@ case class AsOfJoinExec(
       val nullRow = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
+      // NULL semantics: a NULL key/ts can never satisfy "latest with
+      // ts <= left.ts" — null-keyed/ts rights are skipped, null-keyed/ts
+      // lefts emit unmatched. Ascending sort puts NULLS FIRST, so the
+      // skips happen at the front of each run and the walk stays monotone.
+      def rHeadNull: Boolean =
+        rBuf.head.isNullAt(rKeyOrd) || rBuf.head.isNullAt(rTsOrd)
       // the latest right row seen for candidateKey (copied: iterator rows
       // are reused by the upstream sort)
       var candidate: InternalRow = null
       var candidateKey = 0L
       lIter.map { lRow =>
-        val k = lRow.getLong(lKeyOrd)
-        val t = lRow.getLong(lTsOrd)
-        // drain every right row ordered before/at (k, t); rows of earlier
-        // keys are dead (left is sorted), rows of key k advance the candidate
-        var continue = rBuf.hasNext
-        while (continue) {
-          val head = rBuf.head
-          val hk = head.getLong(rKeyOrd)
-          if (hk < k || (hk == k && head.getLong(rTsOrd) <= t)) {
-            val row = rBuf.next()
-            if (hk == k) {
-              candidate = row.copy()
-              candidateKey = k
+        if (lRow.isNullAt(lKeyOrd) || lRow.isNullAt(lTsOrd)) {
+          proj(joined(lRow, nullRow))
+        } else {
+          val k = lRow.getLong(lKeyOrd)
+          val t = lRow.getLong(lTsOrd)
+          // drain every right row ordered before/at (k, t); rows of earlier
+          // keys are dead (left is sorted), rows of key k advance the candidate
+          var continue = rBuf.hasNext
+          while (continue) {
+            if (rHeadNull) { rBuf.next(); continue = rBuf.hasNext }
+            else {
+              val head = rBuf.head
+              val hk = head.getLong(rKeyOrd)
+              if (hk < k || (hk == k && head.getLong(rTsOrd) <= t)) {
+                val row = rBuf.next()
+                if (hk == k) {
+                  candidate = row.copy()
+                  candidateKey = k
+                }
+                continue = rBuf.hasNext
+              } else continue = false
             }
-            continue = rBuf.hasNext
-          } else continue = false
+          }
+          val matched = candidate != null && candidateKey == k
+          proj(joined(lRow, if (matched) candidate else nullRow))
         }
-        val matched = candidate != null && candidateKey == k
-        proj(joined(lRow, if (matched) candidate else nullRow))
       }
     }
   }

@@ -74,11 +74,16 @@ object AsOfStream {
     }
     val (emitted, next) = flush(merged, watermark)
     val maxSeen = (next.lefts.map(_._1) ++ next.rights.map(_._1)).maxOption.getOrElse(watermark)
-    if (next.lefts.isEmpty && next.rights.isEmpty) state.remove()
-    else {
+    val ttlExpired = next.lefts.isEmpty && watermark >= maxSeen + StateTtlMs
+    if ((next.lefts.isEmpty && next.rights.isEmpty) || ttlExpired) {
+      // fully drained, or only a final right candidate older than the TTL
+      // horizon is left — evict (the CdcStream TTL contract)
+      state.remove()
+    } else {
       state.update(next)
       // pending lefts: wake exactly when the first matures; otherwise hold
-      // the (possibly useful) final right candidate until the TTL
+      // the (possibly useful) final right candidate until its TTL instant —
+      // NOT watermark+1, which would re-fire the timer every micro-batch
       val t = next.lefts.map(_._1).minOption
         .getOrElse(maxSeen + StateTtlMs)
       state.setTimeoutTimestamp(math.max(t, watermark + 1))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
 import graft.queries.{CdcQueries, DataPrepQueries}
 
 /** Physical-plan shape assertions — the 100 TB posture is a property of the
@@ -15,21 +15,10 @@ class PlanSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def executed(df: DataFrame): SparkPlan = {
-    df.collect() // force AQE to finalize
-    df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-  }
-
-  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case q: QueryStageExec => Seq(q.plan) // AQE stages are leaves; descend
-      case _ => p.children
-    }
-    (p +: kids.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
-  }
+  // thin aliases over the shared SparkSpec helpers (hoisted there so every
+  // plan-shape suite walks AQE stages the same way)
+  private def executed(df: DataFrame): SparkPlan = executedPlan(df)
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = collectAllPlans(p)
 
   test("q01 filter is pushed into the parquet scan (O3 pushdown)") {
     val plan = executed(CdcQueries.q01_filter_project(spark, sfDir)).toString

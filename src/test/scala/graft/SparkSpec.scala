@@ -6,6 +6,25 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for specs (one per suite, guide-recommended). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Force AQE to finalize and return the executed physical plan. */
+  def executedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Every node of an (AQE-staged) physical plan, descending into query
+    * stages and subqueries. */
+  def collectAllPlans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    (p +: kids.flatMap(collectAllPlans)) ++ p.subqueries.flatMap(collectAllPlans)
+  }
 }
 
 object SparkSpec {

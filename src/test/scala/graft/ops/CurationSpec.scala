@@ -141,5 +141,9 @@ class CurationSpec extends SparkSpec {
     assert(k1 == Set((1L, 1L, 10L), (2L, 1L, 20L)))
     val k5 = Relational.topKPerGroup(df, Seq("g"), "v", "id", k = 5)
     assert(k5.count() == 3) // no padding beyond the group's rows
+    // k <= 0 must fail fast at the API, not NPE inside the aggregate
+    intercept[IllegalArgumentException] {
+      Relational.topKPerGroup(df, Seq("g"), "v", "id", k = 0)
+    }
   }
 }

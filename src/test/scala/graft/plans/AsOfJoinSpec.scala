@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import graft.SparkSpec
@@ -13,21 +13,8 @@ class AsOfJoinSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
-    df.collect()
-    df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-  }
-
-  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case q: QueryStageExec => Seq(q.plan)
-      case _ => p.children
-    }
-    (p +: kids.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
-  }
+  private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = executedPlan(df)
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = collectAllPlans(p)
 
   test("asofJoin == brute-force latest-at-or-before, incl. ts ties and no-match nulls") {
     val rnd = new scala.util.Random(11)
@@ -70,6 +57,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(shuffles.size == 2, s"expected exactly one exchange per side:\n$plan")
     assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
       s"the native as-of join must not fall back to a window:\n$plan")
+  }
+
+  test("NULL key/ts rows: lefts emit unmatched, rights never match, walk stays correct") {
+    val lDf = Seq(
+      (Some(1L), Some(10L), 1L),
+      (Some(1L), None, 2L),      // null ts → unmatched
+      (None, Some(10L), 3L),     // null key → unmatched
+      (Some(2L), Some(10L), 4L)
+    ).toDF("k", "ts", "lid")
+    val rDf = Seq(
+      (Some(1L), Some(5L), 100L),
+      (Some(1L), None, 101L),    // null ts right: skipped
+      (None, Some(5L), 102L),    // null key right: skipped
+      (Some(2L), Some(5L), 103L)
+    ).toDF("rk", "rts", "rid")
+    val out = AsOfJoinStrategy.asofJoin(lDf, rDf, "k", "ts", "rk", "rts", "rid")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, Some(100L)), (2L, None), (3L, None), (4L, Some(103L))))
   }
 
   test("empty right side and empty left side degrade cleanly") {

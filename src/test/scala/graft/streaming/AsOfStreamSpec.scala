@@ -63,6 +63,31 @@ class AsOfStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL: an idle key holding only a final right candidate is evicted; pending lefts are not") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val onlyRight = AsOfStream.AsOfBuf(Seq.empty, Seq((1000L, 1L, 5L)))
+    // watermark far past ts + TTL → timeout fires → state must be REMOVED
+    val s1 = TestGroupState.create[AsOfStream.AsOfBuf](
+      Optional.of(onlyRight), GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.of(1000L + AsOfStream.StateTtlMs + 1),
+      hasTimedOut = true)
+    assert(AsOfStream.updateKey(1L, Iterator.empty, s1).isEmpty)
+    assert(s1.isRemoved, "expired right-only state must be evicted")
+
+    // same watermark but a pending (future) left → state survives
+    val withLeft = AsOfStream.AsOfBuf(
+      Seq((1000L + AsOfStream.StateTtlMs + 100, 9L)), Seq((1000L, 1L, 5L)))
+    val s2 = TestGroupState.create[AsOfStream.AsOfBuf](
+      Optional.of(withLeft), GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.of(1000L + AsOfStream.StateTtlMs + 1),
+      hasTimedOut = true)
+    AsOfStream.updateKey(1L, Iterator.empty, s2)
+    assert(!s2.isRemoved && s2.exists)
+  }
+
   test("bestMatch: latest at-or-before wins, exact-ts ties to the highest id") {
     val rights = Seq((10L, 1L, 100L), (10L, 5L, 200L), (20L, 2L, 300L))
     assert(AsOfStream.bestMatch(rights, 10L) == Some((10L, 5L, 200L)))
