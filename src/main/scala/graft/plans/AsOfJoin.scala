@@ -29,7 +29,9 @@ import org.apache.spark.sql.types.LongType
   *
   * Engine conventions: key/ts/tie are LongType (quantize first, as
   * everywhere); the right side's columns come back nullable (no match →
-  * nulls). Ordinal access only — no per-row field lookups.
+  * nulls). An optional `toleranceMs` bounds the lookback (merge_asof
+  * semantics): a candidate older than `ts − tolerance` is no match.
+  * Ordinal access only — no per-row field lookups.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
@@ -38,7 +40,8 @@ case class AsOfJoinNode(
     leftTs: Attribute,
     rightKey: Attribute,
     rightTs: Attribute,
-    rightTie: Attribute)
+    rightTie: Attribute,
+    toleranceMs: Option[Long] = None)
     extends BinaryNode {
   require(Seq(leftKey, leftTs, rightKey, rightTs, rightTie).forall(_.dataType == LongType),
     "as-of join key/ts/tie columns must be LongType")
@@ -51,8 +54,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, lt, rk, rt, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie) :: Nil
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, tie, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie, tol) :: Nil
     case _ => Nil
   }
 
@@ -73,7 +76,8 @@ object AsOfJoinStrategy extends SparkStrategy {
       left: DataFrame,
       right: DataFrame,
       leftKey: String, leftTs: String,
-      rightKey: String, rightTs: String, rightTie: String): DataFrame = {
+      rightKey: String, rightTs: String, rightTie: String,
+      toleranceMs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -88,7 +92,8 @@ object AsOfJoinStrategy extends SparkStrategy {
     org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(spark,
       AsOfJoinNode(lPlan, rPlan,
         attr(lPlan, leftKey), attr(lPlan, leftTs),
-        attr(rPlan, rightKey), attr(rPlan, rightTs), attr(rPlan, rightTie)))
+        attr(rPlan, rightKey), attr(rPlan, rightTs), attr(rPlan, rightTie),
+        toleranceMs))
   }
 }
 
@@ -99,7 +104,8 @@ case class AsOfJoinExec(
     leftTs: Attribute,
     rightKey: Attribute,
     rightTs: Attribute,
-    rightTie: Attribute)
+    rightTie: Attribute,
+    toleranceMs: Option[Long] = None)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -147,6 +153,8 @@ case class AsOfJoinExec(
       // are reused by the upstream sort)
       var candidate: InternalRow = null
       var candidateKey = 0L
+      var candidateTs = 0L
+      val tol = toleranceMs.getOrElse(-1L)
       lIter.map { lRow =>
         if (lRow.isNullAt(lKeyOrd) || lRow.isNullAt(lTsOrd)) {
           proj(joined(lRow, nullRow))
@@ -166,12 +174,16 @@ case class AsOfJoinExec(
                 if (hk == k) {
                   candidate = row.copy()
                   candidateKey = k
+                  candidateTs = row.getLong(rTsOrd)
                 }
                 continue = rBuf.hasNext
               } else continue = false
             }
           }
-          val matched = candidate != null && candidateKey == k
+          // tolerance (merge_asof-style lookback bound): a candidate older
+          // than ts - tolerance is treated as no match
+          val matched = candidate != null && candidateKey == k &&
+            (tol < 0 || t - candidateTs <= tol)
           proj(joined(lRow, if (matched) candidate else nullRow))
         }
       }

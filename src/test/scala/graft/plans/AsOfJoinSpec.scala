@@ -78,6 +78,16 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, Some(100L)), (2L, None), (3L, None), (4L, Some(103L))))
   }
 
+  test("tolerance bounds the lookback: stale candidates stop matching (merge_asof semantics)") {
+    val lDf = Seq((1L, 100L, 1L), (1L, 500L, 2L)).toDF("k", "ts", "lid")
+    val rDf = Seq((1L, 90L, 10L)).toDF("rk", "rts", "rid")
+    val out = AsOfJoinStrategy.asofJoin(lDf, rDf, "k", "ts", "rk", "rts", "rid",
+      toleranceMs = Some(50L))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+    // left@100: right@90 is 10ms old → matches; left@500: 410ms old → no match
+    assert(out == Set((1L, Some(10L)), (2L, None)))
+  }
+
   test("empty right side and empty left side degrade cleanly") {
     val lDf = Seq((1L, 10L, 1L)).toDF("k", "ts", "lid")
     val empty = Seq.empty[(Long, Long, Long)].toDF("rk", "rts", "rid")
