@@ -19,9 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.defs ++ DataPrepQueries.defs ++ RelationalQueries.defs ++
-      PipelineQueries.defs ++ AnalyticsQueries.defs ++ CurationQueries.defs
+      PipelineQueries.defs ++ AnalyticsQueries.defs ++ CurationQueries.defs ++
+      OlapQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
-      PipelineQueries.oracles ++ AnalyticsQueries.oracles ++ CurationQueries.oracles
+      PipelineQueries.oracles ++ AnalyticsQueries.oracles ++ CurationQueries.oracles ++
+      OlapQueries.oracles
 }

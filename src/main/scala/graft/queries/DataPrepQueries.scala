@@ -512,10 +512,10 @@ object DataPrepQueries {
   private val quantVec =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  private val minhashCols = (0 until MinhashBands * MinhashRows)
+  private[queries] val minhashCols = (0 until MinhashBands * MinhashRows)
     .map(i => s"min(md5(concat('$i', ':', shingle))) AS mh$i").mkString(",\n         ")
 
-  private val bandRows = (0 until MinhashBands).map { b =>
+  private[queries] val bandRows = (0 until MinhashBands).map { b =>
     val key = (0 until MinhashRows).map(r => s"mh${b * MinhashRows + r}")
       .mkString("concat_ws('|', ", ", ", ")")
     s"SELECT id, $b AS band, md5($key) AS band_key FROM mh"

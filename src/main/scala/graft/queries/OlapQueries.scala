@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions.normalizeText
+import graft.ops.{Dedup, Intervals}
+
+/** Round-3d OLAP + curation surface: sliding event-time windows, temporal
+  * point-in-interval lookup through the native as-of operator, exact
+  * edit-distance rerank of LSH candidates, CUBE grouping sets, relational
+  * set operators, integer-exact distribution ranks, robust (median/MAD)
+  * statistics, and corpus-level chunk dedup. Same oracle conventions as the
+  * sibling modules: integer quantization, no float crosses an engine
+  * boundary, identical aliases both sides, ORDER BY a unique key.
+  */
+object OlapQueries {
+
+  import DataPrepQueries.{ShingleN, MinhashBands, MinhashRows}
+
+  val SlideMs = 10800000L   // 3h slide
+  val SlideWinMs = 21600000L // 6h window = 2 slides -> every event in exactly 2 windows
+  val ChunkDedupChars = 120
+
+  /** X80 — sliding event-time windows (overlap = window/slide = 2): per
+    * (window, event_type) counts and spend through Spark's native
+    * `window(ts, win, slide)` — each row fans out to exactly win/slide
+    * window assignments map-side, then ONE partial-aggregated shuffle on
+    * (window, type); no self-join, no range predicate. The hopping-window
+    * twin of q32's tumbling windows (X18) and the batch form of the same
+    * streaming expression. */
+  def q79_sliding_windows(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsCents(spark, dir)
+      .groupBy(
+        window(timestamp_millis(col("ts_ms")), s"$SlideWinMs milliseconds",
+          s"$SlideMs milliseconds").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value_c").as("sum_value_c"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value_c"))
+      .orderBy("window_start_ms", "event_type")
+
+  /** X81 — temporal point-in-interval lookup: every purchase event
+    * enriched with the SCD2 status interval (q62's `Intervals.scd2`)
+    * active at its timestamp. Because intervals tile each key's timeline
+    * (valid_from inclusive, valid_to exclusive), "the containing interval"
+    * IS "the latest interval starting at-or-before ts" — so the lookup
+    * runs through the NATIVE as-of operator ([[graft.plans.AsOfJoinNode]]):
+    * one exchange per side, a linear merge per partition, no inequality
+    * join and no window over a blended table. Version is the tie column
+    * (two intervals can share valid_from when same-ts events alternate
+    * type; the highest version is the surviving non-empty one — exactly
+    * the interval the containment predicate selects). */
+  def q80_interval_lookup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val iv = Intervals.scd2(ev,
+      key = "user_id", ts = "ts_ms", tie = "event_id", attr = "event_type")
+      .select(col("user_id").as("iv_user"), col("status"),
+        col("valid_from"), col("version"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_ms")
+    graft.plans.AsOfJoinStrategy.asofJoin(purchases, iv,
+      leftKey = "user_id", leftTs = "ts_ms",
+      rightKey = "iv_user", rightTs = "valid_from", rightTie = "version")
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("status"),
+        col("valid_from").as("valid_from_ms"), col("version"))
+      .orderBy("event_id")
+  }
+
+  /** X82 — exact edit-distance rerank of LSH candidates: MinHash band
+    * collisions (q17 semantics) propose near-dup pairs; each pair is then
+    * verified with character-level Levenshtein on the normalized text and
+    * an integer similarity `floor(1e4·(maxlen − dist)/maxlen)`. The
+    * two-stage shape is the scalable fuzzy-dedup recipe: the O(len²)
+    * dynamic program runs only on candidate pairs (≪ corpus²), never
+    * all-pairs; text joins are pair-side. */
+  def q81_edit_rerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cands = Dedup.minhashLshPairs(docs,
+      n = ShingleN, bands = MinhashBands, rowsPerBand = MinhashRows)
+    val nt = docs.select(col("doc_id"), normalizeText(col("text")).as("nt"))
+    cands
+      .join(nt.select(col("doc_id").as("id_a"), col("nt").as("nt_a")), "id_a")
+      .join(nt.select(col("doc_id").as("id_b"), col("nt").as("nt_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("nt_a"), col("nt_b")).cast("long").as("edit_dist"),
+        greatest(length(col("nt_a")), length(col("nt_b"))).cast("long")
+          .as("max_len"))
+      .withColumn("edit_sim_x10k",
+        when(col("max_len") > 0,
+          floor(lit(10000L) * (col("max_len") - col("edit_dist")) / col("max_len")))
+          .otherwise(10000L).cast("long"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** X83 — CUBE grouping sets: order counts and revenue by (priority,
+    * year), (priority), (year), and grand total in ONE pass —
+    * `cube().agg(grouping_id())`; the grouping-set expansion happens
+    * map-side before the partial aggregate, so the shuffle carries 4×
+    * group rows, not 4× input rows. NULL group placeholders are ordered
+    * NULLS FIRST explicitly (Spark's ASC default; DuckDB's is NULLS LAST). */
+  def q82_cube_revenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("total_c"))
+      .cube("o_orderpriority", "o_year")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"), sum("total_c").as("revenue_c"))
+      .select("gid", "o_orderpriority", "o_year", "n_orders", "revenue_c")
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_year").asc_nulls_first)
+
+  /** X84 — relational set operators: customer-activity overlap between two
+    * order years as INTERSECT / EXCEPT / EXCEPT — the cohort-overlap
+    * report shape. Spark plans each set op as an aggregate or left-anti
+    * join on the (already distinct) key column: hash-partitionable, no
+    * sort, one shuffle per op on the same key. */
+  def q83_set_ops(spark: SparkSession, dir: String): DataFrame = {
+    def active(y: Int) = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === y)
+      .select("o_custkey").distinct()
+    val (y95, y96) = (active(1995), active(1996))
+    y95.intersect(y96).withColumn("segment", lit("both"))
+      .unionByName(y95.except(y96).withColumn("segment", lit("only_1995")))
+      .unionByName(y96.except(y95).withColumn("segment", lit("only_1996")))
+      .select("segment", "o_custkey")
+      .orderBy("segment", "o_custkey")
+  }
+
+  /** X85 — integer-exact distribution ranks: per market segment, each
+    * customer's percent_rank and cume_dist over account balance — computed
+    * from rank()/count() windows with the explicit integer formulas
+    * `floor(1e6·(rank−1)/(n−1))` and `floor(1e6·rows_le/n)` (rows_le =
+    * n − rank_desc + 1), so no float quantile crosses engines. All three
+    * windows share the segment partitioning: one shuffle, two
+    * within-partition sorts. */
+  def q84_balance_distribution(spark: SparkSession, dir: String): DataFrame = {
+    val wAsc = Window.partitionBy("c_mktsegment").orderBy(col("bal_c"))
+    val wDesc = Window.partitionBy("c_mktsegment").orderBy(col("bal_c").desc)
+    val wAll = Window.partitionBy("c_mktsegment")
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+      .withColumn("r_asc", rank().over(wAsc).cast("long"))
+      .withColumn("r_desc", rank().over(wDesc).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("c_custkey"), col("c_mktsegment"), col("bal_c"),
+        when(col("n") > 1,
+          floor(lit(1000000L) * (col("r_asc") - 1) / (col("n") - 1)))
+          .otherwise(0L).cast("long").as("pct_rank_x1e6"),
+        floor(lit(1000000L) * (col("n") - col("r_desc") + 1) / col("n"))
+          .cast("long").as("cume_dist_x1e6"))
+      .orderBy("c_custkey")
+  }
+
+  /** X86 — robust statistics (median + MAD): per event type, the exact
+    * median and median-absolute-deviation of the money column. Values are
+    * scaled ×4 BEFORE the percentiles so every intermediate stays integer
+    * (median of multiples of 4 is a multiple of 2; |v4−m4| is even; its
+    * median is an integer) — MAD needs two dependent aggregates, and this
+    * keeps both engine-exact in doubles. Two shuffles on event_type; the
+    * median side joins back as a broadcast (rows = #types). */
+  def q85_robust_stats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsCents(spark, dir)
+      .select(col("event_type"), (col("value_c") * 4).as("v4"))
+    val med = e.groupBy("event_type")
+      .agg(percentile(col("v4"), lit(0.5)).cast("long").as("median_x4"),
+        count(lit(1)).as("n_events"))
+    val mad = e.join(broadcast(med.select("event_type", "median_x4")), "event_type")
+      .select(col("event_type"), abs(col("v4") - col("median_x4")).as("dev4"))
+      .groupBy("event_type")
+      .agg(percentile(col("dev4"), lit(0.5)).cast("long").as("mad_x4"))
+    med.join(mad, "event_type")
+      .select("event_type", "n_events", "median_x4", "mad_x4")
+      .orderBy("event_type")
+  }
+
+  /** X87 — corpus-level chunk dedup (the C4-style repeated-paragraph
+    * screen at chunk granularity): docs split into non-overlapping
+    * `ChunkDedupChars`-char chunks, each chunk owned by its first
+    * occurrence (min (doc_id, chunk_idx) per chunk hash), per doc the
+    * kept-chunk share. One shuffle on the chunk hash (the global dedup),
+    * one on doc_id (the report); fan-out = chunks per doc, bounded by
+    * doc length. */
+  def q86_chunk_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFunctions.charChunks(col("text"), ChunkDedupChars,
+          ChunkDedupChars)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        md5(col("c.chunk_text")).as("h"))
+    val owner = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("own"))
+    chunks.join(owner, "h")
+      .withColumn("kept",
+        (col("own.doc_id") === col("doc_id") &&
+          col("own.chunk_idx") === col("chunk_idx")).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("kept").as("n_kept"))
+      .withColumn("kept_x10k",
+        floor(lit(10000L) * col("n_kept") / col("n_chunks")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_sliding_windows" -> q79_sliding_windows,
+    "q80_interval_lookup" -> q80_interval_lookup,
+    "q81_edit_rerank" -> q81_edit_rerank,
+    "q82_cube_revenue" -> q82_cube_revenue,
+    "q83_set_ops" -> q83_set_ops,
+    "q84_balance_distribution" -> q84_balance_distribution,
+    "q85_robust_stats" -> q85_robust_stats,
+    "q86_chunk_dedup" -> q86_chunk_dedup
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    "q79_sliding_windows" ->
+      s"""WITH w AS (
+         |  SELECT unnest([(epoch_ms(ts) // $SlideMs) * $SlideMs,
+         |                 (epoch_ms(ts) // $SlideMs) * $SlideMs - $SlideMs])
+         |           AS window_start_ms,
+         |         epoch_ms(ts) AS ts_ms, event_type,
+         |         CAST(round(value * 100) AS BIGINT) AS value_c
+         |  FROM events)
+         |SELECT window_start_ms, event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(value_c) AS BIGINT) AS sum_value_c
+         |FROM w
+         |WHERE ts_ms >= window_start_ms AND ts_ms < window_start_ms + $SlideWinMs
+         |GROUP BY window_start_ms, event_type
+         |ORDER BY window_start_ms, event_type""".stripMargin,
+    "q80_interval_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+        |         lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, ts_ms, event_id, event_type FROM e
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (
+        |  SELECT user_id, event_type AS status, ts_ms AS valid_from_ms,
+        |         CAST(coalesce(lead(ts_ms) OVER
+        |           (PARTITION BY user_id ORDER BY ts_ms, event_id), -1) AS BIGINT)
+        |           AS valid_to_ms,
+        |         CAST(row_number() OVER
+        |           (PARTITION BY user_id ORDER BY ts_ms, event_id) AS BIGINT) AS version
+        |  FROM c),
+        |p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_ms, iv.status,
+        |       iv.valid_from_ms, iv.version
+        |FROM p JOIN iv
+        |  ON iv.user_id = p.user_id AND iv.valid_from_ms <= p.ts_ms
+        | AND (iv.valid_to_ms = -1 OR p.ts_ms < iv.valid_to_ms)
+        |ORDER BY p.event_id""".stripMargin,
+    "q81_edit_rerank" ->
+      s"""WITH ${DataPrepQueries.shingleCte},
+         |mh AS (
+         |  SELECT id,
+         |         ${DataPrepQueries.minhashCols}
+         |  FROM sh GROUP BY id),
+         |banded AS (
+         |  ${DataPrepQueries.bandRows}),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |nt AS (SELECT doc_id, ${DataPrepQueries.norm} AS nt FROM documents),
+         |sc AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS edit_dist,
+         |         CAST(greatest(length(na.nt), length(nb.nt)) AS BIGINT) AS max_len
+         |  FROM cand c
+         |  JOIN nt na ON na.doc_id = c.id_a
+         |  JOIN nt nb ON nb.doc_id = c.id_b)
+         |SELECT id_a, id_b, edit_dist, max_len,
+         |       CAST(CASE WHEN max_len > 0
+         |                 THEN floor(10000 * (max_len - edit_dist) / max_len)
+         |                 ELSE 10000 END AS BIGINT) AS edit_sim_x10k
+         |FROM sc ORDER BY id_a, id_b""".stripMargin,
+    "q82_cube_revenue" ->
+      """SELECT CAST(2 * grouping(o_orderpriority) + grouping(o_year) AS BIGINT) AS gid,
+        |       o_orderpriority, o_year,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(total_c) AS BIGINT) AS revenue_c
+        |FROM (SELECT o_orderpriority,
+        |             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        |      FROM orders)
+        |GROUP BY CUBE(o_orderpriority, o_year)
+        |ORDER BY gid, o_orderpriority NULLS FIRST, o_year NULLS FIRST""".stripMargin,
+    "q83_set_ops" ->
+      """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1995),
+        |y96 AS (SELECT DISTINCT o_custkey FROM orders
+        |        WHERE year(o_orderdate) = 1996)
+        |SELECT 'both' AS segment, o_custkey
+        |FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+        |UNION ALL
+        |SELECT 'only_1995' AS segment, o_custkey
+        |FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+        |UNION ALL
+        |SELECT 'only_1996' AS segment, o_custkey
+        |FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+        |ORDER BY segment, o_custkey""".stripMargin,
+    "q84_balance_distribution" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |r AS (
+        |  SELECT c_custkey, c_mktsegment, bal_c,
+        |         CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY bal_c) AS BIGINT) AS r_asc,
+        |         CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY bal_c DESC) AS BIGINT) AS r_desc,
+        |         CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+        |  FROM c)
+        |SELECT c_custkey, c_mktsegment, bal_c,
+        |       CAST(CASE WHEN n > 1 THEN floor(1000000 * (r_asc - 1) / (n - 1))
+        |                 ELSE 0 END AS BIGINT) AS pct_rank_x1e6,
+        |       CAST(floor(1000000 * (n - r_desc + 1) / n) AS BIGINT) AS cume_dist_x1e6
+        |FROM r ORDER BY c_custkey""".stripMargin,
+    "q85_robust_stats" ->
+      """WITH e AS (
+        |  SELECT event_type, 4 * CAST(round(value * 100) AS BIGINT) AS v4
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, CAST(median(v4) AS BIGINT) AS median_x4,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, CAST(median(abs(e.v4 - m.median_x4)) AS BIGINT) AS mad_x4
+        |  FROM e JOIN med m ON e.event_type = m.event_type
+        |  GROUP BY e.event_type)
+        |SELECT med.event_type, med.n_events, med.median_x4, mad.mad_x4
+        |FROM med JOIN mad ON med.event_type = mad.event_type
+        |ORDER BY med.event_type""".stripMargin,
+    "q86_chunk_dedup" ->
+      s"""WITH idx AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(0,
+         |           greatest(CAST(floor((length(text) - 1) / $ChunkDedupChars) AS BIGINT), 0)))
+         |           AS chunk_idx
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, chunk_idx,
+         |         md5(substr(text, CAST(chunk_idx * $ChunkDedupChars + 1 AS BIGINT),
+         |             $ChunkDedupChars)) AS h
+         |  FROM idx),
+         |rn AS (
+         |  SELECT doc_id, chunk_idx, h,
+         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM ch)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(floor(10000 * sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / count(*))
+         |         AS BIGINT) AS kept_x10k
+         |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
