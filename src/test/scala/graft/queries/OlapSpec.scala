@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantics + plan-shape pins for the round-3d OLAP surface (the values
+  * themselves are oracle-checked against DuckDB by the driver gate; these
+  * pin the properties the oracle can't see). */
+class OlapSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q80 interval lookup ≡ brute-force containment join") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val iv = graft.ops.Intervals.scd2(ev,
+      key = "user_id", ts = "ts_ms", tie = "event_id", attr = "event_type")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_ms")
+    val brute = p.join(iv.withColumnRenamed("user_id", "iv_user"),
+        col("user_id") === col("iv_user") &&
+          col("valid_from") <= col("ts_ms") &&
+          (col("valid_to") === -1L || col("ts_ms") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("status"),
+        col("valid_from").as("valid_from_ms"), col("version"))
+    val fast = OlapQueries.q80_interval_lookup(spark, sfDir)
+    assert(fast.count() == p.count(), "every purchase must find its interval")
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty)
+  }
+
+  test("q80 runs through the native as-of operator, not a window or BNLJ") {
+    val plans = collectAllPlans(
+      executedPlan(OlapQueries.q80_interval_lookup(spark, sfDir)))
+    assert(plans.exists(_.isInstanceOf[graft.plans.AsOfJoinExec]))
+    assert(!plans.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+  }
+
+  test("q81 rerank joins only candidate pairs (no cartesian, no BNLJ)") {
+    val plans = collectAllPlans(
+      executedPlan(OlapQueries.q81_edit_rerank(spark, sfDir)))
+    assert(!plans.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "edit distance must run on LSH candidates only")
+    graft.ops.Dedup.unpersistIntermediates(spark)
+  }
+
+  test("q79 sliding windows: every event lands in exactly 2 windows") {
+    val total = graft.Tables.events(spark, sfDir).count()
+    val windowed = OlapQueries.q79_sliding_windows(spark, sfDir)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(windowed == 2 * total,
+      s"window/slide = 2 => 2x fan-out, got $windowed for $total events")
+  }
+
+  test("q82 cube expands grouping sets map-side: one shuffle, no window") {
+    val plans = collectAllPlans(
+      executedPlan(OlapQueries.q82_cube_revenue(spark, sfDir)))
+    val hashShuffles = plans.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.outputPartitioning.toString.contains("hashpartitioning"))
+    assert(hashShuffles.size == 1,
+      s"cube should aggregate with one hash shuffle, got ${hashShuffles.size}")
+    assert(plans.exists(_.toString.contains("Expand")),
+      "grouping-set expansion should appear below the partial aggregate")
+    assert(!plans.exists(_.isInstanceOf[WindowExec]))
+  }
+
+  test("q82 cube totals are consistent across grouping sets") {
+    val rows = OlapQueries.q82_cube_revenue(spark, sfDir).collect()
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1)
+    val perPriority = rows.filter(_.getAs[Long]("gid") == 1L)
+      .map(_.getAs[Long]("revenue_c")).sum
+    assert(perPriority == grand.head.getAs[Long]("revenue_c"))
+  }
+
+  test("q83 set-op segments partition the union of both years") {
+    val rows = OlapQueries.q83_set_ops(spark, sfDir).collect()
+    val bySeg = rows.groupBy(_.getAs[String]("segment"))
+      .view.mapValues(_.map(_.getAs[Long]("o_custkey")).toSet).toMap
+    val all = bySeg.values.flatten.toSeq
+    assert(all.distinct.size == all.size, "segments must be disjoint")
+    val y = (yr: Int) => graft.Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === yr)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val (y95, y96) = (y(1995), y(1996))
+    assert(bySeg.getOrElse("both", Set.empty) == (y95 intersect y96))
+    assert(bySeg.getOrElse("only_1995", Set.empty) == (y95 diff y96))
+    assert(bySeg.getOrElse("only_1996", Set.empty) == (y96 diff y95))
+  }
+
+  test("q85 median/MAD stay integer under the x4 scaling") {
+    val e = graft.Tables.eventsCents(spark, sfDir)
+      .select(col("event_type"), (col("value_c") * 4).as("v4"))
+    // the exact double percentile must hit integers: compare cast vs raw
+    val raw = e.groupBy("event_type")
+      .agg(percentile(col("v4"), lit(0.5)).as("m")).collect()
+    raw.foreach { r =>
+      val m = r.getAs[Double]("m")
+      assert(m == math.rint(m), s"median_x4 must be integral, got $m")
+    }
+  }
+
+  test("q86 chunk ownership: kept counts sum to the number of distinct chunks") {
+    val out = OlapQueries.q86_chunk_dedup(spark, sfDir)
+    val kept = out.agg(sum("n_kept")).collect()(0).getLong(0)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val distinctChunks = docs
+      .select(explode(graft.functions.TextFunctions.charChunks(col("text"),
+        OlapQueries.ChunkDedupChars, OlapQueries.ChunkDedupChars)).as("c"))
+      .select(md5(col("c.chunk_text"))).distinct().count()
+    assert(kept == distinctChunks,
+      "every distinct chunk hash must be kept exactly once")
+  }
+}
