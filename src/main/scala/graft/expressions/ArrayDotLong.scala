@@ -78,6 +78,7 @@ object GraftFunctions {
   val TopKDotName = "graft_topk_dot"
   val MinHashSigName = "graft_minhash_sig"
   val SimHash64Name = "graft_simhash64"
+  val Int8QuantizeName = "graft_int8_quantize"
 
   /** Literal-int extraction for builder lambdas (k arguments must be
     * foldable — a non-literal k is a registration-time error, not a
@@ -108,5 +109,8 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(SimHash64Name)))
       reg.createOrReplaceTempFunction(
         SimHash64Name, exprs => SimHash64(exprs.head), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(Int8QuantizeName)))
+      reg.createOrReplaceTempFunction(
+        Int8QuantizeName, exprs => Int8QuantizeVec(exprs.head), "scala_udf")
   }
 }

@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.SimHash64Name),
       new ExpressionInfo(classOf[SimHash64].getName, GraftFunctions.SimHash64Name),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.Int8QuantizeName),
+      new ExpressionInfo(classOf[Int8QuantizeVec].getName, GraftFunctions.Int8QuantizeName),
+      (exprs: Seq[Expression]) => Int8QuantizeVec(exprs.head)))
     // pure range-inequality joins plan as nested loops; this rewrites them
     // to the binned equi-join (see graft.plans.BinnedRangeJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)

@@ -4,9 +4,14 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector (embedding) column functions over `array<float>` columns —
-  * similarity-search / near-dup primitives built entirely from Spark's
-  * higher-order functions (`transform`/`zip_with`/`aggregate`) so they stay
-  * inside whole-stage codegen. No UDFs, no driver-side math.
+  * similarity-search / near-dup primitives built from Spark's higher-order
+  * functions (`transform`/`zip_with`/`aggregate`). No UDFs, no driver-side
+  * math. NOTE: HOF lambdas evaluate interpreted (not codegen'd), and
+  * optimizer inlining can duplicate an outer aggregate into a lambda body
+  * (O(dim²) blowup — see [[graft.expressions.Int8QuantizeVec]]); hot paths
+  * use the fused expressions ([[graft.expressions.ArrayDotLong]],
+  * [[graft.expressions.Int8QuantizeVec]]) with these as the declarative
+  * reference semantics.
   *
   * Oracle-exactness: similarity is computed on INTEGER-quantized vectors
   * (`floor(x * 1000)` per element) so dot products are exact BIGINT

@@ -174,6 +174,9 @@ object Dedup {
     // on one task before the first shuffle (see spread())
     val sh = shingleTable(docs, n, idCol, textCol)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    // NOT persisted: both sides of the self-join are the same subtree, and
+    // ReuseExchange already executes it once (an explicit cache was
+    // measured SLOWER — materialization cost without saved work)
     val capped = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
         .select("shingle"),

@@ -36,13 +36,22 @@ object PipelineQueries {
 
   /** X44 — int8 embedding quantization (one row per (vec, dim) so the
     * result is array-representation-free for the oracle hash): scale = max
-    * |element| of the 1e-3-quantized vector, q8 = floor(127·x/scale). */
+    * |element| of the 1e-3-quantized vector, q8 = floor(127·x/scale).
+    * Computed by the fused [[graft.expressions.Int8QuantizeVec]] scalar —
+    * the HOF composition (`int8Quantize(quantize(v), qmaxAbs(...))`) is an
+    * optimizer trap: the filter InferFiltersFromGenerate pushes below the
+    * explode inlines the qscale aggregate into the per-element lambda,
+    * re-evaluating the whole interpreted subtree per element (measured
+    * ~2 s of q55's runtime at sf0.1 for 2 000 vectors). Same floor/double
+    * arithmetic, spec-pinned equal; oracle unchanged. */
   def q55_embedding_quantize(spark: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("vq"))
-      .withColumn("qscale", qmaxAbs(col("vq")))
-      .withColumn("q8", int8Quantize(col("vq"), col("qscale")))
-    q.select(col("vec_id"), col("qscale"), posexplode(col("q8")).as(Seq("pos", "q")))
+    graft.expressions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        call_function(graft.expressions.GraftFunctions.Int8QuantizeName,
+          col("embedding")).as("f"))
+      .select(col("vec_id"), col("f.qscale").as("qscale"),
+        posexplode(col("f.q8")).as(Seq("pos", "q")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
         col("q"), col("qscale"))
       .orderBy("vec_id", "dim")

@@ -70,6 +70,22 @@ class PipelineSpec extends SparkSpec {
     assert(df(3L).last == -127L)
   }
 
+  test("fused Int8QuantizeVec ≡ the HOF composition (scale and q8, real vectors)") {
+    graft.expressions.GraftFunctions.register(spark)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val hof = emb
+      .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("vq"))
+      .withColumn("qscale", VectorFunctions.qmaxAbs(col("vq")))
+      .withColumn("q8", VectorFunctions.int8Quantize(col("vq"), col("qscale")))
+      .select("vec_id", "qscale", "q8")
+    val fused = emb
+      .select(col("vec_id"),
+        call_function(graft.expressions.GraftFunctions.Int8QuantizeName,
+          col("embedding")).as("f"))
+      .select(col("vec_id"), col("f.qscale").as("qscale"), col("f.q8").as("q8"))
+    assert(fused.exceptAll(hof).isEmpty && hof.exceptAll(fused).isEmpty)
+  }
+
   test("HLL sketch estimate within 5% of exact; partial sketches merge to the global") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val exact = events.agg(countDistinct("user_id")).as[Long].head()
