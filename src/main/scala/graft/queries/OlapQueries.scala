@@ -205,7 +205,73 @@ object OlapQueries {
       .orderBy("doc_id")
   }
 
+  /** X89 — winsorized robust aggregate: per event type, clip the money
+    * column at the exact p05/p95 ORDER STATISTICS (value at integer rank
+    * `max(1, ⌈q·n⌉)` — no interpolated float percentile crosses engines)
+    * and report the clipped sum and clip counts — the outlier-robust
+    * aggregation a metrics pipeline runs over heavy-tailed spend. One
+    * windowed rank pass + a tiny bounds aggregate broadcast back; both
+    * shuffles on event_type. */
+  def q87_winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value_c"), col("event_id"))
+    val wAll = Window.partitionBy("event_type")
+    val e = Tables.eventsCents(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value_c"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val bounds = e
+      .withColumn("k_lo", greatest(lit(1L), floor((col("n") * 5 + 99) / 100)))
+      .withColumn("k_hi", greatest(lit(1L), floor((col("n") * 95 + 99) / 100)))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === col("k_lo"), col("value_c"))).as("lo_c"),
+        max(when(col("rn") === col("k_hi"), col("value_c"))).as("hi_c"))
+    e.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        first(col("lo_c")).as("lo_c"), first(col("hi_c")).as("hi_c"),
+        sum(least(greatest(col("value_c"), col("lo_c")), col("hi_c")))
+          .as("winsorized_sum_c"),
+        sum((col("value_c") < col("lo_c")).cast("long")).as("n_clipped_lo"),
+        sum((col("value_c") > col("hi_c")).cast("long")).as("n_clipped_hi"))
+      .orderBy("event_type")
+  }
+
+  /** X90 — deterministic hash-ring negative sampling: every embedding
+    * anchor takes the next `NegK` vectors on a pseudo-random ring
+    * (global order of md5(seed:vec_id), wrap-around) as its contrastive
+    * negatives. Reproducible across runs/engines (no RNG state), uniform
+    * (each vector serves as negative exactly NegK times), and O(N·k):
+    * one two-phase global index (range shuffle — no single-task window),
+    * a k-way `sequence` fan-out, and one equi-join on the integer ring
+    * position. The label columns report the accidental same-label rate. */
+  val NegSeed = "neg1"
+  val NegK = 3
+  def q88_negative_ring(spark: SparkSession, dir: String): DataFrame = {
+    val ring = graft.ops.Relational.globalIndex(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+          md5(concat_ws(":", lit(NegSeed), col("vec_id"))).as("rk")),
+      Seq(col("rk")), "pos")
+    val total = ring.agg(count(lit(1)).as("n_total"))
+    val fan = ring
+      .select(col("vec_id"), col("label").as("anchor_label"), col("pos"))
+      .crossJoin(broadcast(total))
+      .select(col("vec_id"), col("anchor_label"),
+        explode(sequence(lit(1L), lit(NegK.toLong))).as("sample_idx"),
+        (pmod(col("pos") - 1 + col("sample_idx"), col("n_total")) + 1).as("neg_pos"))
+    fan.join(
+        ring.select(col("pos").as("neg_pos"), col("vec_id").as("neg_vec_id"),
+          col("label").as("neg_label")),
+        "neg_pos")
+      .select(col("vec_id"), col("sample_idx"), col("neg_vec_id"),
+        col("anchor_label"), col("neg_label"),
+        (col("anchor_label") === col("neg_label")).cast("int").as("same_label"))
+      .orderBy("vec_id", "sample_idx")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_winsorize" -> q87_winsorize,
+    "q88_negative_ring" -> q88_negative_ring,
     "q79_sliding_windows" -> q79_sliding_windows,
     "q80_interval_lookup" -> q80_interval_lookup,
     "q81_edit_rerank" -> q81_edit_rerank,
@@ -219,6 +285,53 @@ object OlapQueries {
   // ---------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q87_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, value_c,
+        |         CAST(row_number() OVER
+        |           (PARTITION BY event_type ORDER BY value_c, event_id) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM e),
+        |b AS (
+        |  SELECT event_type,
+        |         max(CASE WHEN rn = greatest(1, (n * 5 + 99) // 100)
+        |                  THEN value_c END) AS lo_c,
+        |         max(CASE WHEN rn = greatest(1, (n * 95 + 99) // 100)
+        |                  THEN value_c END) AS hi_c
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(b.lo_c AS BIGINT) AS lo_c, CAST(b.hi_c AS BIGINT) AS hi_c,
+        |       CAST(sum(least(greatest(e.value_c, b.lo_c), b.hi_c)) AS BIGINT)
+        |         AS winsorized_sum_c,
+        |       CAST(sum(CASE WHEN e.value_c < b.lo_c THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clipped_lo,
+        |       CAST(sum(CASE WHEN e.value_c > b.hi_c THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_clipped_hi
+        |FROM e JOIN b USING (event_type)
+        |GROUP BY e.event_type, b.lo_c, b.hi_c
+        |ORDER BY e.event_type""".stripMargin,
+    "q88_negative_ring" ->
+      s"""WITH ring AS (
+         |  SELECT vec_id, label,
+         |         CAST(row_number() OVER
+         |           (ORDER BY md5(concat('$NegSeed', ':', CAST(vec_id AS VARCHAR))))
+         |           AS BIGINT) AS pos
+         |  FROM embeddings),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ring),
+         |fan AS (
+         |  SELECT r.vec_id, r.label AS anchor_label, u.sample_idx,
+         |         ((r.pos - 1 + u.sample_idx) % t.n_total) + 1 AS neg_pos
+         |  FROM ring r, t,
+         |       (SELECT unnest(generate_series(1, $NegK)) AS sample_idx) u)
+         |SELECT f.vec_id, CAST(f.sample_idx AS BIGINT) AS sample_idx,
+         |       n.vec_id AS neg_vec_id,
+         |       f.anchor_label, n.label AS neg_label,
+         |       CAST(f.anchor_label = n.label AS INT) AS same_label
+         |FROM fan f JOIN ring n ON n.pos = f.neg_pos
+         |ORDER BY f.vec_id, f.sample_idx""".stripMargin,
     "q79_sliding_windows" ->
       s"""WITH w AS (
          |  SELECT unnest([(epoch_ms(ts) // $SlideMs) * $SlideMs,

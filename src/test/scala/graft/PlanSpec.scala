@@ -285,6 +285,34 @@ class PlanSpec extends SparkSpec {
     assert(bnlj.isEmpty, s"no nested-loop candidate step allowed:\n$plan")
   }
 
+  test("runtime bloom filter injects into the fact side of a selective dim join") {
+    // 100 TB posture: with a selective filter on the dim side of a shuffle
+    // join, Spark injects a bloom filter onto the fact scan so most fact
+    // rows drop BEFORE the shuffle. The size thresholds are tuned for real
+    // clusters (creation side default 10 MB, application side 10 GB scan),
+    // so on test-sized data the rule only fires with the thresholds
+    // lowered — this pin proves the engine's plans are eligible for the
+    // optimization, which engages automatically at the scales it exists for.
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = graft.Tables.lineitem(spark, sfDir)
+      val ord = graft.Tables.orders(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      assert(j.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "expected an injected bloom filter on the fact side")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("custom expression resolves in SQL after registration; extensions class wires") {
     graft.expressions.GraftFunctions.register(spark)
     val out = spark.sql(
