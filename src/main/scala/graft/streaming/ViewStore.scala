@@ -210,6 +210,57 @@ object ViewStore {
     }
   }
 
+  /** Right-to-erasure purge: remove every row whose `keyCol` is in `keys`,
+    * rewriting ONLY the buckets those keys hash into (I/O = touched
+    * buckets, like any merge batch), then TRUNCATE the snapshot history to
+    * the purge point — older manifests and their generation dirs are
+    * dropped immediately, because retained time-travel snapshots would
+    * otherwise still serve the purged rows (the GDPR semantics a
+    * table-format VACUUM-after-DELETE enforces). The purged manifest
+    * keeps `lastBatchId`, so streaming replay idempotence is unaffected.
+    * A bucket left empty by the purge disappears from the manifest.
+    * Returns the number of rows removed. */
+  def purgeKeys(
+      spark: SparkSession,
+      viewPath: String,
+      keyCol: String,
+      keys: Seq[Any]): Long = {
+    val m = readManifest(spark, viewPath).getOrElse(return 0L)
+    if (m.buckets.isEmpty || keys.isEmpty) return 0L
+    val f = fs(spark, viewPath)
+    val root = new Path(viewPath)
+    // buckets the keys hash into — evaluated through the same bucketOf
+    // expression the writer uses (xxhash64 is engine-side, not JVM-side)
+    import spark.implicits._
+    val touched = keys.map(_.toString).toDF("__k")
+      .select(bucketOf(col("__k").cast(
+        read(spark, viewPath).get.schema(keyCol).dataType)).as("b"))
+      .distinct().as[Long].collect().map(_.toInt)
+      .filter(m.buckets.contains).sorted
+    if (touched.isEmpty) return 0L
+    val current = readBuckets(spark, viewPath, touched).getOrElse(return 0L)
+    val isPurged = col(keyCol).isin(keys: _*)
+    val removed = current.filter(isPurged).count()
+    val kept = current.filter(!isPurged)
+      .withColumn("__bucket", bucketOf(col(keyCol)))
+    val genRel = f"purge-${m.seq + 1}%020d"
+    kept.write.mode("overwrite").partitionBy("__bucket").parquet(s"$viewPath/$genRel")
+    val rewritten = touched.flatMap { b =>
+      val rel = s"$genRel/__bucket=$b"
+      if (f.exists(new Path(root, rel))) Some(b -> rel) else None
+    }.toMap
+    // touched buckets not rewritten are now EMPTY — drop them entirely
+    val next = Manifest(m.seq + 1, m.lastBatchId,
+      (m.buckets -- touched.toSet) ++ rewritten)
+    writeManifest(f, root, next)
+    // history truncation: purged data must not survive in older snapshots
+    manifestSeqs(f, root).dropRight(1).foreach { case (_, name) =>
+      f.delete(new Path(root, name), false)
+    }
+    gc(f, root)
+    removed
+  }
+
   private def writeManifest(f: FileSystem, root: Path, m: Manifest): Unit = {
     val body = (s"batchId=${m.lastBatchId}" +:
       m.buckets.toSeq.sortBy(_._1).map { case (b, rel) => s"$b=$rel" })
@@ -236,7 +287,8 @@ object ViewStore {
     f.listStatus(root)
       .filter { st =>
         val n = st.getPath.getName
-        st.isDirectory && (n.startsWith("gen-") || n.startsWith("compact-"))
+        st.isDirectory &&
+          (n.startsWith("gen-") || n.startsWith("compact-") || n.startsWith("purge-"))
       }
       .foreach { gen =>
         f.listStatus(gen.getPath)

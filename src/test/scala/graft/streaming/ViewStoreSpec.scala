@@ -110,4 +110,51 @@ class ViewStoreSpec extends SparkSpec {
     ViewStore.compact(spark, path, "k") // no manifest — must not throw
     assert(ViewStore.readManifest(spark, path).isEmpty)
   }
+
+  test("purgeKeys: rows gone, untouched buckets' files byte-stable, history truncated") {
+    val path = tmp()
+    commitBatch(path, 0L, Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    commitBatch(path, 1L, Seq((4L, 40L)))
+    assert(ViewStore.snapshots(spark, path).size == 2)
+    // files of the buckets NOT containing key 2, before the purge
+    val purgedBucket = Seq(2L).toDF("k")
+      .select(ViewStore.bucketOf(col("k"))).as[Long].head().toInt
+    def untouchedFiles(): Set[String] =
+      ViewStore.readManifest(spark, path).get.buckets
+        .collect { case (b, rel) if b != purgedBucket => rel }.toSet
+    val before = untouchedFiles()
+    val removed = ViewStore.purgeKeys(spark, path, "k", Seq(2L))
+    assert(removed == 1L)
+    val rows = ViewStore.read(spark, path).get
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 10L), (3L, 30L), (4L, 40L)))
+    // untouched buckets keep their exact generation dirs (no full rewrite)
+    assert(untouchedFiles() == before)
+    // erasure must not survive via time travel: only the purge snapshot lives
+    val seqs = ViewStore.snapshots(spark, path)
+    assert(seqs.size == 1, s"history must be truncated, got $seqs")
+    assert(ViewStore.readAt(spark, path, seqs.head).get
+      .filter(col("k") === 2L).isEmpty)
+    // replay bookkeeping unaffected
+    assert(ViewStore.readManifest(spark, path).get.lastBatchId == 1L)
+    // still appendable after a purge
+    commitBatch(path, 2L, Seq((5L, 50L)))
+    assert(ViewStore.read(spark, path).get.count() == 4L)
+  }
+
+  test("purgeKeys: purging a whole bucket drops it from the manifest; no-ops are safe") {
+    val path = tmp()
+    assert(ViewStore.purgeKeys(spark, path, "k", Seq(1L)) == 0L) // no store yet
+    commitBatch(path, 0L, Seq((7L, 70L)))
+    assert(ViewStore.purgeKeys(spark, path, "k", Seq.empty) == 0L)
+    assert(ViewStore.purgeKeys(spark, path, "k", Seq(999L)) == 0L,
+      "key in an existing bucket but absent — nothing removed")
+    val removed = ViewStore.purgeKeys(spark, path, "k", Seq(7L))
+    assert(removed == 1L)
+    assert(ViewStore.read(spark, path).isEmpty ||
+      ViewStore.read(spark, path).get.isEmpty)
+    assert(!ViewStore.readManifest(spark, path).get.buckets.keySet
+      .contains(Seq(7L).toDF("k").select(ViewStore.bucketOf(col("k")))
+        .as[Long].head().toInt))
+  }
 }
