@@ -22,7 +22,7 @@ object Ann {
     * ≤ k rows per (query, task) reach the shuffle — NOT the full scored
     * set (that was VERDICT r1's q20 scale-killer). Output best-first with
     * a dense 1-based rank. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(call_function(GraftFunctions.TopKDotName,
         col("dot"), col("neighbor_id"), lit(k)).as("tk"))

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.GraftFunctions
+import graft.functions.VectorFunctions._
+
+/** Persisted IVF index — [[Ann.ivfTopK]]'s inverted lists as a PHYSICAL
+  * layout instead of a per-query computation.
+  *
+  * `ivfTopK` re-assigns the whole corpus to centroid lists on every call;
+  * an index a pipeline queries repeatedly should pay assignment ONCE and
+  * make "probe only these lists" a property of the storage: the corpus is
+  * written `partitionBy(bucket)`, so a query's nProbe lists turn into a
+  * partition-pruned scan that never opens the other directories — the
+  * FAISS IVF file layout expressed as partitioned parquet. Centroids (tiny)
+  * live beside the lists and are broadcast at query time.
+  *
+  * Same deterministic coarse quantizer as `ivfTopK` (the `nCentroids`
+  * lowest-id vectors — determinism keeps results reproducible and
+  * spec-comparable); swap in [[KMeans]] centroids for a production build,
+  * the layout and query path are unchanged. Vectors are stored already
+  * quantized (`array<bigint>`), so queries skip re-quantization.
+  */
+object AnnIndex {
+
+  private val ListsDir = "lists"
+  private val CentroidsDir = "_centroids"
+
+  /** Build the index at `path`: one parquet dir per inverted list
+    * (`lists/bucket=N`) holding (neighbor_id, cv), plus the centroid
+    * table. One broadcast pass + one argmax shuffle — the same cost as a
+    * single `ivfTopK` call, paid once. */
+  def build(
+      embeddings: DataFrame,
+      path: String,
+      nCentroids: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val cent = embeddings.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("centv"))
+    val c = embeddings.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("cv"))
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("cdot",
+        call_function(GraftFunctions.DotLong, col("cv"), col("centv")))
+      .groupBy("neighbor_id")
+      .agg(max(struct(col("cdot").as("d"), (-col("cent_id")).as("nc"))).as("m"),
+        first(col("cv")).as("cv"))
+      .select(col("neighbor_id"), (-col("m.nc")).as("bucket"), col("cv"))
+    assigned.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$ListsDir")
+    cent.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
+  }
+
+  /** Top-k search against a built index: per query the `nProbe`
+    * best-scoring centroids (a window over |Q|·nCentroids rows), then a
+    * scan of ONLY those lists — the probe set is collected (queries are
+    * small by contract, the set is ≤ |Q|·nProbe ints) and pushed as a
+    * static partition filter, so pruning happens at file listing, before
+    * any I/O. Rerank is the same map-side bounded-heap as brute force.
+    * Results are identical to [[Ann.ivfTopK]] with the same parameters
+    * (spec-pinned). */
+  def query(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(spark)
+    val cent = spark.read.parquet(s"$path/$CentroidsDir")
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cdot",
+        call_function(GraftFunctions.DotLong, col("qv"), col("centv")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id").as("bucket"))
+    val probeBuckets = probes.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val lists = spark.read.parquet(s"$path/$ListsDir")
+      .filter(col("bucket").isin(probeBuckets: _*))
+    val scored = lists.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot",
+        call_function(GraftFunctions.DotLong, col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "dot")
+    Ann.rankTopK(scored, k)
+  }
+}

@@ -269,9 +269,49 @@ object OlapQueries {
       .orderBy("vec_id", "sample_idx")
   }
 
+  /** X91 — declarative data-quality constraint report (the dbt-test /
+    * Deequ-style gate a pipeline runs before publishing a table): each
+    * constraint is one row with its violation count — null checks and
+    * range checks fold into ONE pass over each fact table (conditional
+    * aggregates, no per-constraint scans); uniqueness is one groupBy on
+    * the key; referential integrity is one left-anti join against the
+    * (broadcastable) dimension keys. Everything partial-aggregates. */
+  def q89_data_quality(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    def c(name: String, violations: Column): Column =
+      struct(lit(name).as("check_name"), violations.cast("long").as("violations"))
+    // one-pass scalar constraints over orders
+    val scalarRows = orders.agg(
+      c("orders_orderkey_not_null", sum(col("o_orderkey").isNull.cast("long"))).as("c1"),
+      c("orders_totalprice_positive",
+        sum((col("o_totalprice") <= 0).cast("long"))).as("c2"),
+      c("orders_priority_in_domain",
+        sum((!col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .cast("long"))).as("c3"))
+      .select(explode(array(col("c1"), col("c2"), col("c3"))).as("r"))
+    // uniqueness: primary-key duplicate rows
+    val dupRows = orders.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .agg(c("orders_orderkey_unique", sum(col("n") - 1)).as("r"))
+      .select(col("r"))
+    // referential integrity: orders whose customer is missing
+    val orphanRows = orders.select("o_custkey")
+      .join(customer.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"),
+        "left_anti")
+      .agg(c("orders_custkey_in_customer", count(lit(1))).as("r"))
+      .select(col("r"))
+    scalarRows.unionByName(dupRows).unionByName(orphanRows)
+      .select(col("r.check_name").as("check_name"),
+        col("r.violations").as("violations"))
+      .withColumn("passed", (col("violations") === 0).cast("int"))
+      .orderBy("check_name")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_winsorize" -> q87_winsorize,
     "q88_negative_ring" -> q88_negative_ring,
+    "q89_data_quality" -> q89_data_quality,
     "q79_sliding_windows" -> q79_sliding_windows,
     "q80_interval_lookup" -> q80_interval_lookup,
     "q81_edit_rerank" -> q81_edit_rerank,
@@ -285,6 +325,34 @@ object OlapQueries {
   // ---------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q89_data_quality" ->
+      """WITH r AS (
+        |  SELECT 'orders_orderkey_not_null' AS check_name,
+        |         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_positive',
+        |         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_priority_in_domain',
+        |         CAST(sum(CASE WHEN o_orderpriority NOT IN
+        |           ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+        |           THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_orderkey_unique',
+        |         CAST(sum(n - 1) AS BIGINT)
+        |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_custkey_in_customer',
+        |         CAST(count(*) AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL)
+        |SELECT check_name, violations,
+        |       CAST(violations = 0 AS INT) AS passed
+        |FROM r ORDER BY check_name""".stripMargin,
     "q87_winsorize" ->
       """WITH e AS (
         |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS value_c
