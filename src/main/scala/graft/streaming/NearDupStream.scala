@@ -32,7 +32,7 @@ import graft.ops.Dedup
 object NearDupStream {
 
   case class BandEvent(band_key: String, doc_id: Long, ts_ms: Long)
-  case class BandVerdict(doc_id: Long, band_key: String, known: Boolean)
+  case class BandVerdict(doc_id: Long, band_key: String, known: Boolean, ts_ms: Long)
   case class ClaimState(doc_id: Long, ts_ms: Long)
 
   val StateTtlMs: Long = CdcStream.StateTtlMs
@@ -49,7 +49,7 @@ object NearDupStream {
     val out = incoming.map { e =>
       val known = claimed.isDefined
       if (claimed.isEmpty) claimed = Some(ClaimState(e.doc_id, e.ts_ms))
-      BandVerdict(e.doc_id, bandKey, known)
+      BandVerdict(e.doc_id, bandKey, known, e.ts_ms)
     }
     state.update(claimed.get)
     state.setTimeoutTimestamp(math.max(
