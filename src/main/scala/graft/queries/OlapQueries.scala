@@ -212,11 +212,16 @@ object OlapQueries {
     * aggregation a metrics pipeline runs over heavy-tailed spend. One
     * windowed rank pass + a tiny bounds aggregate broadcast back; both
     * shuffles on event_type. */
-  def q87_winsorize(spark: SparkSession, dir: String): DataFrame = {
+  def q87_winsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorizeStats(Tables.eventsCents(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value_c")))
+
+  /** Core of q87 over any (event_type, event_id, value_c) frame —
+    * factored out so properties can feed random data. */
+  private[queries] def winsorizeStats(e0: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("value_c"), col("event_id"))
     val wAll = Window.partitionBy("event_type")
-    val e = Tables.eventsCents(spark, dir)
-      .select(col("event_type"), col("event_id"), col("value_c"))
+    val e = e0
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(wAll))
     val bounds = e
@@ -246,18 +251,23 @@ object OlapQueries {
     * position. The label columns report the accidental same-label rate. */
   val NegSeed = "neg1"
   val NegK = 3
-  def q88_negative_ring(spark: SparkSession, dir: String): DataFrame = {
+  def q88_negative_ring(spark: SparkSession, dir: String): DataFrame =
+    negativeRing(Tables.embeddings(spark, dir).select("vec_id", "label"), NegK)
+      .orderBy("vec_id", "sample_idx")
+
+  /** Core of q88 over any (vec_id, label) frame — factored out so
+    * properties can feed random data. */
+  private[queries] def negativeRing(items: DataFrame, k: Int): DataFrame = {
     val ring = graft.ops.Relational.globalIndex(
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("label"),
-          md5(concat_ws(":", lit(NegSeed), col("vec_id"))).as("rk")),
+      items.select(col("vec_id"), col("label"),
+        md5(concat_ws(":", lit(NegSeed), col("vec_id"))).as("rk")),
       Seq(col("rk")), "pos")
     val total = ring.agg(count(lit(1)).as("n_total"))
     val fan = ring
       .select(col("vec_id"), col("label").as("anchor_label"), col("pos"))
       .crossJoin(broadcast(total))
       .select(col("vec_id"), col("anchor_label"),
-        explode(sequence(lit(1L), lit(NegK.toLong))).as("sample_idx"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("sample_idx"),
         (pmod(col("pos") - 1 + col("sample_idx"), col("n_total")) + 1).as("neg_pos"))
     fan.join(
         ring.select(col("pos").as("neg_pos"), col("vec_id").as("neg_vec_id"),
@@ -266,7 +276,6 @@ object OlapQueries {
       .select(col("vec_id"), col("sample_idx"), col("neg_vec_id"),
         col("anchor_label"), col("neg_label"),
         (col("anchor_label") === col("neg_label")).cast("int").as("same_label"))
-      .orderBy("vec_id", "sample_idx")
   }
 
   /** X91 — declarative data-quality constraint report (the dbt-test /

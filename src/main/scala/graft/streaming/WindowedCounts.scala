@@ -41,4 +41,23 @@ object WindowedCounts {
         (col("w.start").cast("long") * 1000).as("window_start_ms"),
         col("n_events"),
         col("purchase_c"))
+
+  /** Hopping (sliding) windows — q79's expression with a watermark: each
+    * event fans out map-side to window/slide assignments, then ONE
+    * partial-aggregated shuffle on (window, type). Streaming state is one
+    * row per open (window, type) inside the lateness horizon — the fan-out
+    * multiplies state by window/slide, not by stream length. */
+  def hopping(
+      events: DataFrame,
+      windowDur: String = "6 hours",
+      slide: String = "3 hours",
+      delay: String = "30 days"): DataFrame =
+    events
+      .withColumn("eventTime", timestamp_millis(col("ts_ms")))
+      .withWatermark("eventTime", delay)
+      .groupBy(window(col("eventTime"), windowDur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value_c").as("sum_value_c"))
+      .select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value_c"))
 }

@@ -101,6 +101,54 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("winsorize == Scala reference on random grouped multisets (ScalaCheck)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    val group = Gen.oneOf("a", "b", "c")
+    val rows = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(group, Gen.choose(-500L, 500L))))
+    val prop = forAll(rows) { rs =>
+      val df = rs.zipWithIndex
+        .map { case ((g, v), i) => (g, i.toLong, v) }
+        .toDF("event_type", "event_id", "value_c")
+      val got = OlapQueries.winsorizeStats(df).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val expected = rs.groupBy(_._1).map { case (g, grp) =>
+        val v = grp.map(_._2).sorted
+        val n = v.size
+        val kLo = math.max(1, (n * 5 + 99) / 100)
+        val kHi = math.max(1, (n * 95 + 99) / 100)
+        val (lo, hi) = (v(kLo - 1), v(kHi - 1))
+        g -> (n.toLong, lo, hi, v.map(x => math.min(math.max(x, lo), hi)).sum)
+      }
+      got == expected
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("negative ring: every item serves as negative exactly k times; never itself (ScalaCheck)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    val items = Gen.choose(4, 40).map(n => (0 until n).map(i => (i.toLong, i % 3)))
+    val k = 3
+    val prop = forAll(items) { is =>
+      val got = OlapQueries.negativeRing(is.toDF("vec_id", "label"), k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val perAnchor = got.groupBy(_._1).view.mapValues(_.length)
+      val asNegative = got.groupBy(_._3).view.mapValues(_.length)
+      got.length == is.size * k &&
+        perAnchor.values.forall(_ == k) &&
+        asNegative.values.forall(_ == k) &&      // uniform service load
+        got.forall { case (a, _, n) => a != n }  // n > k ⇒ never self
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("q86 chunk ownership: kept counts sum to the number of distinct chunks") {
     val out = OlapQueries.q86_chunk_dedup(spark, sfDir)
     val kept = out.agg(sum("n_kept")).collect()(0).getLong(0)

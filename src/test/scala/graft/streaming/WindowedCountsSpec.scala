@@ -46,4 +46,33 @@ class WindowedCountsSpec extends SparkSpec {
       assert(batch((1L, Hour)) == ((2L, 250L)))
     } finally q.stop()
   }
+
+  test("streaming hopping windows == batch; every event lands in win/slide windows") {
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (1L, 100L, "click", 10L),
+      (2L, 3 * Hour + 5, "purchase", 250L),
+      (1L, 7 * Hour, "click", 30L),
+      (2L, 3 * Hour + 10, "click", 5L))
+    val ms = MemoryStream[(Long, Long, String, Long)]
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "ts_ms", "event_type", "value_c")
+    val q = WindowedCounts.hopping(named(ms.toDF()))
+      .writeStream.format("memory").queryName("hop_counts")
+      .outputMode("complete")
+      .start()
+    try {
+      ms.addData(rows.take(2)); q.processAllAvailable()
+      ms.addData(rows.drop(2)); q.processAllAvailable()
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      val streamed = keyed(spark.table("hop_counts"))
+      val batch = keyed(WindowedCounts.hopping(named(rows.toDF())))
+      assert(streamed == batch)
+      // 6h window / 3h slide => every event appears in exactly 2 windows
+      assert(batch.values.map(_._1).sum == 2L * rows.size)
+      // the 3h-slide event at 3h+5 sits in windows starting at 0h and 3h
+      assert(batch.contains((0L, "purchase")) && batch.contains((3 * Hour, "purchase")))
+    } finally q.stop()
+  }
 }
