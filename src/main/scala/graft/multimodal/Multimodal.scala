@@ -155,6 +155,26 @@ object Multimodal {
     }
   }
 
+  /** Cross-video duplicate-frame report: sampled frames dedup'd by content
+    * hash (first occurrence by (asset_id, frame_idx) owns the frame), each
+    * video reporting the share of its frames already seen in ANOTHER video
+    * — near-dup video detection at frame granularity, the multimodal twin
+    * of the text chunk-dedup screen (X87). Composition of [[sampleFrames]]
+    * (lazy row expansion inside the partition iterator) + one shuffle on
+    * the frame hash + one per-video aggregate; frame hashes, not frame
+    * bytes, are what shuffles. */
+  def duplicateFrameShare(assets: Dataset[MediaAsset], everyMs: Long): DataFrame = {
+    val frames = sampleFrames(assets, everyMs).toDF()
+    val owner = frames.groupBy("frame_md5")
+      .agg(min(struct(col("asset_id"), col("frame_idx"))).as("own"))
+    frames.join(owner, "frame_md5")
+      .withColumn("dup", (col("own.asset_id") =!= col("asset_id")).cast("long"))
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"), sum("dup").as("n_dup_frames"))
+      .withColumn("dup_x10k",
+        floor(lit(10000L) * col("n_dup_frames") / col("n_frames")).cast("long"))
+  }
+
   /** Declarative twin of the metadata/byte-accounting part of
     * [[extractFeatures]] (no codec): SQL-expressible, oracle-checkable. */
   def assetStats(assets: DataFrame): DataFrame =

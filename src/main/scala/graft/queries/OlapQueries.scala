@@ -317,10 +317,35 @@ object OlapQueries {
       .orderBy("check_name")
   }
 
+  /** X94 — EXISTS / NOT EXISTS through the SQL front door: customers with
+    * at least one big order but no urgent one, written as the natural
+    * correlated predicates. Catalyst's RewritePredicateSubquery turns both
+    * into SEMI/ANTI hash joins on the correlation key (plan-pinned: no
+    * per-row subquery execution, no nested loop) — the other subquery
+    * rewrite class next to q71's correlated scalars. */
+  val BigOrderC = 25000000L // 250k in cents
+  def q90_exists_orders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_x")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_x")
+    spark.sql(
+      s"""SELECT c.c_custkey, c.c_mktsegment
+         |FROM customer_x c
+         |WHERE EXISTS (
+         |        SELECT 1 FROM orders_x o
+         |        WHERE o.o_custkey = c.c_custkey
+         |          AND CAST(round(o.o_totalprice * 100) AS BIGINT) > $BigOrderC)
+         |  AND NOT EXISTS (
+         |        SELECT 1 FROM orders_x o
+         |        WHERE o.o_custkey = c.c_custkey
+         |          AND o.o_orderpriority = '1-URGENT')
+         |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_winsorize" -> q87_winsorize,
     "q88_negative_ring" -> q88_negative_ring,
     "q89_data_quality" -> q89_data_quality,
+    "q90_exists_orders" -> q90_exists_orders,
     "q79_sliding_windows" -> q79_sliding_windows,
     "q80_interval_lookup" -> q80_interval_lookup,
     "q81_edit_rerank" -> q81_edit_rerank,
@@ -334,6 +359,18 @@ object OlapQueries {
   // ---------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q90_exists_orders" ->
+      s"""SELECT c.c_custkey, c.c_mktsegment
+         |FROM customer c
+         |WHERE EXISTS (
+         |        SELECT 1 FROM orders o
+         |        WHERE o.o_custkey = c.c_custkey
+         |          AND CAST(round(o.o_totalprice * 100) AS BIGINT) > $BigOrderC)
+         |  AND NOT EXISTS (
+         |        SELECT 1 FROM orders o
+         |        WHERE o.o_custkey = c.c_custkey
+         |          AND o.o_orderpriority = '1-URGENT')
+         |ORDER BY c.c_custkey""".stripMargin,
     "q89_data_quality" ->
       """WITH r AS (
         |  SELECT 'orders_orderkey_not_null' AS check_name,

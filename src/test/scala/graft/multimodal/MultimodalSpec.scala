@@ -53,6 +53,24 @@ class MultimodalSpec extends SparkSpec {
     assert(again.map(_.frame_md5).toSeq == frames.map(_.frame_md5).toSeq)
   }
 
+  test("duplicateFrameShare: a re-uploaded video is fully flagged, originals are clean") {
+    def video(id: Long, payload: String, durMs: Long) =
+      MediaAsset(id, MediaMeta("video", 64, 48, 16000, durMs),
+        payload.getBytes("UTF-8"))
+    val ds = Seq(
+      video(1L, "footage-A", 3000L),
+      video(2L, "footage-A", 3000L), // exact re-upload: every frame digest collides
+      video(3L, "footage-B", 2000L),
+      asset(4L, "not a video", "image")).toDS()
+    val out = Multimodal.duplicateFrameShare(ds, everyMs = 1000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 0L, 0L)), "first upload owns its frames")
+    assert(out(2L) == ((3L, 3L, 10000L)), "re-upload must be 100% duplicate frames")
+    assert(out(3L) == ((2L, 0L, 0L)))
+    assert(!out.contains(4L), "non-video assets sample no frames")
+  }
+
   test("ingestFromDocuments: schema contract and assetStats agreement") {
     val docs = Seq((0L, "hello world", "en", "src0", 11L),
       (1L, "ciao", "it", "src1", 4L))

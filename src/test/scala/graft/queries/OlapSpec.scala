@@ -101,6 +101,19 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("q90 EXISTS/NOT EXISTS rewrite to semi/anti hash joins (no per-row subquery)") {
+    val plans = collectAllPlans(
+      executedPlan(OlapQueries.q90_exists_orders(spark, sfDir)))
+    val joinTypes = plans.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.joinType
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.joinType
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.joinType
+    }.map(_.toString).toSet
+    assert(joinTypes.contains("LeftSemi") && joinTypes.contains("LeftAnti"),
+      s"expected semi+anti joins, got $joinTypes")
+    assert(!plans.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+  }
+
   test("winsorize == Scala reference on random grouped multisets (ScalaCheck)") {
     import org.scalacheck.{Gen, Test => SCTest}
     import org.scalacheck.Prop.forAll
