@@ -101,6 +101,29 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("q79 hopping windows aggregate with ONE hash shuffle (map-side fan-out)") {
+    val plans = collectAllPlans(
+      executedPlan(OlapQueries.q79_sliding_windows(spark, sfDir)))
+    val hashShuffles = plans.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.outputPartitioning.toString.contains("hashpartitioning"))
+    assert(hashShuffles.size == 1,
+      s"window fan-out must stay map-side; got ${hashShuffles.size} hash shuffles")
+  }
+
+  test("q87 winsorize: both rank windows share the event_type partitioning") {
+    val plans = collectAllPlans(
+      executedPlan(OlapQueries.q87_winsorize(spark, sfDir)))
+    val hashShuffles = plans.collect { case s: ShuffleExchangeExec => s }
+      .map(_.outputPartitioning.toString).filter(_.contains("hashpartitioning"))
+    // windows + bounds aggregate + final aggregate all key on event_type:
+    // nothing may repartition on anything else
+    assert(hashShuffles.forall(_.contains("event_type")),
+      s"all shuffles must key on event_type, got $hashShuffles")
+    assert(!plans.exists(p => p.isInstanceOf[WindowExec] &&
+      p.asInstanceOf[WindowExec].partitionSpec.isEmpty),
+      "no global (unpartitioned) window allowed")
+  }
+
   test("q90 EXISTS/NOT EXISTS rewrite to semi/anti hash joins (no per-row subquery)") {
     val plans = collectAllPlans(
       executedPlan(OlapQueries.q90_exists_orders(spark, sfDir)))
