@@ -509,7 +509,7 @@ object DataPrepQueries {
        |sh AS (
        |  SELECT doc_id AS id, unnest(${shinglesSql(ShingleN)}) AS shingle FROM docs)""".stripMargin
 
-  private val quantVec =
+  private[queries] val quantVec =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   private[queries] val minhashCols = (0 until MinhashBands * MinhashRows)

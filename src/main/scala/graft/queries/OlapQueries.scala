@@ -341,7 +341,23 @@ object OlapQueries {
          |ORDER BY c.c_custkey""".stripMargin)
   }
 
+  /** X96 — k-NN graph construction: every corpus vector's k nearest
+    * neighbors through the IVF path (q31's machinery with queries =
+    * corpus) — the graph artifact embedding pipelines build for
+    * graph-based dedup, diversity sampling, and label propagation.
+    * Brute force here would be |C|² dots; IVF touches ~nProbe/nCentroids
+    * of the corpus per vector and the deterministic quantizer keeps the
+    * result ORACLE-EXACT. Ranking is the map-side bounded heap — only
+    * ≤ k rows per (vector, task) reach the shuffle. */
+  val KnnK = 5
+  def q91_knn_graph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.ops.Ann.ivfTopK(emb, emb, k = KnnK, nCentroids = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_knn_graph" -> q91_knn_graph,
     "q87_winsorize" -> q87_winsorize,
     "q88_negative_ring" -> q88_negative_ring,
     "q89_data_quality" -> q89_data_quality,
@@ -359,6 +375,27 @@ object OlapQueries {
   // ---------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q91_knn_graph" ->
+      s"""WITH v AS (SELECT vec_id, ${DataPrepQueries.quantVec} AS qv FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, qv AS centv FROM v ORDER BY vec_id LIMIT 16),
+         |ca AS (
+         |  SELECT v.vec_id AS neighbor_id, v.qv AS cv, c.cent_id,
+         |         CAST(list_sum(list_transform(generate_series(1, len(v.qv)), i -> v.qv[i] * c.centv[i])) AS BIGINT) AS cdot
+         |  FROM v, cent c),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY cdot DESC, cent_id ASC) AS rn FROM ca),
+         |assigned AS (SELECT neighbor_id, cv, cent_id AS bucket FROM ar WHERE rn = 1),
+         |qr AS (SELECT neighbor_id AS query_id, cv AS qv, cent_id,
+         |              row_number() OVER (PARTITION BY neighbor_id ORDER BY cdot DESC, cent_id ASC) AS pr
+         |       FROM ca),
+         |probes AS (SELECT query_id, qv, cent_id AS bucket FROM qr WHERE pr <= 4),
+         |s AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |         CAST(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.cv[i])) AS BIGINT) AS dot
+         |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+         |  WHERE p.query_id <> a.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank FROM s)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dot
+         |FROM r WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin,
     "q90_exists_orders" ->
       s"""SELECT c.c_custkey, c.c_mktsegment
          |FROM customer c
