@@ -480,7 +480,7 @@ object DataPrepQueries {
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB SQL fragments mirroring TextFunctions exactly. */
-  private val toks =
+  private[queries] val toks =
     "CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
   private val toksLower =
     "CASE WHEN len(trim(lower(text))) = 0 THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
@@ -492,7 +492,7 @@ object DataPrepQueries {
   private def stopList(lang: String): String =
     TextFunctions.Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private def hitsSql(lang: String): String =
+  private[queries] def hitsSql(lang: String): String =
     s"len(list_filter($toksLower, t -> list_contains(${stopList(lang)}, t)))"
 
   /** Shingle list SQL (word n-grams over the token-list column `t`). */

@@ -356,7 +356,37 @@ object OlapQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** X97 — corpus datasheet: the per-(source, lang) "datasheet for
+    * datasets" report a corpus release ships — doc/token volumes, quality
+    * pass rate, and exact-duplicate rate, every ratio integer-quantized.
+    * One pass computes the per-doc facts (metrics + fingerprint), the dup
+    * flag joins the fingerprint-group canonical back (q15 semantics), and
+    * ONE partial-aggregated shuffle on (source, lang) builds the report. */
+  def q92_corpus_datasheet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir)
+    val m = TextFunctions.qualityMetrics(col("text")).toMap
+    // the ONE quality predicate (q26 ≡ CurationStream ≡ this datasheet)
+    val keep = graft.streaming.CurationStream.qualityKeep(col("text")).cast("long")
+    val facts = docs.select(col("doc_id"), col("source"), col("lang"),
+      col("n_chars"), m("n_tokens").as("n_tokens"), keep.as("keep"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val canon = facts.groupBy("fp").agg(min("doc_id").as("canonical_id"))
+    facts.join(canon, "fp")
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("long"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        floor(lit(10000L) * sum("keep") / count(lit(1))).cast("long")
+          .as("quality_keep_x10k"),
+        floor(lit(10000L) * sum("is_dup") / count(lit(1))).cast("long")
+          .as("exact_dup_x10k"))
+      .orderBy("source", "lang")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_corpus_datasheet" -> q92_corpus_datasheet,
     "q91_knn_graph" -> q91_knn_graph,
     "q87_winsorize" -> q87_winsorize,
     "q88_negative_ring" -> q88_negative_ring,
@@ -375,6 +405,31 @@ object OlapQueries {
   // ---------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q92_corpus_datasheet" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |         CAST(len(${DataPrepQueries.toks}) AS BIGINT) AS n_tokens,
+         |         CAST(CASE WHEN len(${DataPrepQueries.toks}) BETWEEN 10 AND 500
+         |              AND (CASE WHEN len(${DataPrepQueries.toks}) > 0
+         |                   THEN floor(10000 * ${DataPrepQueries.hitsSql("en")} / len(${DataPrepQueries.toks}))
+         |                   ELSE 0 END) <= 3000
+         |              AND (CASE WHEN len(${DataPrepQueries.toks}) > 0
+         |                   THEN floor(100 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len(${DataPrepQueries.toks}))
+         |                   ELSE 0 END) BETWEEN 200 AND 800
+         |              THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |         md5(${DataPrepQueries.norm}) AS fp
+         |  FROM documents),
+         |c AS (SELECT fp, min(doc_id) AS canonical_id FROM f GROUP BY fp)
+         |SELECT f.source, f.lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(f.n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(sum(f.n_chars) AS BIGINT) AS total_chars,
+         |       CAST(floor(10000 * sum(f.keep) / count(*)) AS BIGINT) AS quality_keep_x10k,
+         |       CAST(floor(10000 * sum(CASE WHEN f.doc_id <> c.canonical_id THEN 1 ELSE 0 END)
+         |                  / count(*)) AS BIGINT) AS exact_dup_x10k
+         |FROM f JOIN c USING (fp)
+         |GROUP BY f.source, f.lang
+         |ORDER BY f.source, f.lang""".stripMargin,
     "q91_knn_graph" ->
       s"""WITH v AS (SELECT vec_id, ${DataPrepQueries.quantVec} AS qv FROM embeddings),
          |cent AS (SELECT vec_id AS cent_id, qv AS centv FROM v ORDER BY vec_id LIMIT 16),
