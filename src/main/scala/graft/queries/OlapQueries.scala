@@ -385,7 +385,33 @@ object OlapQueries {
       .orderBy("source", "lang")
   }
 
+  /** X98 — token-budgeted source sampling: each source contributes docs,
+    * in deterministic md5(seed:id) order, until its token budget fills —
+    * the mechanism that ENFORCES a mixture plan like q56's weights (q56
+    * computes how much each source should contribute; this selects which
+    * docs). A doc is taken iff its source-local running token count stays
+    * within budget, so the selection is reproducible and independent of
+    * arrival order. One shuffle on source; the running sum is a per-source
+    * window (partitioned — never a global sort). */
+  val BudgetSeed = "tb1"
+  val TokenBudget = 2000L
+  def q93_token_budget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long")
+          .as("n_tokens"),
+        md5(concat_ws(":", lit(BudgetSeed), col("doc_id"))).as("pick_key"))
+    val w = Window.partitionBy("source").orderBy(col("pick_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("source", "cum_tokens")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_token_budget" -> q93_token_budget,
     "q92_corpus_datasheet" -> q92_corpus_datasheet,
     "q91_knn_graph" -> q91_knn_graph,
     "q87_winsorize" -> q87_winsorize,
@@ -405,6 +431,22 @@ object OlapQueries {
   // ---------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q93_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(${DataPrepQueries.toks}) AS BIGINT) AS n_tokens,
+         |         md5(concat('$BudgetSeed', ':', CAST(doc_id AS VARCHAR))) AS pick_key
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tokens,
+         |         CAST(sum(n_tokens) OVER
+         |           (PARTITION BY source ORDER BY pick_key, doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |           AS cum_tokens
+         |  FROM d)
+         |SELECT source, doc_id, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= $TokenBudget
+         |ORDER BY source, cum_tokens""".stripMargin,
     "q92_corpus_datasheet" ->
       s"""WITH f AS (
          |  SELECT doc_id, source, lang, n_chars,
