@@ -53,6 +53,11 @@ object VectorQuantUtil {
         out(i) =
           if (qscale > 0) math.floor((vq(i) * 127L).toDouble / qscale.toDouble).toLong
           else 0L
+      } else if (qscale == 0L) {
+        // the HOF reference's when(qscale > 0, ...).otherwise(0L) is
+        // per-element UNCONDITIONAL in the zero-scale branch: a null
+        // element of an all-null/all-zero vector maps to 0, not null
+        out(i) = 0L
       }
       i += 1
     }

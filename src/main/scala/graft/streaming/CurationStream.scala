@@ -55,13 +55,18 @@ object CurationStream {
         if (!ViewStore.alreadyApplied(spark, ledgerPath, batchId)) {
           // per-doc verdict: near-dup iff every band key was already claimed
           // (all of a doc's bands arrive in this batch — see NearDupStream)
+          // NOTE: no __bucket here — ViewStore.readBuckets reads leaf
+          // partition dirs, so existing rows come back WITHOUT the bucket
+          // column; the union below must be bucket-free on both sides and
+          // the column is re-derived just before commit (the same shape as
+          // the sibling AggViewStream/CdcStream merges).
           val flags = batch.groupBy("doc_id")
             .agg(min("ts_ms").as("ts_ms"),
               (count(lit(1)) === sum(when(col("known"), 1L).otherwise(0L)))
                 .cast("int").as("is_near_dup"))
-            .withColumn("__bucket", ViewStore.bucketOf(col("doc_id")))
-          val touched = flags.select("__bucket").distinct()
-            .collect().map(_.getLong(0).toInt).toSeq
+          val touched = flags
+            .select(ViewStore.bucketOf(col("doc_id")).as("__bucket"))
+            .distinct().collect().map(_.getLong(0).toInt).toSeq
           if (touched.nonEmpty) {
             // ledger merge: union new decisions into the touched buckets
             // (insert-only by contract — doc ids are unique; keep-first
@@ -75,7 +80,9 @@ object CurationStream {
                 .filter(col("__rn") === 1).drop("__rn")
               case None => flags
             }
-            ViewStore.commit(spark, ledgerPath, merged, touched, batchId)
+            ViewStore.commit(spark, ledgerPath,
+              merged.withColumn("__bucket", ViewStore.bucketOf(col("doc_id"))),
+              touched, batchId)
           }
         }
       }

@@ -28,10 +28,13 @@ import org.apache.spark.sql.functions._
   *    `alreadyApplied` and skipped, so additive partials (fee totals,
   *    event counts) are never double-merged.
   *
-  * Single-writer by contract (foreachBatch serializes micro-batches);
-  * concurrent readers are safe except against GC of a generation they
-  * resolved from an old manifest mid-read — the table-format caveat that
-  * snapshot isolation would remove.
+  * Single-writer by contract (foreachBatch serializes micro-batches), and
+  * the manifest flip enforces it: publishing is a rename-if-absent CAS on
+  * the sequence number, so a second driver racing the flip throws instead
+  * of silently dropping the winner's generation. Concurrent readers are
+  * safe except against GC of a generation they resolved from an old
+  * manifest mid-read — the table-format caveat that snapshot isolation
+  * would remove.
   */
 object ViewStore {
 
@@ -214,12 +217,23 @@ object ViewStore {
     * rewriting ONLY the buckets those keys hash into (I/O = touched
     * buckets, like any merge batch), then TRUNCATE the snapshot history to
     * the purge point — older manifests and their generation dirs are
-    * dropped immediately, because retained time-travel snapshots would
-    * otherwise still serve the purged rows (the GDPR semantics a
-    * table-format VACUUM-after-DELETE enforces). The purged manifest
-    * keeps `lastBatchId`, so streaming replay idempotence is unaffected.
+    * dropped, because retained time-travel snapshots would otherwise still
+    * serve the purged rows (the GDPR semantics a table-format
+    * VACUUM-after-DELETE enforces). The purged manifest keeps
+    * `lastBatchId`, so streaming replay idempotence is unaffected.
     * A bucket left empty by the purge disappears from the manifest.
-    * Returns the number of rows removed. */
+    * Returns the number of rows removed.
+    *
+    * A `null` in `keys` purges rows whose key IS NULL; rows with null keys
+    * are otherwise always kept (the match predicate is null-safe — a plain
+    * `isin` would evaluate to NULL on them and silently drop the row).
+    *
+    * Crash safety: superseded manifests are deleted BEFORE the purged
+    * manifest flips in, so no pre-purge snapshot outlives the purge except
+    * the one immediately prior — and a crash anywhere in the window leaves
+    * the view fully readable at that prior snapshot with the purge simply
+    * not yet applied. `purgeKeys` is idempotent; callers must re-invoke it
+    * after a crash (same contract as a failed table-format DELETE). */
   def purgeKeys(
       spark: SparkSession,
       viewPath: String,
@@ -229,17 +243,33 @@ object ViewStore {
     if (m.buckets.isEmpty || keys.isEmpty) return 0L
     val f = fs(spark, viewPath)
     val root = new Path(viewPath)
+    val purgeNull = keys.contains(null)
+    val nonNull = keys.filter(_ != null)
     // buckets the keys hash into — evaluated through the same bucketOf
-    // expression the writer uses (xxhash64 is engine-side, not JVM-side)
-    import spark.implicits._
-    val touched = keys.map(_.toString).toDF("__k")
-      .select(bucketOf(col("__k").cast(
-        read(spark, viewPath).get.schema(keyCol).dataType)).as("b"))
-      .distinct().as[Long].collect().map(_.toInt)
-      .filter(m.buckets.contains).sorted
+    // expression the writer uses (xxhash64 is engine-side, not JVM-side).
+    // The probe frame carries the TYPED values (not strings cast back):
+    // toString does not round-trip through a SQL cast for timestamps,
+    // binary or exponent-formatted doubles, which would silently skip the
+    // key's real bucket.
+    val keyType = read(spark, viewPath).get.schema(keyCol).dataType
+    val probeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__k", keyType, nullable = true)))
+    val probeRows = keys.map(k => org.apache.spark.sql.Row(k))
+    import scala.jdk.CollectionConverters._
+    val touched = spark.createDataFrame(probeRows.asJava, probeSchema)
+      .select(bucketOf(col("__k")).as("b"))
+      .distinct().collect().map(_.getLong(0).toInt)
+      .filter(m.buckets.contains).sorted.toSeq
     if (touched.isEmpty) return 0L
     val current = readBuckets(spark, viewPath, touched).getOrElse(return 0L)
-    val isPurged = col(keyCol).isin(keys: _*)
+    // null-safe match: isin is NULL (not false) on a null key, which a bare
+    // filter(!isPurged) would drop — coalesce keeps null-keyed rows unless
+    // the caller explicitly purged null
+    val inList =
+      if (nonNull.isEmpty) lit(false)
+      else coalesce(col(keyCol).isin(nonNull: _*), lit(false))
+    val isPurged =
+      if (purgeNull) inList || col(keyCol).isNull else inList
     val removed = current.filter(isPurged).count()
     val kept = current.filter(!isPurged)
       .withColumn("__bucket", bucketOf(col(keyCol)))
@@ -252,8 +282,14 @@ object ViewStore {
     // touched buckets not rewritten are now EMPTY — drop them entirely
     val next = Manifest(m.seq + 1, m.lastBatchId,
       (m.buckets -- touched.toSet) ++ rewritten)
+    // history truncation FIRST: drop every snapshot older than the current
+    // one before declaring the purge, so a crash can never leave purged
+    // rows readable further back than the immediately-prior state
+    manifestSeqs(f, root).dropRight(1).foreach { case (_, name) =>
+      f.delete(new Path(root, name), false)
+    }
     writeManifest(f, root, next)
-    // history truncation: purged data must not survive in older snapshots
+    // now retire the pre-purge snapshot itself
     manifestSeqs(f, root).dropRight(1).foreach { case (_, name) =>
       f.delete(new Path(root, name), false)
     }
@@ -261,15 +297,31 @@ object ViewStore {
     removed
   }
 
-  private def writeManifest(f: FileSystem, root: Path, m: Manifest): Unit = {
+  /** Manifest flip with a sequence CAS: the flip succeeds only if
+    * `MANIFEST-<seq>` does not already exist. Two writers that both read
+    * seq N and try to publish N+1 cannot both win — the loser gets a
+    * [[java.util.ConcurrentModificationException]] instead of silently
+    * shadowing (dropping) the winner's generation. On HDFS/ABFS the
+    * `rename` itself refuses an existing destination atomically; the
+    * `exists` probe in front covers local filesystems whose rename
+    * overwrites. (The same rename-if-absent protocol table formats use for
+    * their commit logs on non-S3 stores.) */
+  private[streaming] def writeManifest(f: FileSystem, root: Path, m: Manifest): Unit = {
     val body = (s"batchId=${m.lastBatchId}" +:
       m.buckets.toSeq.sortBy(_._1).map { case (b, rel) => s"$b=$rel" })
       .mkString("", "\n", "\n")
     val tmp = new Path(root, f".MANIFEST-${m.seq}%020d.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!f.rename(tmp, new Path(root, f"MANIFEST-${m.seq}%020d")))
-      throw new java.io.IOException(s"manifest rename failed at $root seq ${m.seq}")
+    val target = new Path(root, f"MANIFEST-${m.seq}%020d")
+    def lose(): Nothing = {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"manifest seq ${m.seq} already published at $root — " +
+          "a concurrent writer won the flip; re-read and retry")
+    }
+    if (f.exists(target)) lose()
+    if (!f.rename(tmp, target)) lose()
   }
 
   /** Drop manifests beyond the retention window, then every bucket dir no

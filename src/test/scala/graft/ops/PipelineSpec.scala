@@ -86,6 +86,32 @@ class PipelineSpec extends SparkSpec {
     assert(fused.exceptAll(hof).isEmpty && hof.exceptAll(fused).isEmpty)
   }
 
+  test("fused Int8QuantizeVec ≡ HOF on null elements, including the qscale==0 edge") {
+    graft.expressions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq(Some(1.0f), None, Some(0.5f))), // null slot, qscale > 0 → stays null
+      (2L, Seq[Option[Float]](None, None, None)), // all-null vector → qscale == 0
+      (3L, Seq(Some(0.0f), None, Some(0.0f))) // zeros + null → qscale == 0
+    ).toDF("id", "v")
+    val hof = df
+      .select(col("id"), VectorFunctions.quantize(col("v")).as("vq"))
+      .withColumn("qscale", VectorFunctions.qmaxAbs(col("vq")))
+      .withColumn("q8", VectorFunctions.int8Quantize(col("vq"), col("qscale")))
+      .select("id", "qscale", "q8")
+    val fused = df
+      .select(col("id"),
+        call_function(graft.expressions.GraftFunctions.Int8QuantizeName,
+          col("v")).as("f"))
+      .select(col("id"), col("f.qscale").as("qscale"), col("f.q8").as("q8"))
+    assert(fused.exceptAll(hof).isEmpty && hof.exceptAll(fused).isEmpty,
+      s"hof=${hof.collect().toSeq} fused=${fused.collect().toSeq}")
+    // pin the edge explicitly: zero-scale vectors map null slots to 0 (the
+    // HOF's otherwise(0L) is per-element unconditional in that branch)
+    val q8 = fused.filter(col("id") === 2L)
+      .select("q8").as[Seq[Option[Long]]].head()
+    assert(q8 == Seq(Some(0L), Some(0L), Some(0L)), s"got $q8")
+  }
+
   test("HLL sketch estimate within 5% of exact; partial sketches merge to the global") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val exact = events.agg(countDistinct("user_id")).as[Long].head()

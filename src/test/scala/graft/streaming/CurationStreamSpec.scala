@@ -51,6 +51,22 @@ class CurationStreamSpec extends SparkSpec {
     assert(cols == Set("doc_id", "ts_ms", "is_near_dup"), s"got $cols")
   }
 
+  test("a later batch hitting an already-populated bucket merges, not crashes") {
+    // pick two distinct doc ids that hash to the SAME ViewStore bucket, so
+    // batch 2's readBuckets returns batch 1's rows (which come back WITHOUT
+    // the __bucket partition column — the union must tolerate that)
+    val byBucket = spark.range(1, 500)
+      .select(col("id"), ViewStore.bucketOf(col("id")).as("b"))
+      .as[(Long, Long)].collect().groupBy(_._2).values.find(_.length >= 2).get
+    val (idA, idB) = (byBucket(0)._1, byBucket(1)._1)
+    val ledger = runBatches(Seq(
+      Seq((idA, 1000L, good1)),
+      Seq((idB, 2000L, good2)))) // same bucket, different text
+    val rows = ViewStore.read(spark, ledger).get
+      .select("doc_id", "is_near_dup").as[(Long, Int)].collect().toMap
+    assert(rows == Map(idA -> 0, idB -> 0), s"got $rows")
+  }
+
   test("qualityKeep agrees with the batch q26 keep flag on the test corpus") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val stream = docs.select(col("doc_id"),

@@ -142,6 +142,61 @@ class ViewStoreSpec extends SparkSpec {
     assert(ViewStore.read(spark, path).get.count() == 4L)
   }
 
+  test("purgeKeys: null-keyed rows survive unrelated purges; explicit null purge removes them") {
+    val path = tmp()
+    // a null key hashes to a fixed bucket (xxhash64 leaves the seed);
+    // pick a NON-null key in that same bucket so an unrelated purge
+    // rewrites the null row's bucket — the case a bare isin() silently eats
+    val nullBucket = Seq(Option.empty[Long]).toDF("k")
+      .select(ViewStore.bucketOf(col("k"))).as[Long].head().toInt
+    val sharer = spark.range(0, 100000)
+      .filter(ViewStore.bucketOf(col("id")) === nullBucket.toLong)
+      .as[Long].head()
+    val df = Seq((Option.empty[Long], 1L), (Some(sharer), 2L)).toDF("k", "v")
+      .withColumn("__bucket", ViewStore.bucketOf(col("k")))
+    val touched = df.select("__bucket").distinct().as[Long].collect().map(_.toInt)
+    ViewStore.commit(spark, path, df, touched.toSeq, 0L)
+    // purge the sharer: exactly one row removed, the null row must remain
+    assert(ViewStore.purgeKeys(spark, path, "k", Seq(sharer)) == 1L)
+    val left = ViewStore.read(spark, path).get.select("v").as[Long].collect().toSet
+    assert(left == Set(1L), s"null-keyed row must survive, got $left")
+    // an explicit null in the purge list removes null-keyed rows
+    assert(ViewStore.purgeKeys(spark, path, "k", Seq(null)) == 1L)
+    assert(ViewStore.read(spark, path).isEmpty ||
+      ViewStore.read(spark, path).get.isEmpty)
+  }
+
+  test("purgeKeys: typed keys whose toString does not round-trip (binary) hit the right bucket") {
+    val path = tmp()
+    val k1 = Array[Byte](1, 2, 3)
+    val df = Seq((k1, 10L), (Array[Byte](9, 9), 20L)).toDF("k", "v")
+      .withColumn("__bucket", ViewStore.bucketOf(col("k")))
+    val touched = df.select("__bucket").distinct().as[Long].collect().map(_.toInt)
+    ViewStore.commit(spark, path, df, touched.toSeq, 0L)
+    // Array[Byte].toString is "[B@<hash>" — a string-cast probe would miss
+    // the bucket entirely and report 0 removed
+    assert(ViewStore.purgeKeys(spark, path, "k", Seq(k1)) == 1L)
+    val left = ViewStore.read(spark, path).get.select("v").as[Long].collect().toSet
+    assert(left == Set(20L))
+  }
+
+  test("manifest CAS: a stale writer's flip is rejected, the winner's state survives") {
+    val path = tmp()
+    commitBatch(path, 0L, Seq((1L, 10L)))
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val m = ViewStore.readManifest(spark, path).get
+    // two writers both read seq 0 and race to publish seq 1: the winner...
+    ViewStore.writeManifest(f, root, m.copy(seq = m.seq + 1, lastBatchId = 99L))
+    // ...and the loser, which must throw rather than shadow the winner
+    intercept[java.util.ConcurrentModificationException] {
+      ViewStore.writeManifest(f, root, m.copy(seq = m.seq + 1, lastBatchId = 7L))
+    }
+    assert(ViewStore.readManifest(spark, path).get.lastBatchId == 99L,
+      "the winning writer's manifest must be untouched")
+  }
+
   test("purgeKeys: purging a whole bucket drops it from the manifest; no-ops are safe") {
     val path = tmp()
     assert(ViewStore.purgeKeys(spark, path, "k", Seq(1L)) == 0L) // no store yet
