@@ -80,4 +80,35 @@ object VectorFunctions {
         lit(0L), (acc, x) => acc + x)
       when(signedSum >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Deterministic ±1 hyperplane coefficients from MD5 parity: coordinate
+    * `i` of plane `plane` is +1 iff the first hex nibble of
+    * `md5("<plane>:<i>")` is even. MD5 of a UTF-8 string is the SAME
+    * function in the JVM (`MessageDigest`), Spark (`md5()`), and DuckDB
+    * (`md5()`), so a bucketing built on these planes is exactly
+    * reproducible in plain SQL — which buys the LSH family a hash-exact
+    * DuckDB oracle (the q31 trick, applied to random-hyperplane LSH).
+    * Computed once driver-side and shipped as a literal array: the hot
+    * path never evaluates md5 per element. */
+  def md5PlaneSigns(plane: Int, dim: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val h = md.digest(s"$plane:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((h(0) >> 4) & 0x1) == 0) 1L else -1L
+    }
+  }
+
+  /** Random-hyperplane LSH bucket with [[md5PlaneSigns]] coefficients —
+    * same geometry as [[rhpBucket]] (sign bits of `nBits` ±1 projections)
+    * but oracle-expressible. `dim` fixes the plane table's width; vectors
+    * are projected on their first `dim` coordinates (embedding columns
+    * have uniform dimension, so in practice all of them). */
+  def md5RhpBucket(qv: Column, nBits: Int, table: Int, dim: Int): Column =
+    (0 until nBits).map { j =>
+      val signs = md5PlaneSigns(table * nBits + j, dim)
+      val signedSum = aggregate(
+        zip_with(qv, typedLit(signs), (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
+      when(signedSum >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

@@ -93,6 +93,47 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** [[lshTopK]] with MD5-parity hyperplanes ([[md5RhpBucket]]) instead of
+    * xxhash64 ones: identical scale shape (bucket explode → (table,
+    * bucket) equijoin → exact rerank through the bounded heap), but the
+    * plane coefficients are reproducible in plain SQL, so THIS variant is
+    * hash-exact DuckDB-oracle-verifiable end to end — approximation from
+    * bucketing, zero approximation in the arithmetic. `dim` is the
+    * embedding dimensionality (plane-table width); pass it from the data's
+    * fixed dimension. */
+  def mdLshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      dim: Int,
+      nBits: Int = 8,
+      probes: Int = 3,
+      tables: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    def buckets(df: DataFrame, vec: String, probe: Boolean) =
+      df.select(col("*"), explode(array((0 until tables).flatMap { t =>
+        val home = md5RhpBucket(col(vec), nBits, t, dim)
+        val probed = if (probe) (0 until probes).map(b =>
+          home.bitwiseXOR(lit(1L << b))) else Seq.empty
+        (home +: probed).map(b => struct(lit(t).as("t"), b.as("b")))
+      }: _*)).as("tb"))
+        .withColumn("tbl", col("tb.t")).withColumn("bucket", col("tb.b"))
+        .drop("tb")
+    val c = buckets(
+      corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
+      "cv", probe = false)
+    val q = buckets(
+      queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
+      "qv", probe = true)
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", call_function(GraftFunctions.DotLong, col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "dot").distinct()
+    rankTopK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs over one table: all pairs with
     * quantized cosine >= `minCosX100`/100, restricted to a deterministic
     * sample when `sampleMod > 1` (bounds the oracle's quadratic cost).

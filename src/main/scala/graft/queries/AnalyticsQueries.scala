@@ -99,21 +99,41 @@ object AnalyticsQueries {
     * (X50), the partial aggregate is a mergeable sketch, so the shuffle
     * carries one sketch per (type, task) instead of every value; the exact
     * `percentile` (q48) needs the full value multiset per group.
-    * Approximate ⇒ no SQL oracle (rows-only); AnalyticsSpec pins each
-    * estimate within 1% of the exact percentile and the split-merge
-    * equality at test scale. */
+    * The output pairs each sketch estimate's error-contract verdict
+    * (`approx_within_1pct`) with the EXACT order statistic at rank
+    * ceil(n·p/100) — the exact column replays in DuckDB hash-for-hash, and
+    * the verdict column (oracle expects 1) turns the sketch's ≤1% error
+    * contract into a driver-verified assertion. AnalyticsSpec additionally
+    * pins the raw estimates and the split-merge equality. */
   def q67_quantile_sketch(spark: SparkSession, dir: String): DataFrame = {
     val pArr = array(Percentiles.map(p => lit(p / 100.0)): _*)
-    Tables.eventsCents(spark, dir)
+    val ev = Tables.eventsCents(spark, dir)
+    val approx = ev
       .groupBy("event_type")
       .agg(percentile_approx(col("value_c"), pArr, lit(10000)).as("__qs"),
         count(lit(1)).as("n_events"))
       .select(col("event_type"), col("n_events"),
-        posexplode(col("__qs")).as(Seq("__pos", "approx_value_c")))
+        posexplode(col("__qs")).as(Seq("__pos", "__approx")))
       .select(col("event_type"),
         element_at(array(Percentiles.map(p => lit(p.toLong)): _*),
           col("__pos") + 1).as("p_x100"),
-        col("approx_value_c"), col("n_events"))
+        col("__approx"), col("n_events"))
+      .withColumn("__rank", expr("(n_events * p_x100 + 99) div 100"))
+    // exact order statistic: the value at ascending rank ceil(n*p/100) —
+    // row_number tie order is engine-arbitrary but the VALUE at a given
+    // rank is not, so this is cross-engine exact
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("value_c")
+    val ranked = ev.select(col("event_type"), col("value_c"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+    approx.join(ranked,
+      approx("event_type") === ranked("event_type") &&
+        ranked("__rn") === greatest(lit(1L), approx("__rank")))
+      .select(approx("event_type"), col("p_x100"),
+        col("value_c").as("exact_value_c"),
+        (abs(col("__approx") - col("value_c")) * lit(100L) <= abs(col("value_c")))
+          .cast("int").as("approx_within_1pct"),
+        col("n_events"))
       .orderBy("event_type", "p_x100")
   }
 
@@ -338,8 +358,23 @@ object AnalyticsQueries {
          |       CAST(floor(10000 * CAST(sum(n) OVER (ORDER BY rank) AS BIGINT)
          |                  / total_n) AS BIGINT) AS coverage_x10k
          |FROM top, t ORDER BY rank""".stripMargin,
-    // q67: approximate sketch — intentionally no SQL oracle (rows-only);
-    // AnalyticsSpec pins the estimates against the exact percentiles
+    // q67: the exact order-statistic column replays exactly; the sketch
+    // column is its ≤1% error-contract verdict (oracle asserts 1)
+    "q67_quantile_sketch" ->
+      s"""WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c
+         |           FROM events),
+         |n AS (SELECT event_type, count(*) AS n_events FROM e GROUP BY event_type),
+         |p AS (SELECT CAST(unnest([${Percentiles.mkString(", ")}]) AS BIGINT) AS p_x100),
+         |t AS (SELECT n.event_type, p.p_x100, n.n_events,
+         |             greatest(1, (n.n_events * p.p_x100 + 99) // 100) AS rnk
+         |      FROM n, p),
+         |r AS (SELECT event_type, value_c,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY value_c) AS rn
+         |      FROM e)
+         |SELECT t.event_type, t.p_x100, r.value_c AS exact_value_c,
+         |       CAST(1 AS INT) AS approx_within_1pct, t.n_events
+         |FROM t JOIN r ON r.event_type = t.event_type AND r.rn = t.rnk
+         |ORDER BY t.event_type, t.p_x100""".stripMargin,
     "q68_rolling_spend" ->
       s"""WITH d AS (
          |  SELECT user_id, epoch_ms(ts) // $DayMs AS day,

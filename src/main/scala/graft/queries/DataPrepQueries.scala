@@ -94,15 +94,22 @@ object DataPrepQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Rows-only (no SQL oracle): LSH-bucketed ANN — xxhash64 hyperplanes
-    * aren't DuckDB-expressible; recall vs q20 is asserted in AnnSpec. */
+  /** LSH-bucketed ANN with MD5-parity hyperplanes ([[Ann.mdLshTopK]]):
+    * same bucket-equijoin scale shape as the xxhash64 variant
+    * ([[Ann.lshTopK]], recall-pinned in AnnSpec), but the plane signs are
+    * reproducible in DuckDB, so the approximate result is hash-exact
+    * oracle-verified — candidate generation AND rerank, end to end. */
   def q21_ann_lsh_topk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Ann.lshTopK(
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    Ann.mdLshTopK(
       emb.filter(pmod(col("vec_id"), lit(AnnQueryMod)) === 0), emb, AnnK,
-      nBits = 4, probes = 3, tables = 2)
+      dim = dim, nBits = LshBits, probes = LshProbes, tables = LshTables)
       .orderBy("query_id", "rank")
   }
+  val LshBits = 4
+  val LshProbes = 3
+  val LshTables = 2
 
   /** IVF ANN: deterministic coarse quantizer (the `IvfCentroids` lowest-id
     * vectors), nProbe-list search, exact rerank — unlike q21's xxhash64
@@ -922,7 +929,50 @@ object DataPrepQueries {
          |SELECT d.doc_id, d.lang FROM documents d
          |WHERE d.doc_id % $EvalMod <> 0
          |  AND NOT EXISTS (SELECT 1 FROM cont WHERE cont.id = d.doc_id)
-         |ORDER BY d.doc_id""".stripMargin
-    // q21_ann_lsh_topk: intentionally no oracle (rows-only check) — see scaladoc.
+         |ORDER BY d.doc_id""".stripMargin,
+    "q21_ann_lsh_topk" -> {
+      // MD5-parity hyperplane bucket of column `qv` for hash table t:
+      // bit j set iff the signed projection on plane t*nBits+j is >= 0,
+      // plane coefficient on 0-based coordinate i = +1 iff the first hex
+      // nibble of md5("<plane>:<i>") is even — the exact SQL twin of
+      // VectorFunctions.md5PlaneSigns/md5RhpBucket.
+      def bucketSql(t: Int): String = (0 until LshBits).map { j =>
+        val p = t * LshBits + j
+        s"""(CASE WHEN list_sum(list_transform(generate_series(1, len(qv)),
+           |   i -> qv[i] * (CASE WHEN strpos('02468ace',
+           |        substr(md5('$p:' || CAST(i - 1 AS VARCHAR)), 1, 1)) > 0
+           |      THEN 1 ELSE -1 END))) >= 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
+      }.mkString("(", " + ", ")")
+      def perTable(sel: String => String): String =
+        (0 until LshTables).map(t => sel(bucketSql(t)).replace("__TBL__", t.toString))
+          .mkString("\n         |  UNION ALL ")
+      val probeUnion = (0 until LshProbes).map(b =>
+        s"UNION ALL SELECT tbl, query_id, xor(home, ${1L << b}) AS bucket FROM qh")
+        .mkString("\n         |  ")
+      s"""WITH v AS (SELECT vec_id, $quantVec AS qv FROM embeddings),
+         |cb AS (
+         |  ${perTable(b => s"SELECT __TBL__ AS tbl, vec_id AS neighbor_id, $b AS bucket FROM v")}),
+         |qs AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id % $AnnQueryMod = 0),
+         |qh AS (
+         |  ${perTable(b => s"SELECT __TBL__ AS tbl, query_id, $b AS home FROM qs")}),
+         |qp AS (
+         |  SELECT tbl, query_id, home AS bucket FROM qh
+         |  $probeUnion),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, c.neighbor_id
+         |  FROM qp q JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.query_id <> c.neighbor_id),
+         |s AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |         CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+         |              i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
+         |  FROM cand JOIN v a ON a.vec_id = cand.query_id
+         |            JOIN v b ON b.vec_id = cand.neighbor_id),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+         |      FROM s)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dot
+         |FROM r WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
+    }
   )
 }

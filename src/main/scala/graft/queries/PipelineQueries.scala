@@ -150,15 +150,23 @@ object PipelineQueries {
     * merge associatively, so the shuffle carries one sketch per (type,
     * task), not the user ids; at 100 TB this (not exact count-distinct's
     * full shuffle of the key set) is how corpus-wide cardinality reports
-    * run. Approximate ⇒ no SQL oracle (rows-only); PipelineSpec pins the
-    * estimate within 5% of exact at test scale and the partial-merge
-    * equality. */
+    * run. The output carries the EXACT distinct count alongside and
+    * reduces the sketch estimate to its error-contract verdict
+    * (`sketch_within_5pct`): DuckDB cannot replay DataSketches HLL
+    * bit-for-bit, but it CAN assert the contract — the oracle expects 1,
+    * so a sketch drifting past 5% flips the column and fails the hash
+    * match. PipelineSpec additionally pins the raw estimate and the
+    * partial-merge equality. */
   def q61_distinct_sketch(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(
-        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("__approx"),
+        countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        (abs(col("__approx") - col("n_users")) * lit(20L) <= col("n_users"))
+          .cast("int").as("sketch_within_5pct"))
       .orderBy("event_type")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -240,8 +248,15 @@ object PipelineQueries {
          | AND epoch_ms(e.ts) >= epoch_ms(s.ts)
          | AND epoch_ms(e.ts) < epoch_ms(s.ts) + $FollowWindowMs
          |WHERE s.event_type = 'signup'
-         |GROUP BY s.event_id ORDER BY s_event_id""".stripMargin
-    // q61: approximate sketch — intentionally no SQL oracle (rows-only);
-    // PipelineSpec pins the estimate against the exact distinct count
+         |GROUP BY s.event_id ORDER BY s_event_id""".stripMargin,
+    // q61: the exact companion columns are replayed exactly; the sketch
+    // column is its error-contract verdict — the oracle asserts 1, so a
+    // drifting sketch fails the driver's hash match
+    "q61_distinct_sketch" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       count(*) AS n_events,
+        |       CAST(1 AS INT) AS sketch_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

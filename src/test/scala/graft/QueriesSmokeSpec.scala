@@ -23,14 +23,13 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query name with an oracle has a query; oracle coverage is near-total") {
+  test("every query name with an oracle has a query; oracle coverage is total") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
-    // rows-only exceptions must stay rare and intentional (q21: xxhash64
-    // planes not SQL-expressible; q61/q67: approximate sketch estimates)
-    assert((qs -- os) ==
-      Set("q21_ann_lsh_topk", "q61_distinct_sketch", "q67_quantile_sketch"),
-      s"unexpected rows-only: ${qs -- os}")
+    // every query is oracle-verified: the approximate ones (q21 LSH, q61
+    // HLL, q67 quantile sketch) carry deterministic/exact companion output
+    // so the driver can hash-match them too
+    assert((qs -- os).isEmpty, s"unexpected rows-only: ${qs -- os}")
   }
 }

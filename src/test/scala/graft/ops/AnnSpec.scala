@@ -58,6 +58,54 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("md5PlaneSigns matches engine-side md5 parity (the oracle's sign rule)") {
+    // the driver-side MessageDigest table and Spark's md5() must agree,
+    // or the DuckDB oracle (which uses SQL md5) would diverge from the
+    // literal-array plane the Spark plan ships
+    val planes = for (p <- 0 until 8; i <- 0 until 16) yield (p, i)
+    val fromSql = planes.toDF("p", "i")
+      .select(col("p"), col("i"),
+        when(substring(md5(concat_ws(":", col("p"), col("i"))), 1, 1)
+          .isin("0", "2", "4", "6", "8", "a", "c", "e"), 1L).otherwise(-1L).as("s"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    planes.foreach { case (p, i) =>
+      assert(md5PlaneSigns(p, 16)(i) == fromSql((p, i)),
+        s"sign mismatch at plane=$p coord=$i")
+    }
+  }
+
+  test("md5-plane LSH top-k achieves >=60% recall@10 vs brute force on seeded vectors") {
+    val rnd = new scala.util.Random(11)
+    def unit(): Seq[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    val corpus = vecs((0L until 300L).map(i => i -> unit()): _*)
+    val queries = corpus.filter(col("vec_id") % 30 === 0)
+    val exact = Ann.bruteForceTopK(queries, corpus, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.mdLshTopK(queries, corpus, k = 10, dim = 16,
+      nBits = 4, probes = 3, tables = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+    // every emitted neighbor must carry the EXACT dot (rerank is exact):
+    // approx results are a subset of the brute-force scored universe
+    val dots = Ann.mdLshTopK(queries, corpus, k = 10, dim = 16,
+      nBits = 4, probes = 3, tables = 2)
+      .select("query_id", "neighbor_id", "dot")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exactDots = Ann.bruteForceTopK(queries, corpus, k = 300)
+      .select("query_id", "neighbor_id", "dot")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    dots.foreach { case (k2, d) =>
+      assert(exactDots.get(k2).forall(_ == d), s"dot mismatch for $k2")
+    }
+  }
+
   test("IVF top-k: valid ranks, reasonable recall vs brute force") {
     val rnd = new scala.util.Random(19)
     def unit(): Seq[Float] = {
