@@ -134,6 +134,22 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** IVF coarse-quantizer table `(cent_id, centv)` — k-means-trained when
+    * `trainRounds > 0` (cent_id = cluster index), the raw lowest-id sample
+    * otherwise (cent_id = vec_id). Tiny either way; callers broadcast it. */
+  private[ops] def coarseQuantizer(
+      corpus: DataFrame,
+      nCentroids: Int,
+      trainRounds: Int,
+      idCol: String,
+      vecCol: String): DataFrame =
+    if (trainRounds > 0)
+      KMeans.lloydCentroids(corpus, nCentroids, trainRounds, idCol, vecCol)
+        .select(col("cluster").as("cent_id"), col("cvq").as("centv"))
+    else
+      corpus.orderBy(col(idCol).asc).limit(nCentroids)
+        .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("centv"))
+
   /** Embedding-cosine near-duplicate pairs over one table: all pairs with
     * quantized cosine >= `minCosX100`/100, restricted to a deterministic
     * sample when `sampleMod > 1` (bounds the oracle's quadratic cost).
@@ -175,11 +191,14 @@ object Ann {
     * centroid's list; a query probes only the `nProbe` lists whose
     * centroids score highest, then reranks candidates exactly.
     *
-    * The coarse quantizer here is a DETERMINISTIC sample: the `nCentroids`
-    * lowest-id corpus vectors. (A production build would k-means them;
-    * the partitioning and search shape — and therefore the scale
-    * behavior — are identical, and determinism buys an EXACT DuckDB
-    * oracle, which a trained quantizer cannot give.)
+    * The coarse quantizer is [[KMeans.lloydCentroids]]-TRAINED from the
+    * deterministic lowest-id seed (`trainRounds` Lloyd update rounds;
+    * `trainRounds = 0` degenerates to the raw seed sample). Training puts
+    * centroids at cluster means, so a skewed corpus still yields balanced
+    * inverted lists — the hot-list scan cost an untrained quantizer pays
+    * at scale — while the deterministic seed keeps every step (assign →
+    * mean-floor → re-assign) exactly replayable in SQL, so even the
+    * TRAINED index keeps an exact DuckDB oracle.
     *
     * Scale shape: centroid table is tiny and broadcast everywhere; corpus
     * assignment is one broadcast-nested-loop pass + a partial-aggregated
@@ -195,11 +214,11 @@ object Ann {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4,
+      trainRounds: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
-    val cent = corpus.orderBy(col(idCol).asc).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("centv"))
+    val cent = coarseQuantizer(corpus, nCentroids, trainRounds, idCol, vecCol)
     def scoredAgainstCentroids(df: DataFrame, id: String, qv: String) =
       df.crossJoin(broadcast(cent))
         .withColumn("cdot", call_function(GraftFunctions.DotLong, col(qv), col("centv")))

@@ -17,11 +17,12 @@ import graft.functions.VectorFunctions._
   * FAISS IVF file layout expressed as partitioned parquet. Centroids (tiny)
   * live beside the lists and are broadcast at query time.
   *
-  * Same deterministic coarse quantizer as `ivfTopK` (the `nCentroids`
-  * lowest-id vectors — determinism keeps results reproducible and
-  * spec-comparable); swap in [[KMeans]] centroids for a production build,
-  * the layout and query path are unchanged. Vectors are stored already
-  * quantized (`array<bigint>`), so queries skip re-quantization.
+  * Same coarse quantizer as `ivfTopK`: [[KMeans.lloydCentroids]]-trained
+  * from the deterministic lowest-id seed (`trainRounds = 0` degenerates to
+  * the raw seed), so a skewed corpus still gets balanced inverted lists —
+  * the property that keeps the hottest partition's scan cost bounded at
+  * scale (AnnIndexSpec pins it). Vectors are stored already quantized
+  * (`array<bigint>`), so queries skip re-quantization.
   */
 object AnnIndex {
 
@@ -36,11 +37,11 @@ object AnnIndex {
       embeddings: DataFrame,
       path: String,
       nCentroids: Int = 16,
+      trainRounds: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     GraftFunctions.register(embeddings.sparkSession)
-    val cent = embeddings.orderBy(col(idCol).asc).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), quantize(col(vecCol)).as("centv"))
+    val cent = Ann.coarseQuantizer(embeddings, nCentroids, trainRounds, idCol, vecCol)
     val c = embeddings.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol)).as("cv"))
     val assigned = c.crossJoin(broadcast(cent))

@@ -13,8 +13,8 @@ import graft.functions.VectorFunctions._
   * Everything is exact integer / IEEE-double arithmetic on quantized
   * vectors, so the result is reproducible across engines and the driver's
   * SQL oracle can verify an iterative ML loop end-to-end:
-  *   - init: the k lowest-id vectors (deterministic seed — swap in a
-  *     hash-sampled set for production variety, same shape);
+  *   - init: the k first vectors in `(md5(id), id)` order — a
+  *     deterministic hash-spread sample (see [[lloydCentroids]]);
   *   - assign: crossJoin(broadcast(centroids)) + exact `qdist2`, argmin by
   *     (distance, cluster id) so ties never flap;
   *   - update: posexplode to (cluster, dim) — one partial-aggregated
@@ -31,6 +31,65 @@ import graft.functions.VectorFunctions._
   */
 object KMeans {
 
+  private def quantized(embs: DataFrame, idCol: String, vecCol: String) =
+    embs.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
+
+  // the argmin carries the vector through, so the centroid update never
+  // joins the corpus back to the assignment (that join would be a
+  // corpus-size shuffle join per iteration); map-side combine reduces
+  // the k candidate rows per id to one before the groupBy shuffle
+  private def assign(vq: DataFrame, c: DataFrame): DataFrame =
+    vq.crossJoin(broadcast(c))
+      .withColumn("__d2", qdist2(col("vq"), col("cvq")))
+      .groupBy("id")
+      .agg(min_by(struct(col("cluster"), col("vq")),
+        struct(col("__d2"), col("cluster"))).as("__best"))
+      .select(col("id"), col("__best.cluster").as("cluster"),
+        col("__best.vq").as("vq"))
+
+  private def update(a: DataFrame): DataFrame =
+    a.select(col("cluster"), posexplode(col("vq")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("cvq"))
+
+  /** The TRAINED centroid table `(cluster, cvq)` after `rounds` Lloyd
+    * update rounds from a deterministic HASH-SPREAD seed (`rounds = 0`
+    * returns the seed itself): the k first vectors in `(md5(id), id)`
+    * order — a reproducible uniform sample, so an adversarially ordered
+    * corpus (all low ids inside one tight cluster) still seeds every
+    * region, where a lowest-id seed would strand Lloyd in a merged-list
+    * local optimum. This is the coarse-quantizer trainer the IVF build
+    * ([[Ann.ivfTopK]], [[AnnIndex.build]]) consumes: trained centroids
+    * sit at cluster means, so a skewed corpus yields balanced inverted
+    * lists. md5-of-decimal-string is the same function in Spark and
+    * DuckDB, so seed AND training replay exactly in SQL. Clusters that
+    * lose every member during a round are dropped (both engines replay
+    * that the same way). */
+  def lloydCentroids(
+      embs: DataFrame,
+      k: Int,
+      rounds: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val vq = quantized(embs, idCol, vecCol)
+    val seedKey = md5(col("id").cast("string").cast("binary"))
+    // k rows by construction: the bounded-input window is safe (pmod key —
+    // non-foldable constant, see Relational.globalIndex — keeps WindowExec
+    // from planning a move-everything spec)
+    var cents = vq.orderBy(seedKey, col("id")).limit(k)
+      .withColumn("cluster",
+        (row_number().over(
+          Window.partitionBy(pmod(col("id"), lit(1))).orderBy(seedKey, col("id"))) - 1)
+          .cast("long"))
+      .select(col("cluster"), col("vq").as("cvq"))
+    for (_ <- 0 until rounds) cents = update(assign(vq, cents))
+    cents
+  }
+
   /** Cluster assignment after `iters` Lloyd assignment rounds (with
     * `iters - 1` centroid updates in between). Returns (id, cluster). */
   def lloydAssign(
@@ -40,41 +99,8 @@ object KMeans {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1, "at least one assignment round")
-    val vq = embs.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
-    // k rows by construction: the bounded-input window is safe (pmod key —
-    // non-foldable constant, see Relational.globalIndex — keeps WindowExec
-    // from planning a move-everything spec)
-    var cents = vq.orderBy("id").limit(k)
-      .withColumn("cluster",
-        (row_number().over(
-          Window.partitionBy(pmod(col("id"), lit(1))).orderBy("id")) - 1)
-          .cast("long"))
-      .select(col("cluster"), col("vq").as("cvq"))
-
-    // the argmin carries the vector through, so the centroid update never
-    // joins the corpus back to the assignment (that join would be a
-    // corpus-size shuffle join per iteration); map-side combine reduces
-    // the k candidate rows per id to one before the groupBy shuffle
-    def assign(c: DataFrame): DataFrame =
-      vq.crossJoin(broadcast(c))
-        .withColumn("__d2", qdist2(col("vq"), col("cvq")))
-        .groupBy("id")
-        .agg(min_by(struct(col("cluster"), col("vq")),
-          struct(col("__d2"), col("cluster"))).as("__best"))
-        .select(col("id"), col("__best.cluster").as("cluster"),
-          col("__best.vq").as("vq"))
-
-    var a = assign(cents)
-    for (_ <- 1 until iters) {
-      cents = a
-        .select(col("cluster"), posexplode(col("vq")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos")
-        .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("cv"))
-        .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-          s => s.getField("cv")).as("cvq"))
-      a = assign(cents)
-    }
-    a.select(col("id"), col("cluster"))
+    assign(quantized(embs, idCol, vecCol),
+      lloydCentroids(embs, k, iters - 1, idCol, vecCol))
+      .select(col("id"), col("cluster"))
   }
 }

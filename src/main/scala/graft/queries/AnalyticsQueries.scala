@@ -65,7 +65,7 @@ object AnalyticsQueries {
       .orderBy("tri")
   }
 
-  /** X56 — deterministic k-means (2 Lloyd rounds, k = 8, lowest-id seed):
+  /** X56 — deterministic k-means (2 Lloyd rounds, k = 8, hash-spread seed):
     * the IVF-coarse-quantizer training loop, oracle-verified end-to-end.
     * Per round: one broadcast crossJoin (corpus never shuffles) + one
     * k·dim-cell centroid aggregate. */
@@ -333,9 +333,11 @@ object AnalyticsQueries {
          |ORDER BY tc.tri""".stripMargin,
     "q65_kmeans_assign" ->
       s"""WITH q AS (SELECT vec_id AS id, $quantVec AS vq FROM embeddings),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cluster,
+         |c0 AS (SELECT CAST(row_number() OVER
+         |                (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS BIGINT) AS cluster,
          |              vq AS cvq
-         |       FROM (SELECT id, vq FROM q ORDER BY id LIMIT $KmeansK)),
+         |       FROM (SELECT id, vq FROM q
+         |             ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $KmeansK)),
          |${lloydRound(1, "c0")},
          |e1 AS (SELECT a1.cluster,
          |              unnest(generate_series(1, len(q.vq))) AS pos, unnest(q.vq) AS v

@@ -28,6 +28,7 @@ object DataPrepQueries {
   val AnnQueryMod = 5L // vec_id % 5 == 0 → query set
   val IvfCentroids = 16
   val IvfProbe = 4
+  val IvfTrainRounds = 1
   val CosMinX100 = 40L
   val CosSampleMod = 5L
 
@@ -101,7 +102,10 @@ object DataPrepQueries {
     * oracle-verified — candidate generation AND rerank, end to end. */
   def q21_ann_lsh_topk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    // plane-table width from the data's fixed dimensionality (1-row probe;
+    // any positive width works when the table is empty)
+    val dim = emb.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
     Ann.mdLshTopK(
       emb.filter(pmod(col("vec_id"), lit(AnnQueryMod)) === 0), emb, AnnK,
       dim = dim, nBits = LshBits, probes = LshProbes, tables = LshTables)
@@ -111,15 +115,16 @@ object DataPrepQueries {
   val LshProbes = 3
   val LshTables = 2
 
-  /** IVF ANN: deterministic coarse quantizer (the `IvfCentroids` lowest-id
-    * vectors), nProbe-list search, exact rerank — unlike q21's xxhash64
-    * planes this IS fully SQL-expressible, so the approximate result is
-    * oracle-verified exactly. */
+  /** IVF ANN with a k-means-TRAINED coarse quantizer (`IvfTrainRounds`
+    * Lloyd rounds from the deterministic lowest-id seed), nProbe-list
+    * search, exact rerank. Every training step is integer/IEEE-double
+    * exact, so the trained index — not just a static sample — is
+    * oracle-verified exactly (the [[lloydCentSql]] replay). */
   def q31_ann_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Ann.ivfTopK(
       emb.filter(pmod(col("vec_id"), lit(AnnQueryMod)) === 0), emb, AnnK,
-      nCentroids = IvfCentroids, nProbe = IvfProbe)
+      nCentroids = IvfCentroids, nProbe = IvfProbe, trainRounds = IvfTrainRounds)
       .orderBy("query_id", "rank")
   }
 
@@ -519,6 +524,40 @@ object DataPrepQueries {
   private[queries] val quantVec =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
+  /** CTE chain replaying [[graft.ops.KMeans.lloydCentroids]] over a CTE
+    * `v (vec_id, qv)`: hash-spread seed (`(md5(id), id)` order), then
+    * `rounds` Lloyd update rounds (argmin-L2 assignment with
+    * lower-cluster tiebreak, mean-floor update, empty clusters dropped),
+    * ending in `cent (cent_id, centv)` — the exact SQL twin of the
+    * TRAINED IVF coarse quantizer, shared by the q31 and q91 oracles. */
+  private[queries] def lloydCentSql(k: Int, rounds: Int): String = {
+    val seed =
+      s"""kc0 AS (SELECT CAST(row_number() OVER
+         |                 (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT)
+         |               AS cluster, qv AS cvq
+         |        FROM (SELECT vec_id, qv FROM v
+         |              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k))""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""kp$i AS (SELECT v.vec_id AS id, c.cluster, unnest(v.qv) AS a, unnest(c.cvq) AS b
+         |        FROM v, kc${i - 1} c),
+         |kd$i AS (SELECT id, cluster, CAST(sum((a-b)*(a-b)) AS BIGINT) AS d2
+         |        FROM kp$i GROUP BY id, cluster),
+         |ka$i AS (SELECT id, cluster FROM (
+         |          SELECT id, cluster,
+         |                 row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+         |          FROM kd$i) WHERE rn = 1),
+         |ke$i AS (SELECT ka$i.cluster, unnest(generate_series(1, len(v.qv))) AS pos,
+         |               unnest(v.qv) AS x
+         |        FROM v JOIN ka$i ON v.vec_id = ka$i.id),
+         |km$i AS (SELECT cluster, pos,
+         |               CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |        FROM ke$i GROUP BY cluster, pos),
+         |kc$i AS (SELECT cluster, list(cv ORDER BY pos) AS cvq FROM km$i GROUP BY cluster)""".stripMargin
+    }
+    (seed +: steps).mkString(",\n") +
+      s",\ncent AS (SELECT cluster AS cent_id, cvq AS centv FROM kc$rounds)"
+  }
+
   private[queries] val minhashCols = (0 until MinhashBands * MinhashRows)
     .map(i => s"min(md5(concat('$i', ':', shingle))) AS mh$i").mkString(",\n         ")
 
@@ -656,7 +695,7 @@ object DataPrepQueries {
          |FROM r WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
     "q31_ann_ivf_topk" ->
       s"""WITH v AS (SELECT vec_id, $quantVec AS qv FROM embeddings),
-         |cent AS (SELECT vec_id AS cent_id, qv AS centv FROM v ORDER BY vec_id LIMIT $IvfCentroids),
+         |${lloydCentSql(IvfCentroids, IvfTrainRounds)},
          |ca AS (
          |  SELECT v.vec_id AS neighbor_id, v.qv AS cv, c.cent_id,
          |         CAST(list_sum(list_transform(generate_series(1, len(v.qv)), i -> v.qv[i] * c.centv[i])) AS BIGINT) AS cdot

@@ -474,7 +474,7 @@ object OlapQueries {
          |ORDER BY f.source, f.lang""".stripMargin,
     "q91_knn_graph" ->
       s"""WITH v AS (SELECT vec_id, ${DataPrepQueries.quantVec} AS qv FROM embeddings),
-         |cent AS (SELECT vec_id AS cent_id, qv AS centv FROM v ORDER BY vec_id LIMIT 16),
+         |${DataPrepQueries.lloydCentSql(16, 1)},
          |ca AS (
          |  SELECT v.vec_id AS neighbor_id, v.qv AS cv, c.cent_id,
          |         CAST(list_sum(list_transform(generate_series(1, len(v.qv)), i -> v.qv[i] * c.centv[i])) AS BIGINT) AS cdot

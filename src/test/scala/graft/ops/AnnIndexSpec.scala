@@ -27,6 +27,32 @@ class AnnIndexSpec extends SparkSpec {
     assert(fromIndex.count() == 20L * 5)
   }
 
+  test("k-means training balances inverted lists under a degenerate-seed skew") {
+    import spark.implicits._
+    // 4 tight, well-separated clusters of 50; ids ordered so ALL of the
+    // lowest ids (the raw seed) fall inside cluster 0 — the adversarial
+    // corpus where an untrained sample quantizer piles each foreign
+    // cluster onto one hot inverted list (hot-list scan cost at scale)
+    val rnd = new scala.util.Random(7)
+    val emb = (for (cl <- 0 until 4; i <- 0 until 50) yield {
+      val v = Array.tabulate(8)(d =>
+        (if (d == cl * 2) 1.0 else 0.0) + rnd.nextGaussian() * 0.05)
+      (cl * 50L + i, v.map(_.toFloat).toSeq)
+    }).toDF("vec_id", "embedding")
+    def maxList(trainRounds: Int): Long = {
+      val path = tmp()
+      AnnIndex.build(emb, path, nCentroids = 8, trainRounds = trainRounds)
+      spark.read.parquet(s"$path/lists").groupBy("bucket").count()
+        .agg(max("count")).as[Long].head()
+    }
+    val untrained = maxList(0)
+    val trained = maxList(2)
+    assert(trained < untrained,
+      s"training must shrink the hottest list: trained=$trained untrained=$untrained")
+    // the hottest trained list stays within 2.8x of the ideal 200/8 = 25
+    assert(trained <= 70, s"hottest trained list too large: $trained")
+  }
+
   test("the probe set prunes inverted-list partitions at file listing") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val path = tmp()
