@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * video payloads are opaque `binary` columns with a typed metadata struct,
   * processed by per-partition batch operators.
   *
-  * The actual media codecs are NOT available in this environment (builder
-  * prompt), so the decode step is a clearly-marked deterministic fake
-  * ([[FakeCodec]]); everything Spark-side — schema, binary column handling,
-  * partition/batch shape, the `mapPartitions` operator signature that a
-  * real vectorized decoder (Pandas-UDF-style batch worker) would plug into
-  * — is real and tested.
+  * The IMAGE modality has a real pure-JVM codec ([[ImageCodec]],
+  * `javax.imageio`: PNG/JPEG/BMP/GIF): decodable payloads are actually
+  * decoded — pixel-statistic features, nearest-neighbor resize with PNG
+  * re-encode. Payloads that don't parse as an image (this container's
+  * synthetic assets are text bytes) and the audio/video modalities (no
+  * pure-JVM codec available) fall back to the clearly-marked deterministic
+  * [[FakeCodec]]; everything Spark-side — schema, binary column handling,
+  * partition/batch shape, the `mapPartitions` operator signature a real
+  * vectorized decoder (Arrow-batch worker) plugs into — is identical in
+  * both paths and tested on real PNG bytes (MultimodalSpec).
   */
 object Multimodal {
 
@@ -80,6 +84,66 @@ object Multimodal {
     }
   }
 
+  /** Real image codec — pure JVM via `javax.imageio` (PNG, JPEG, BMP, GIF
+    * readers ship with the JDK). Deterministic: features are exact pixel
+    * statistics; resize is nearest-neighbor (no AA, no filter kernels), so
+    * the same payload yields the same pixels on every JVM. */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+
+    val FeatureDim = 8
+
+    /** None when the payload is not a decodable image (wrong magic bytes,
+      * truncated container, or an unsupported format). */
+    def tryDecode(payload: Array[Byte]): Option[BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+
+    /** Pixel-statistic feature vector: mean R/G/B and luma (0–1), width,
+      * height, aspect ratio, share of bright (luma > 127) pixels. */
+    def features(img: BufferedImage): Array[Float] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb, sy) = (0.0, 0.0, 0.0, 0.0)
+      var bright = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sy += luma
+          if (luma > 127.0) bright += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Array(
+        (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+        (sb / n / 255.0).toFloat, (sy / n / 255.0).toFloat,
+        w.toFloat, h.toFloat, w.toFloat / h, bright.toFloat / n)
+    }
+
+    /** Nearest-neighbor resize, PNG re-encode. */
+    def resize(img: BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out.setRGB(x, y,
+            img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
   /** Build a MediaAsset table from the `documents` testdata: the text bytes
     * play the opaque payload, metadata derived deterministically. This is
     * the ingest-side schema contract (binary + typed struct). */
@@ -107,12 +171,19 @@ object Multimodal {
       val md5 = java.security.MessageDigest.getInstance("MD5")
       batch.map { a =>
         md5.reset()
+        // image → real javax.imageio decode when the payload parses;
+        // audio/video (no pure-JVM codec) and unparseable payloads → fake
+        val feature =
+          if (a.meta.modality == "image")
+            ImageCodec.tryDecode(a.payload).map(ImageCodec.features)
+              .getOrElse(FakeCodec.decodeFeatures(a.payload))
+          else FakeCodec.decodeFeatures(a.payload)
         MediaFeature(
           asset_id = a.asset_id,
           modality = a.meta.modality,
           n_bytes = a.payload.length.toLong,
           payload_md5 = md5.digest(a.payload).map("%02x".format(_)).mkString,
-          feature = FakeCodec.decodeFeatures(a.payload))
+          feature = feature)
       }
     }
   }
@@ -129,7 +200,9 @@ object Multimodal {
         if (a.meta.modality != "image") a
         else a.copy(
           meta = a.meta.copy(width = w, height = h),
-          payload = FakeCodec.resize(a.payload, w, h))
+          payload = ImageCodec.tryDecode(a.payload)
+            .map(img => ImageCodec.resize(img, w, h))
+            .getOrElse(FakeCodec.resize(a.payload, w, h)))
       }
     }
   }

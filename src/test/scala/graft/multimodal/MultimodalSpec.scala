@@ -41,6 +41,51 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0).payload.toSeq == out(0).payload.toSeq)
   }
 
+  // a real PNG, built in-memory: wxh, left half pure red, right half pure blue
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image modality REALLY decodes PNG bytes: pixel-statistic features") {
+    val ds = Seq(MediaAsset(1L, MediaMeta("image", 8, 4, 0, 0L), pngBytes(8, 4))).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head.feature
+    assert(f.length == Multimodal.ImageCodec.FeatureDim)
+    // half red + half blue: mean R = mean B = 0.5, mean G = 0
+    assert(math.abs(f(0) - 0.5f) < 1e-6, s"mean R: ${f(0)}")
+    assert(math.abs(f(1)) < 1e-6, s"mean G: ${f(1)}")
+    assert(math.abs(f(2) - 0.5f) < 1e-6, s"mean B: ${f(2)}")
+    assert(f(4) == 8.0f && f(5) == 4.0f && f(6) == 2.0f, "w, h, aspect")
+    assert(f(7) == 0.0f, "no pixel exceeds luma 127 (max is 0.299*255=76)")
+  }
+
+  test("resizeImages on a real PNG: nearest-neighbor pixels, PNG re-encode round-trips") {
+    val ds = Seq(MediaAsset(1L, MediaMeta("image", 8, 4, 0, 0L), pngBytes(8, 4))).toDS()
+    val out = Multimodal.resizeImages(ds, 4, 2).collect().head
+    assert(out.meta.width == 4 && out.meta.height == 2)
+    val img = Multimodal.ImageCodec.tryDecode(out.payload)
+      .getOrElse(fail("resized payload must itself be a decodable PNG"))
+    assert(img.getWidth == 4 && img.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert((img.getRGB(x, y) & 0xffffff) == (if (x < 2) 0xff0000 else 0x0000ff),
+        s"pixel ($x,$y) must survive nearest-neighbor downscale exactly")
+    // determinism across executions (same pixels, same encoder → same bytes)
+    val again = Multimodal.resizeImages(ds, 4, 2).collect().head
+    assert(again.payload.toSeq == out.payload.toSeq)
+  }
+
+  test("undecodable image payloads fall back to the deterministic fake") {
+    val raw = "not an image".getBytes("UTF-8")
+    val ds = Seq(MediaAsset(1L, MediaMeta("image", 64, 48, 0, 0L), raw)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head.feature
+    assert(f.toSeq == Multimodal.FakeCodec.decodeFeatures(raw).toSeq)
+  }
+
   test("sampleFrames: cadence, count, determinism; non-video ignored") {
     val video = MediaAsset(7L, MediaMeta("video", 640, 480, 0, 2500L), "vvv".getBytes("UTF-8"))
     val ds = Seq(video, asset(8L, "img")).toDS()
