@@ -179,11 +179,16 @@ object Bench {
       s""""failed_reps":$failedReps,""" +
       s""""stream_hdfs_events_per_sec":$evHdfs,"stream_rocksdb_events_per_sec":$evRocks,""" +
       s""""sf":"$sfDir"}"""
-    println(line)
     // Belt-and-braces for the driver's parse: the same JSON at a well-known
-    // path, immune to any log prefixing of stdout.
+    // path FIRST (immune to any log prefixing/truncation of stdout) …
     try Files.writeString(Paths.get("BENCH_LATEST.json"), line + "\n")
     catch { case t: Throwable => System.err.println(s"[bench] write BENCH_LATEST.json failed: $t") }
+    // … then the one-line JSON as the very LAST stdout write, after
+    // spark.stop()'s shutdown noise, so a tail capture of stdout always
+    // starts (and ends) on the complete line (BENCH_r03 recorded
+    // parsed:null from a capture that began mid-JSON).
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

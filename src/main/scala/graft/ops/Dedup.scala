@@ -61,8 +61,31 @@ object Dedup {
     * replaced ever did. */
   private def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batch partitioning is the source's
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Split-count estimate from SCAN METADATA when every leaf is a file
+    // relation: ceil(bytes / maxPartitionBytes) per leaf — the same
+    // granularity the file-split planner uses, read from the already-
+    // analyzed plan. The previous df.rdd.getNumPartitions probe forced a
+    // full physical-planning pass of the subtree per operator call just to
+    // learn a number that file-source metadata already knows. Fallback for
+    // non-file leaves (memory relations, streaming joins) keeps the exact
+    // probe.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val fileSizes = leaves.map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => Some(fs.location.sizeInBytes)
+        case _ => None
+      }
+      case _ => None
+    }
+    val nParts: Long =
+      if (fileSizes.nonEmpty && fileSizes.forall(_.isDefined)) {
+        val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+        fileSizes.flatten.map(b => math.max(1L, (b + maxSplit - 1) / maxSplit)).sum
+      } else df.rdd.getNumPartitions.toLong
+    if (nParts < target) df.repartition(target) else df
   }
 
   /** Exact dedup via content fingerprint: one shuffle on md5(normalized
