@@ -50,30 +50,27 @@ object Ann {
     rankTopK(scored.select("query_id", "neighbor_id", "dot"), k)
   }
 
-  /** LSH-bucketed approximate top-k: both sides keyed by random-hyperplane
-    * buckets from `tables` independent hash tables; queries additionally
-    * probe `probes` single-bit-flip neighbor buckets per table. Turns
-    * O(|Q|·|C|) into a bucket-equijoin — the shape that survives a
-    * billion-vector corpus (shuffle on (table, bucket), per-bucket
-    * candidate sets, then the same exact rerank as brute force). Recall is
-    * tuned by (tables, nBits, probes); candidates touched scale as
-    * tables·(1+probes)/2^nBits of the corpus.
-    *
-    * Not oracle-SQL-expressible (xxhash64 hyperplanes); correctness =
-    * recall@k against [[bruteForceTopK]] in `AnnSpec`. */
-  def lshTopK(
+  /** Shared shape of the hyperplane-LSH family: bucket explode on both
+    * sides (queries additionally probe `probes` single-bit-flip neighbor
+    * buckets per table), (table, bucket) equijoin, exact rerank through
+    * the bounded heap. Turns O(|Q|·|C|) into a bucket-equijoin — the
+    * shape that survives a billion-vector corpus (shuffle on (table,
+    * bucket), per-bucket candidate sets). Recall is tuned by (tables,
+    * nBits, probes); candidates touched scale as tables·(1+probes)/2^nBits
+    * of the corpus. `homeBucket(vecCol, table)` supplies the geometry. */
+  private def bucketedTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      nBits: Int = 8,
-      probes: Int = 3,
-      tables: Int = 2,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      nBits: Int,
+      probes: Int,
+      tables: Int,
+      idCol: String,
+      vecCol: String)(homeBucket: (Column, Int) => Column): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
     def buckets(df: DataFrame, vec: String, probe: Boolean) =
       df.select(col("*"), explode(array((0 until tables).flatMap { t =>
-        val home = rhpBucket(col(vec), nBits, t)
+        val home = homeBucket(col(vec), t)
         val probed = if (probe) (0 until probes).map(b =>
           home.bitwiseXOR(lit(1L << b))) else Seq.empty
         (home +: probed).map(b => struct(lit(t).as("t"), b.as("b")))
@@ -93,14 +90,28 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** LSH-bucketed approximate top-k with xxhash64 random hyperplanes.
+    * Not oracle-SQL-expressible (xxhash64 planes); correctness =
+    * recall@k against [[bruteForceTopK]] in `AnnSpec`. */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      probes: Int = 3,
+      tables: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    bucketedTopK(queries, corpus, k, nBits, probes, tables, idCol, vecCol)(
+      (v, t) => rhpBucket(v, nBits, t))
+
   /** [[lshTopK]] with MD5-parity hyperplanes ([[md5RhpBucket]]) instead of
-    * xxhash64 ones: identical scale shape (bucket explode → (table,
-    * bucket) equijoin → exact rerank through the bounded heap), but the
-    * plane coefficients are reproducible in plain SQL, so THIS variant is
-    * hash-exact DuckDB-oracle-verifiable end to end — approximation from
-    * bucketing, zero approximation in the arithmetic. `dim` is the
-    * embedding dimensionality (plane-table width); pass it from the data's
-    * fixed dimension. */
+    * xxhash64 ones: identical scale shape, but the plane coefficients are
+    * reproducible in plain SQL, so THIS variant is hash-exact
+    * DuckDB-oracle-verifiable end to end — approximation from bucketing,
+    * zero approximation in the arithmetic. `dim` is the embedding
+    * dimensionality (plane-table width); pass it from the data's fixed
+    * dimension. */
   def mdLshTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -110,29 +121,9 @@ object Ann {
       probes: Int = 3,
       tables: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    GraftFunctions.register(queries.sparkSession)
-    def buckets(df: DataFrame, vec: String, probe: Boolean) =
-      df.select(col("*"), explode(array((0 until tables).flatMap { t =>
-        val home = md5RhpBucket(col(vec), nBits, t, dim)
-        val probed = if (probe) (0 until probes).map(b =>
-          home.bitwiseXOR(lit(1L << b))) else Seq.empty
-        (home +: probed).map(b => struct(lit(t).as("t"), b.as("b")))
-      }: _*)).as("tb"))
-        .withColumn("tbl", col("tb.t")).withColumn("bucket", col("tb.b"))
-        .drop("tb")
-    val c = buckets(
-      corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
-      "cv", probe = false)
-    val q = buckets(
-      queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
-      "qv", probe = true)
-    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", call_function(GraftFunctions.DotLong, col("qv"), col("cv")))
-      .select("query_id", "neighbor_id", "dot").distinct()
-    rankTopK(scored, k)
-  }
+      vecCol: String = "embedding"): DataFrame =
+    bucketedTopK(queries, corpus, k, nBits, probes, tables, idCol, vecCol)(
+      (v, t) => md5RhpBucket(v, nBits, t, dim))
 
   /** IVF coarse-quantizer table `(cent_id, centv)` — k-means-trained when
     * `trainRounds > 0` (cent_id = cluster index), the raw lowest-id sample
