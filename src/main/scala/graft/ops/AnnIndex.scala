@@ -33,6 +33,19 @@ object AnnIndex {
     * (`lists/bucket=N`) holding (neighbor_id, cv), plus the centroid
     * table. One broadcast pass + one argmax shuffle — the same cost as a
     * single `ivfTopK` call, paid once. */
+  /** Corpus rows assigned to their argmax-dot centroid (tie → lower
+    * cent_id): one broadcast pass + one partial-aggregated argmax shuffle. */
+  private def assignToLists(embeddings: DataFrame, cent: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    embeddings.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cdot",
+        call_function(GraftFunctions.DotLong, col("cv"), col("centv")))
+      .groupBy("neighbor_id")
+      .agg(max(struct(col("cdot").as("d"), (-col("cent_id")).as("nc"))).as("m"),
+        first(col("cv")).as("cv"))
+      .select(col("neighbor_id"), (-col("m.nc")).as("bucket"), col("cv"))
+
   def build(
       embeddings: DataFrame,
       path: String,
@@ -42,18 +55,31 @@ object AnnIndex {
       vecCol: String = "embedding"): Unit = {
     GraftFunctions.register(embeddings.sparkSession)
     val cent = Ann.coarseQuantizer(embeddings, nCentroids, trainRounds, idCol, vecCol)
-    val c = embeddings.select(col(idCol).as("neighbor_id"),
-      quantize(col(vecCol)).as("cv"))
-    val assigned = c.crossJoin(broadcast(cent))
-      .withColumn("cdot",
-        call_function(GraftFunctions.DotLong, col("cv"), col("centv")))
-      .groupBy("neighbor_id")
-      .agg(max(struct(col("cdot").as("d"), (-col("cent_id")).as("nc"))).as("m"),
-        first(col("cv")).as("cv"))
-      .select(col("neighbor_id"), (-col("m.nc")).as("bucket"), col("cv"))
-    assigned.write.mode("overwrite").partitionBy("bucket")
+    assignToLists(embeddings, cent, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/$ListsDir")
     cent.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
+  }
+
+  /** Incremental append — the IVF ingestion path a continuously-growing
+    * corpus needs: new vectors are assigned against the FROZEN persisted
+    * centroids and appended into their inverted-list partitions; no
+    * retrain, no rewrite of existing lists (quantizer drift is handled by
+    * periodic [[build]] rebuilds, exactly like FAISS's add-after-train).
+    * Cost is one broadcast pass + one argmax shuffle over ONLY the new
+    * rows, and the partitioned append touches only the lists the new rows
+    * land in. Queries immediately see old + new rows. */
+  def append(
+      embeddings: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val cent = spark.read.parquet(s"$path/$CentroidsDir")
+    assignToLists(embeddings, cent, idCol, vecCol)
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/$ListsDir")
   }
 
   /** Top-k search against a built index: per query the `nProbe`

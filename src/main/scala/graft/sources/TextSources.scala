@@ -46,6 +46,20 @@ object TextSources {
       .option("sep", sep)
       .csv(path)
 
+  /** ORC read/write round-trip (columnar sibling of parquet — Spark's ORC
+    * datasource is built in, `orc-core` ships with the distribution).
+    * Same schema-first rule: ORC carries its schema in the footer, but
+    * declaring one pins the read to the expected shape (a column drift in
+    * delivered files surfaces as nulls the data-quality checks (X91)
+    * catch, not as a silently widened scan). Predicate pushdown and
+    * column pruning work as for parquet (`spark.sql.orc.filterPushdown`
+    * is on by default). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Split a PERMISSIVE read into (good rows without the corrupt column,
     * bad rows). Spark leaves every declared column null AND fills
     * `_corrupt_record` for a malformed line, so the corrupt column is the

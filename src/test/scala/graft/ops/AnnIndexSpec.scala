@@ -53,6 +53,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(trained <= 70, s"hottest trained list too large: $trained")
   }
 
+  test("append: new vectors land in their frozen-centroid lists; queries see old + new") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val old = emb.filter(col("vec_id") % 2 === 0)
+    val fresh = emb.filter(col("vec_id") % 2 === 1)
+    val path = tmp()
+    AnnIndex.build(old, path, nCentroids = 8)
+    val centBefore = spark.read.parquet(s"$path/_centroids").collect().toSet
+    AnnIndex.append(fresh, path)
+    // centroids are FROZEN by contract (no retrain on append)
+    assert(spark.read.parquet(s"$path/_centroids").collect().toSet == centBefore)
+    // every appended row sits in the list of its argmax-dot centroid
+    // against those frozen centroids — recompute the assignment
+    // independently and compare
+    val lists = spark.read.parquet(s"$path/lists")
+    val freshIds = fresh.select("vec_id").as[Long].collect().toSet
+    val stored = lists.filter(col("neighbor_id").isin(freshIds.toSeq: _*))
+      .select(col("neighbor_id"), col("bucket"))
+      .as[(Long, Long)].collect().toMap
+    assert(stored.keySet == freshIds, "every appended vector must be stored exactly once")
+    val cent = spark.read.parquet(s"$path/_centroids")
+    val expected = fresh
+      .select(col("vec_id"), graft.functions.VectorFunctions.quantize(col("embedding")).as("cv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cdot", call_function(
+        graft.expressions.GraftFunctions.DotLong, col("cv"), col("centv")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cdot"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    assert(stored == expected, "append must use the frozen-centroid argmax assignment")
+    // and queries now reach appended neighbors
+    val res = AnnIndex.query(spark, path, queries(10), k = 5, nProbe = 4)
+    assert(res.filter(col("neighbor_id") % 2 === 1).count() > 0,
+      "appended vectors must be reachable")
+  }
+
   test("the probe set prunes inverted-list partitions at file listing") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val path = tmp()

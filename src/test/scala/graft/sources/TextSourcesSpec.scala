@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import graft.SparkSpec
 
@@ -47,5 +48,24 @@ class TextSourcesSpec extends SparkSpec {
       Seq((1L, "alpha"), (2L, "gamma")))
     assert(bad.collect().map(_.getAs[String](TextSources.CorruptCol)).toSeq ==
       Seq("oops_no_number,beta"))
+  }
+
+  test("ORC: write/read round-trip, filter pushdown reaches the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString + "/t"
+    val src = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    TextSources.writeOrc(src, dir)
+    val back = TextSources.readOrc(spark, dir, schema)
+    assert(back.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    // pushdown: the doc_id predicate must reach the ORC scan, not a
+    // post-scan Filter alone
+    val filtered = back.filter(col("doc_id") === 2L)
+    val scan = executedPlan(filtered).collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("doc_id")),
+      s"expected doc_id in PushedFilters: ${scan.metadata.get("PushedFilters")}")
+    assert(filtered.as[(Long, String)].collect().toSeq == Seq((2L, "beta")))
   }
 }
