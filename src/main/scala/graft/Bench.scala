@@ -89,6 +89,15 @@ object Bench {
       // and cache thrash re-Janinos every stage (measured 5× total-time
       // regression when the surface outgrew the default)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Spark's ContextCleaner releases shuffle files / broadcasts only
+      // when the DRIVER GCs their references — under a large heap the JVM
+      // may not GC for the whole run, so state from every prior query
+      // accumulates (measured at the 10× probe scale: q76 23 s → 81 s →
+      // 112 s across identical passes; stable 8 s once the cleaner runs).
+      // A 30 s periodic GC bounds the accumulation at negligible pause
+      // cost; same reasoning applies to any long-running driver (see
+      // README cluster notes).
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Pre-touch the measured SF's parquet bytes so a cold page cache can't

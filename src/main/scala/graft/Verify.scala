@@ -19,6 +19,9 @@ object Verify {
       // static conf, default 100 — see Bench.scala: the 38-query surface
       // churns the whole-stage-codegen class cache otherwise
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // GC-triggered ContextCleaner under a big heap starves shuffle/
+      // broadcast release across the 93-query session — see Bench.scala
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
