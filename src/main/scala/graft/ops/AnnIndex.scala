@@ -69,16 +69,35 @@ object AnnIndex {
     * Cost is one broadcast pass + one argmax shuffle over ONLY the new
     * rows, and the partitioned append touches only the lists the new rows
     * land in. Queries immediately see old + new rows. */
+  /** With `dedupe = true` the append is IDEMPOTENT under replay: rows
+    * whose id already sits in the target list are dropped before the
+    * write (an anti-join against ONLY the bucket partitions this batch
+    * touches — a partition-pruned scan, never the whole index). That is
+    * the contract a streaming ingest needs: foreachBatch is at-least-once
+    * on crash/retry, so the same micro-batch may arrive twice
+    * ([[graft.streaming.AnnIndexStream]]). Plain batch appends of known-
+    * fresh ids skip the read. */
   def append(
       embeddings: DataFrame,
       path: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      dedupe: Boolean = false): Unit = {
     val spark = embeddings.sparkSession
     GraftFunctions.register(spark)
     val cent = spark.read.parquet(s"$path/$CentroidsDir")
-    assignToLists(embeddings, cent, idCol, vecCol)
-      .write.mode("append").partitionBy("bucket")
+    val assigned = assignToLists(embeddings, cent, idCol, vecCol)
+    val fresh =
+      if (!dedupe) assigned
+      else {
+        val touched = assigned.select("bucket").distinct()
+          .collect().map(_.getLong(0)) // bounded by bucket count — metadata
+        val existing = spark.read.parquet(s"$path/$ListsDir")
+          .filter(col("bucket").isin(touched: _*))
+          .select(col("neighbor_id"))
+        assigned.join(existing, Seq("neighbor_id"), "left_anti")
+      }
+    fresh.write.mode("append").partitionBy("bucket")
       .parquet(s"$path/$ListsDir")
   }
 
