@@ -76,7 +76,14 @@ object AnnIndex {
     * the contract a streaming ingest needs: foreachBatch is at-least-once
     * on crash/retry, so the same micro-batch may arrive twice
     * ([[graft.streaming.AnnIndexStream]]). Plain batch appends of known-
-    * fresh ids skip the read. */
+    * fresh ids skip the read.
+    *
+    * Visibility: the partitioned-parquet append is NOT a transaction — a
+    * reader listing files mid-append can see a partial batch (never a
+    * torn row; parquet files appear whole). Queries that need snapshot
+    * isolation against concurrent ingest should wrap the index in a
+    * [[graft.streaming.ViewStore]]-style manifest (generation dirs +
+    * manifest CAS) — the append/search shape is unchanged. */
   def append(
       embeddings: DataFrame,
       path: String,

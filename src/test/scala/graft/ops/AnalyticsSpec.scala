@@ -118,6 +118,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == again, "assignment must be deterministic")
   }
 
+  test("lloydCentroids: rounds=0 returns the hash-spread seed; empty clusters drop; trainer ≡ assign path") {
+    val vecs = (1 to 20).map(i => (i.toLong,
+      Seq(i * 0.01f, (21 - i) * 0.01f, 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // rounds = 0: exactly k rows, cluster ids 0..k-1, and the vectors are
+    // the k first in (md5(id), id) order — the documented seed contract
+    val seed = KMeans.lloydCentroids(df, k = 4, rounds = 0)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(seed.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expectedIds = (1 to 20).map(_.toLong).sortBy(id => (hex(id), id)).take(4)
+    val quant = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.quantize(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(seed.map(_._2.toSeq).toSeq == expectedIds.map(id => quant(id).toSeq),
+      "seed centroids must be the k first vectors in (md5(id), id) order")
+    // lloydAssign(iters) must equal assigning against lloydCentroids(iters-1)
+    // — the factored trainer and the public assign path cannot drift
+    val viaAssign = KMeans.lloydAssign(df, k = 4, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val cents = KMeans.lloydCentroids(df, k = 4, rounds = 2)
+      .as[(Long, Seq[Long])].collect()
+    val manual = vecs.map { case (id, _) =>
+      val v = quant(id)
+      id -> cents.map { case (c, cv) =>
+        (cv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min._2
+    }.toMap
+    assert(viaAssign == manual, "trainer centroids must reproduce lloydAssign")
+    // clusters that lose every member are DROPPED (contract both the SQL
+    // oracle and the IVF build replay): k > points → at most |points|
+    // clusters survive a round
+    val tiny = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val trained = KMeans.lloydCentroids(tiny, k = 4, rounds = 1).count()
+    assert(trained <= 2, s"empty clusters must drop, got $trained")
+  }
+
   test("kmeans: k > distinct points still assigns every vector exactly once") {
     val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 1.0f)))
       .toDF("vec_id", "embedding")
