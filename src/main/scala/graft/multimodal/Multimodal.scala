@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * The IMAGE modality has a real pure-JVM codec ([[ImageCodec]],
   * `javax.imageio`: PNG/JPEG/BMP/GIF): decodable payloads are actually
   * decoded — pixel-statistic features, nearest-neighbor resize with PNG
-  * re-encode. Payloads that don't parse as an image (this container's
-  * synthetic assets are text bytes) and the audio/video modalities (no
-  * pure-JVM codec available) fall back to the clearly-marked deterministic
-  * [[FakeCodec]]; everything Spark-side — schema, binary column handling,
-  * partition/batch shape, the `mapPartitions` operator signature a real
-  * vectorized decoder (Arrow-batch worker) plugs into — is identical in
-  * both paths and tested on real PNG bytes (MultimodalSpec).
+  * re-encode. The AUDIO modality likewise ([[AudioCodec]],
+  * `javax.sound.sampled`: WAV/AIFF/AU 16-bit PCM → signal-statistic
+  * features). Payloads that don't parse (this container's synthetic
+  * assets are text bytes) and the VIDEO modality (no pure-JVM codec
+  * exists) fall back to the clearly-marked deterministic [[FakeCodec]];
+  * everything Spark-side — schema, binary column handling, partition/
+  * batch shape, the `mapPartitions` operator signature a real vectorized
+  * decoder (Arrow-batch worker) plugs into — is identical in all paths
+  * and tested on real PNG and WAV bytes (MultimodalSpec).
   */
 object Multimodal {
 
@@ -144,6 +146,58 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec — pure JVM via `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM readers ship with the JDK). Deterministic: features are exact
+    * arithmetic over the decoded 16-bit PCM samples. */
+  object AudioCodec {
+    val FeatureDim = 8
+
+    /** Decoded PCM: 16-bit samples (channel-interleaved), rate, channels.
+      * None when the payload is not a decodable audio container. */
+    def tryDecode(payload: Array[Byte]): Option[(Array[Short], Float, Int)] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val samples = new Array[Short](bytes.length / 2)
+          bb.asShortBuffer().get(samples)
+          Some((samples, fmt.getSampleRate, fmt.getChannels))
+        }
+      } catch { case _: Exception => None }
+
+    /** Signal-statistic feature vector: mean |s| and RMS (0–1 of full
+      * scale), zero-crossing rate, duration (s), sample rate, channels,
+      * peak (0–1), DC offset (−1–1). */
+    def features(samples: Array[Short], rateHz: Float, channels: Int): Array[Float] = {
+      val n = math.max(samples.length, 1)
+      var (sumAbs, sumSq, sum) = (0.0, 0.0, 0.0)
+      var crossings = 0L
+      var peak = 0.0
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i).toDouble
+        sumAbs += math.abs(s); sumSq += s * s; sum += s
+        peak = math.max(peak, math.abs(s))
+        if (i >= channels && ((samples(i - channels) < 0) != (s < 0))) crossings += 1
+        i += 1
+      }
+      val full = 32768.0
+      Array(
+        (sumAbs / n / full).toFloat,
+        (math.sqrt(sumSq / n) / full).toFloat,
+        (crossings.toDouble / n).toFloat,
+        (samples.length.toDouble / channels / rateHz).toFloat,
+        rateHz, channels.toFloat,
+        (peak / full).toFloat, (sum / n / full).toFloat)
+    }
+  }
+
   /** Build a MediaAsset table from the `documents` testdata: the text bytes
     * play the opaque payload, metadata derived deterministically. This is
     * the ingest-side schema contract (binary + typed struct). */
@@ -171,13 +225,19 @@ object Multimodal {
       val md5 = java.security.MessageDigest.getInstance("MD5")
       batch.map { a =>
         md5.reset()
-        // image → real javax.imageio decode when the payload parses;
-        // audio/video (no pure-JVM codec) and unparseable payloads → fake
-        val feature =
-          if (a.meta.modality == "image")
+        // image → real javax.imageio decode, audio → real javax.sound
+        // PCM decode when the payload parses; video (no pure-JVM codec)
+        // and unparseable payloads → fake
+        val feature = a.meta.modality match {
+          case "image" =>
             ImageCodec.tryDecode(a.payload).map(ImageCodec.features)
               .getOrElse(FakeCodec.decodeFeatures(a.payload))
-          else FakeCodec.decodeFeatures(a.payload)
+          case "audio" =>
+            AudioCodec.tryDecode(a.payload)
+              .map { case (s, r, c) => AudioCodec.features(s, r, c) }
+              .getOrElse(FakeCodec.decodeFeatures(a.payload))
+          case _ => FakeCodec.decodeFeatures(a.payload)
+        }
         MediaFeature(
           asset_id = a.asset_id,
           modality = a.meta.modality,

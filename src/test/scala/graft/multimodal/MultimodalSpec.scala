@@ -79,6 +79,38 @@ class MultimodalSpec extends SparkSpec {
     assert(again.payload.toSeq == out.payload.toSeq)
   }
 
+  // a real WAV, built in-memory: 16-bit PCM mono sine
+  private def wavBytes(rateHz: Float, freqHz: Double, amp: Double, nSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until nSamples)
+      bb.putShort((amp * 32767 * math.sin(2 * math.Pi * freqHz * i / rateHz)).toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio modality REALLY decodes WAV bytes: signal-statistic features") {
+    // 1 s of a 440 Hz sine at half amplitude, 8 kHz mono
+    val ds = Seq(MediaAsset(1L, MediaMeta("audio", 0, 0, 8000, 1000L),
+      wavBytes(8000f, 440.0, 0.5, 8000))).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head.feature
+    assert(f.length == Multimodal.AudioCodec.FeatureDim)
+    // sine RMS = amp/sqrt(2) ~ 0.3536; mean|s| = 2*amp/pi ~ 0.3183
+    assert(math.abs(f(1) - 0.3536f) < 0.01, s"rms: ${f(1)}")
+    assert(math.abs(f(0) - 0.3183f) < 0.01, s"mean abs: ${f(0)}")
+    // zero crossings: 2 per cycle, 440 cycles/s over 8000 samples/s
+    assert(math.abs(f(2) - 2 * 440.0 / 8000) < 0.01, s"zcr: ${f(2)}")
+    assert(math.abs(f(3) - 1.0f) < 1e-3, s"duration: ${f(3)}")
+    assert(f(4) == 8000f && f(5) == 1.0f, "rate, channels")
+    assert(math.abs(f(6) - 0.5f) < 0.01, s"peak: ${f(6)}")
+    assert(math.abs(f(7)) < 0.01, s"dc offset: ${f(7)}")
+  }
+
   test("undecodable image payloads fall back to the deterministic fake") {
     val raw = "not an image".getBytes("UTF-8")
     val ds = Seq(MediaAsset(1L, MediaMeta("image", 64, 48, 0, 0L), raw)).toDS()
