@@ -267,12 +267,46 @@ object Multimodal {
     }
   }
 
+  /** Real video container parser for Motion-JPEG streams (concatenated
+    * JPEG frames — the MJPEG-over-HTTP wire format minus the multipart
+    * headers; pure JVM, frames decodable by [[ImageCodec]]). Modern
+    * inter-frame codecs (H.264/VP9/AV1) require native decoders and stay
+    * behind [[FakeCodec]]. */
+  object MjpegCodec {
+    /** (offset, length) of each JPEG frame (SOI `FFD8` … EOI `FFD9`
+      * marker scan). None unless the payload starts with SOI and contains
+      * at least one complete frame. */
+    def frames(payload: Array[Byte]): Option[Vector[(Int, Int)]] = {
+      if (payload.length < 4 ||
+        (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return None
+      val out = Vector.newBuilder[(Int, Int)]
+      var start = 0
+      var i = 0
+      var n = 0
+      while (i + 1 < payload.length) {
+        if ((payload(i) & 0xff) == 0xff && (payload(i + 1) & 0xff) == 0xd9) {
+          out += ((start, i + 2 - start)); n += 1
+          start = i + 2
+          i += 2
+        } else i += 1
+      }
+      if (n == 0) None else Some(out.result())
+    }
+  }
+
   /** Video frame sampling: row-expanding per-partition transform — one
     * output row per sampled timestamp (0, everyMs, 2·everyMs, … <
     * durationMs). The expansion happens inside the iterator (no
     * driver-side explode), so a long video becomes many rows WITHOUT
     * materializing all frames of a partition at once — the shape that
-    * holds when a partition carries hours of footage. */
+    * holds when a partition carries hours of footage.
+    *
+    * Payloads that parse as MJPEG get REAL frame extraction: the sampled
+    * timestamp maps to frame index ⌊ts·nFrames/durationMs⌋ (uniform frame
+    * spacing — MJPEG carries no per-frame timestamps) and the digest is
+    * md5 of that frame's actual JPEG bytes, so identical footage produces
+    * identical digests regardless of which asset carries it. Other
+    * payloads keep the deterministic fake digest. */
   def sampleFrames(assets: Dataset[MediaAsset], everyMs: Long): Dataset[FrameSample] = {
     import assets.sparkSession.implicits._
     require(everyMs > 0, "sampling cadence must be positive")
@@ -280,9 +314,19 @@ object Multimodal {
       val md5 = java.security.MessageDigest.getInstance("MD5")
       batch.filter(_.meta.modality == "video").flatMap { a =>
         val n = ((a.meta.durationMs + everyMs - 1) / everyMs).toInt
+        val mjpeg = MjpegCodec.frames(a.payload)
         (0 until n).iterator.map { i =>
           val ts = i * everyMs
-          FrameSample(a.asset_id, i, ts, FakeCodec.frameDigest(md5, a.payload, ts))
+          val digest = mjpeg match {
+            case Some(fr) =>
+              val idx = math.min(fr.length - 1,
+                (ts * fr.length / math.max(a.meta.durationMs, 1L)).toInt)
+              val (off, len) = fr(idx)
+              md5.reset(); md5.update(a.payload, off, len)
+              md5.digest().map("%02x".format(_)).mkString
+            case None => FakeCodec.frameDigest(md5, a.payload, ts)
+          }
+          FrameSample(a.asset_id, i, ts, digest)
         }
       }
     }

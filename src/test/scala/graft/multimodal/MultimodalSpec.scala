@@ -118,6 +118,54 @@ class MultimodalSpec extends SparkSpec {
     assert(f.toSeq == Multimodal.FakeCodec.decodeFeatures(raw).toSeq)
   }
 
+  // a real MJPEG stream: n solid-color JPEG frames concatenated
+  private def jpegBytes(rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+  private def mjpegBytes(frames: Array[Byte]*): Array[Byte] =
+    frames.reduce(_ ++ _)
+
+  test("video modality REALLY parses MJPEG: marker-split frames, per-frame digests") {
+    val f0 = jpegBytes(0xff0000); val f1 = jpegBytes(0x00ff00); val f2 = jpegBytes(0x0000ff)
+    def md5of(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+    // marker scan recovers the exact frame boundaries
+    val stream = mjpegBytes(f0, f1, f2)
+    val spans = Multimodal.MjpegCodec.frames(stream).get
+    assert(spans.length == 3)
+    assert(spans(0) == ((0, f0.length)) &&
+      spans(1) == ((f0.length, f1.length)) &&
+      spans(2) == ((f0.length + f1.length, f2.length)))
+    // each recovered frame is itself a decodable JPEG
+    spans.foreach { case (off, len) =>
+      assert(Multimodal.ImageCodec.tryDecode(
+        java.util.Arrays.copyOfRange(stream, off, off + len)).isDefined)
+    }
+    // sampled digests are the md5 of the REAL frame bytes at the mapped index
+    val video = MediaAsset(9L, MediaMeta("video", 8, 8, 0, 3000L), stream)
+    val frames = Multimodal.sampleFrames(Seq(video).toDS(), everyMs = 1000L)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_md5).toSeq == Seq(md5of(f0), md5of(f1), md5of(f2)))
+    // oversampling maps repeated timestamps onto the same real frame —
+    // and within-video repeats are NOT counted as cross-video duplicates
+    val dense = Multimodal.sampleFrames(Seq(video).toDS(), everyMs = 500L)
+      .collect().sortBy(_.frame_idx)
+    assert(dense.map(_.frame_md5).distinct.length == 3)
+    val share = Multimodal.duplicateFrameShare(Seq(video).toDS(), everyMs = 500L)
+      .collect().head
+    assert(share.getLong(2) == 0L, "a single video has no cross-video dup frames")
+    // a re-upload of the same footage is fully flagged on REAL digests
+    val reup = MediaAsset(10L, MediaMeta("video", 8, 8, 0, 3000L), stream)
+    val out = Multimodal.duplicateFrameShare(Seq(video, reup).toDS(), everyMs = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(9L) == 0L && out(10L) == 10000L)
+  }
+
   test("sampleFrames: cadence, count, determinism; non-video ignored") {
     val video = MediaAsset(7L, MediaMeta("video", 640, 480, 0, 2500L), "vvv".getBytes("UTF-8"))
     val ds = Seq(video, asset(8L, "img")).toDS()
