@@ -275,7 +275,14 @@ object Multimodal {
   object MjpegCodec {
     /** (offset, length) of each JPEG frame (SOI `FFD8` … EOI `FFD9`
       * marker scan). None unless the payload starts with SOI and contains
-      * at least one complete frame. */
+      * at least one complete frame.
+      *
+      * Caveat: entropy-coded JPEG data cannot contain `FFD9` (byte
+      * stuffing escapes every literal `FF`), but an EXIF APP1 segment may
+      * embed a complete thumbnail JPEG whose own EOI would split a frame
+      * early. MJPEG encoders emit bare frames (no EXIF), so the scan is
+      * exact for real streams; strip APP1 upstream if feeding
+      * camera-originals. */
     def frames(payload: Array[Byte]): Option[Vector[(Int, Int)]] = {
       if (payload.length < 4 ||
         (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return None

@@ -125,6 +125,13 @@ object Ann {
     bucketedTopK(queries, corpus, k, nBits, probes, tables, idCol, vecCol)(
       (v, t) => md5RhpBucket(v, nBits, t, dim))
 
+  /** Training-set bound for the coarse quantizer: Lloyd iterates over at
+    * most this many (hash-spread-sampled) vectors however large the
+    * corpus — see [[KMeans.lloydCentroids]]. 1024 covers every test SF
+    * corpus entirely (cap ≥ n ⇒ sample = corpus, bit-identical to
+    * uncapped) while bounding training cost at real scale. */
+  val TrainSampleCap = 1024
+
   /** IVF coarse-quantizer table `(cent_id, centv)` — k-means-trained when
     * `trainRounds > 0` (cent_id = cluster index), the raw lowest-id sample
     * otherwise (cent_id = vec_id). Tiny either way; callers broadcast it. */
@@ -135,7 +142,8 @@ object Ann {
       idCol: String,
       vecCol: String): DataFrame =
     if (trainRounds > 0)
-      KMeans.lloydCentroids(corpus, nCentroids, trainRounds, idCol, vecCol)
+      KMeans.lloydCentroids(corpus, nCentroids, trainRounds, idCol, vecCol,
+        sampleCap = TrainSampleCap)
         .select(col("cluster").as("cent_id"), col("cvq").as("centv"))
     else
       corpus.orderBy(col(idCol).asc).limit(nCentroids)

@@ -68,15 +68,25 @@ object KMeans {
     * DuckDB, so seed AND training replay exactly in SQL. Clusters that
     * lose every member during a round are dropped (both engines replay
     * that the same way). */
+  /** `sampleCap > 0` bounds the TRAINING set to the first `sampleCap`
+    * vectors in the same `(md5(id), id)` order the seed uses — a
+    * deterministic uniform sample, so Lloyd's per-round cost is
+    * O(sampleCap·k·dim) REGARDLESS of corpus size (the FAISS practice:
+    * quantizer statistics converge on a bounded sample; only the single
+    * list-assignment pass touches the full corpus). `sampleCap = 0`
+    * trains on everything; a cap ≥ corpus size is exactly equivalent to
+    * no cap (the sample is the whole corpus). Still SQL-replayable. */
   def lloydCentroids(
       embs: DataFrame,
       k: Int,
       rounds: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      sampleCap: Int = 0): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
-    val vq = quantized(embs, idCol, vecCol)
+    val all = quantized(embs, idCol, vecCol)
     val seedKey = md5(col("id").cast("string").cast("binary"))
+    val vq = if (sampleCap > 0) all.orderBy(seedKey, col("id")).limit(sampleCap) else all
     // k rows by construction: the bounded-input window is safe (pmod key —
     // non-foldable constant, see Relational.globalIndex — keeps WindowExec
     // from planning a move-everything spec)

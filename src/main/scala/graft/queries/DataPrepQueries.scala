@@ -525,30 +525,35 @@ object DataPrepQueries {
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   /** CTE chain replaying [[graft.ops.KMeans.lloydCentroids]] over a CTE
-    * `v (vec_id, qv)`: hash-spread seed (`(md5(id), id)` order), then
-    * `rounds` Lloyd update rounds (argmin-L2 assignment with
-    * lower-cluster tiebreak, mean-floor update, empty clusters dropped),
-    * ending in `cent (cent_id, centv)` — the exact SQL twin of the
-    * TRAINED IVF coarse quantizer, shared by the q31 and q91 oracles. */
-  private[queries] def lloydCentSql(k: Int, rounds: Int): String = {
+    * `v (vec_id, qv)`: hash-spread TRAINING SAMPLE (`vt` = first `cap`
+    * rows in `(md5(id), id)` order — the bounded training set Lloyd
+    * iterates at any corpus size), hash-spread seed (first k of the
+    * sample), then `rounds` Lloyd update rounds (argmin-L2 assignment
+    * with lower-cluster tiebreak, mean-floor update, empty clusters
+    * dropped), ending in `cent (cent_id, centv)` — the exact SQL twin of
+    * the TRAINED IVF coarse quantizer, shared by the q31/q91 oracles. */
+  private[queries] def lloydCentSql(k: Int, rounds: Int,
+      cap: Int = Ann.TrainSampleCap): String = {
     val seed =
-      s"""kc0 AS (SELECT CAST(row_number() OVER
+      s"""kvt AS (SELECT vec_id, qv FROM v
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $cap),
+         |kc0 AS (SELECT CAST(row_number() OVER
          |                 (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT)
          |               AS cluster, qv AS cvq
-         |        FROM (SELECT vec_id, qv FROM v
+         |        FROM (SELECT vec_id, qv FROM kvt
          |              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k))""".stripMargin
     val steps = (1 to rounds).map { i =>
-      s"""kp$i AS (SELECT v.vec_id AS id, c.cluster, unnest(v.qv) AS a, unnest(c.cvq) AS b
-         |        FROM v, kc${i - 1} c),
+      s"""kp$i AS (SELECT t.vec_id AS id, c.cluster, unnest(t.qv) AS a, unnest(c.cvq) AS b
+         |        FROM kvt t, kc${i - 1} c),
          |kd$i AS (SELECT id, cluster, CAST(sum((a-b)*(a-b)) AS BIGINT) AS d2
          |        FROM kp$i GROUP BY id, cluster),
          |ka$i AS (SELECT id, cluster FROM (
          |          SELECT id, cluster,
          |                 row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
          |          FROM kd$i) WHERE rn = 1),
-         |ke$i AS (SELECT ka$i.cluster, unnest(generate_series(1, len(v.qv))) AS pos,
-         |               unnest(v.qv) AS x
-         |        FROM v JOIN ka$i ON v.vec_id = ka$i.id),
+         |ke$i AS (SELECT ka$i.cluster, unnest(generate_series(1, len(t.qv))) AS pos,
+         |               unnest(t.qv) AS x
+         |        FROM kvt t JOIN ka$i ON t.vec_id = ka$i.id),
          |km$i AS (SELECT cluster, pos,
          |               CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cv
          |        FROM ke$i GROUP BY cluster, pos),
