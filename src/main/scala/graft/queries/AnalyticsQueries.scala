@@ -257,11 +257,11 @@ object AnalyticsQueries {
 
   // ---------------------------------------------------------------- oracles
 
-  private val norm =
+  private[queries] val norm =
     "trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g'))"
-  private val normToks =
+  private[queries] val normToks =
     s"CASE WHEN len(trim($norm)) = 0 THEN [] ELSE regexp_split_to_array(trim($norm), '\\s+') END"
-  private val quantVec =
+  private[queries] val quantVec =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   /** One Lloyd round in DuckDB: assignment CTEs from centroids `cin`,
@@ -275,6 +275,27 @@ object AnalyticsQueries {
        |          SELECT id, cluster,
        |                 row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
        |          FROM d$i) WHERE rn = 1)""".stripMargin
+
+  /** The full q65 assignment chain (hash-spread seed, `KmeansIters`
+    * assignment rounds with one centroid update between) ending in
+    * `a2 (id, cluster)` over `q (id, vq)` — shared with the SemDeDup
+    * oracle (q95), which dedups within exactly these clusters. */
+  private[queries] def lloydAssignSql: String =
+    s"""q AS (SELECT vec_id AS id, $quantVec AS vq FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER
+       |                (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS BIGINT) AS cluster,
+       |              vq AS cvq
+       |       FROM (SELECT id, vq FROM q
+       |             ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $KmeansK)),
+       |${lloydRound(1, "c0")},
+       |e1 AS (SELECT a1.cluster,
+       |              unnest(generate_series(1, len(q.vq))) AS pos, unnest(q.vq) AS v
+       |       FROM q JOIN a1 ON q.id = a1.id),
+       |m1 AS (SELECT cluster, pos,
+       |              CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+       |       FROM e1 GROUP BY cluster, pos),
+       |c1 AS (SELECT cluster, list(cv ORDER BY pos) AS cvq FROM m1 GROUP BY cluster),
+       |${lloydRound(2, "c1")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q62_scd2_intervals" ->
@@ -332,21 +353,7 @@ object AnalyticsQueries {
          |FROM tc JOIN ct ON substr(tc.tri, strpos(tc.tri, ' ') + 1) = ct.bigram
          |ORDER BY tc.tri""".stripMargin,
     "q65_kmeans_assign" ->
-      s"""WITH q AS (SELECT vec_id AS id, $quantVec AS vq FROM embeddings),
-         |c0 AS (SELECT CAST(row_number() OVER
-         |                (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS BIGINT) AS cluster,
-         |              vq AS cvq
-         |       FROM (SELECT id, vq FROM q
-         |             ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $KmeansK)),
-         |${lloydRound(1, "c0")},
-         |e1 AS (SELECT a1.cluster,
-         |              unnest(generate_series(1, len(q.vq))) AS pos, unnest(q.vq) AS v
-         |       FROM q JOIN a1 ON q.id = a1.id),
-         |m1 AS (SELECT cluster, pos,
-         |              CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-         |       FROM e1 GROUP BY cluster, pos),
-         |c1 AS (SELECT cluster, list(cv ORDER BY pos) AS cvq FROM m1 GROUP BY cluster),
-         |${lloydRound(2, "c1")}
+      s"""WITH $lloydAssignSql
          |SELECT id AS vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
     "q66_zipf_coverage" ->
       s"""WITH tok AS (SELECT unnest($normToks) AS token FROM documents),

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.ops.{Bpe, Coreset, SemDedup}
+
+/** Round-4 training-data preparation surface: the model-facing curation
+  * operators an LLM pipeline runs after the corpus-facing passes
+  * (dedup/quality/mixture, §2.3b X1–X98) — tokenizer training (BPE merge
+  * rounds), semantic dedup in embedding space (SemDeDup), LM-familiarity
+  * scoring (the integer-exact twin of CCNet's perplexity filter), frozen
+  * linear-classifier inference (the fastText-style quality gate), and
+  * greedy k-center coreset selection. Same oracle conventions as the
+  * sibling modules: exact integer arithmetic end-to-end, md5 as the only
+  * cross-engine hash, identical aliases both sides, ORDER BY a unique key.
+  */
+object TrainPrepQueries {
+
+  val BpeRounds = 3
+  val SemK: Int = AnalyticsQueries.KmeansK // dedup within exactly q65's clusters
+  val SemIters: Int = AnalyticsQueries.KmeansIters
+  val SemMinCosX100 = 40L // the corpus near-dup bar (q22's threshold)
+  val FamX1k = 2000L // familiar ⇔ mean corpus trigram count ≥ 2
+  val ClsBuckets = 4096
+  val ClsSeed = "w4"
+  val KCenterK = 8
+
+  /** X99 — BPE tokenizer training ([[Bpe.trainMerges]]): the first
+    * `BpeRounds` merge rounds over the corpus vocabulary. The corpus is
+    * touched once (vocabulary aggregate); each round shuffles only the
+    * vocabulary-sized symbol table; round winners are 1-row broadcasts,
+    * never collected — one lazy plan. */
+  def q94_bpe_merges(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(wsTokens(normalizeText(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    Bpe.trainMerges(vocab, BpeRounds)
+      .select(col("merge_round").cast("long").as("merge_round"),
+        col("lhs"), col("rhs"), col("merged"), col("pair_n"))
+      .orderBy("merge_round")
+  }
+
+  /** X100 — SemDeDup ([[SemDedup.semDeDup]]): semantic near-duplicate
+    * verdicts bounded by q65's k-means clusters — the embedding-space
+    * dedup pass that catches paraphrase-level duplication MinHash cannot
+    * see. Keep-lowest-id rule; exact integer cosine test at the corpus
+    * near-dup bar. */
+  def q95_semdedup(spark: SparkSession, dir: String): DataFrame =
+    SemDedup.semDeDup(Tables.embeddings(spark, dir), SemK, SemIters, SemMinCosX100)
+      .orderBy("vec_id")
+
+  /** X101 — LM-familiarity scoring: per document, the mean corpus-LM
+    * trigram count of its trigrams (×1000, integer floor) — the
+    * integer-exact twin of the CCNet/KenLM perplexity filter (documents
+    * whose n-grams the corpus LM has never seen score low ⇒ candidates
+    * for the "unfamiliar tail" cut). Two partial-aggregated shuffles
+    * (corpus LM; per-doc regroup) + one equi-join on the trigram. */
+  def q96_lm_familiarity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tris = docs.select(col("doc_id"),
+      explode(ngramsAll(wsTokens(normalizeText(col("text"))), 3)).as("tri"))
+    val docTri = tris.groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+    val lm = tris.groupBy("tri").agg(count(lit(1)).as("n_tri"))
+    val scored = docTri.join(lm, "tri")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tris"), sum(col("c") * col("n_tri")).as("fam_sum"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tris"), lit(0L)).as("n_tris"),
+        coalesce(col("fam_sum"), lit(0L)).as("fam_sum"),
+        when(coalesce(col("n_tris"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("(1000 * fam_sum) div n_tris")).as("mean_x1k"))
+      .withColumn("familiar", (col("mean_x1k") >= FamX1k).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** The frozen classifier weights: bucket b ∈ [0, ClsBuckets) gets ±1 by
+    * the first-hex-nibble parity of md5("ClsSeed:b") — computed driver-
+    * side with the same MD5 the oracle calls in SQL (the q21 hyperplane
+    * convention), then shipped as a broadcast weights table. */
+  private def clsWeights(spark: SparkSession): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = (0 until ClsBuckets).map { b =>
+      val h = md.digest(s"$ClsSeed:$b".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (b.toLong, if (((h(0) >> 4) & 0x1) == 0) 1L else -1L)
+    }
+    import spark.implicits._
+    rows.toDF("bucket", "w")
+  }
+
+  /** X102 — frozen linear-classifier inference: the fastText-style
+    * hashed-bag-of-words quality gate (score = Σ w[bucket(token)], keep ⇔
+    * score ≥ 0) run as a distributed scoring pass: hash tokens to weight
+    * buckets, broadcast-join the (tiny, frozen) weights table, one
+    * partial-aggregated regroup per doc. The weights here are a
+    * deterministic md5-parity stand-in — the SHAPE (model table broadcast
+    * to every executor, inference as join + aggregate, no UDF) is the
+    * production path for any linear/hashed model. */
+  def q97_quality_classifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val buckets = docs
+      .select(col("doc_id"), explode(wsTokens(normalizeText(col("text")))).as("token"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long"),
+          lit(ClsBuckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    val scored = buckets.join(broadcast(clsWeights(spark)), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), sum(col("c") * col("w")).as("score"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("keep_doc", (col("score") >= 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** X103 — greedy k-center coreset ([[Coreset.kCenters]]): the
+    * `KCenterK` maximally spread exemplars with their coverage-radius
+    * curve — diversity selection after dedup. One corpus pass per round,
+    * 1-row broadcast winners, a single lazy plan. */
+  def q98_kcenter_coreset(spark: SparkSession, dir: String): DataFrame =
+    Coreset.kCenters(Tables.embeddings(spark, dir), KCenterK)
+      .orderBy("sel_round")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_bpe_merges" -> q94_bpe_merges,
+    "q95_semdedup" -> q95_semdedup,
+    "q96_lm_familiarity" -> q96_lm_familiarity,
+    "q97_quality_classifier" -> q97_quality_classifier,
+    "q98_kcenter_coreset" -> q98_kcenter_coreset
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  import AnalyticsQueries.{normToks, quantVec, lloydAssignSql}
+
+  /** One BPE round in DuckDB: from segmentation `sg${r-1}` to winner
+    * `ch$r` and merged segmentation `sg$r`. Greedy left-to-right merge =
+    * chosen-pair positions at even offsets within their run (window
+    * algebra, the exact twin of [[graft.ops.Bpe]]). */
+  private def bpeRoundSql(r: Int): String =
+    s"""pr$r AS (SELECT word, n, pos, tok,
+       |               lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |        FROM sg${r - 1}),
+       |ch$r AS (SELECT tok AS lhs, nxt AS rhs, CAST(sum(n) AS BIGINT) AS pair_n
+       |        FROM pr$r WHERE nxt IS NOT NULL GROUP BY tok, nxt
+       |        ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
+       |fz$r AS (SELECT p.word, p.n, p.pos, p.tok, c.lhs, c.rhs,
+       |               CASE WHEN p.tok = c.lhs AND p.nxt = c.rhs THEN 1 ELSE 0 END AS f
+       |        FROM pr$r p, ch$r c),
+       |gi$r AS (SELECT *, CASE WHEN f = 1 THEN pos - row_number() OVER
+       |                 (PARTITION BY word, f ORDER BY pos) END AS grp
+       |        FROM fz$r),
+       |ms$r AS (SELECT *, CASE WHEN f = 1 AND row_number() OVER
+       |                 (PARTITION BY word, grp ORDER BY pos) % 2 = 1
+       |                 THEN 1 ELSE 0 END AS s
+       |        FROM gi$r),
+       |sg$r AS (SELECT word, n, pos,
+       |               CASE WHEN s = 1 THEN lhs || rhs ELSE tok END AS tok
+       |        FROM (SELECT *, coalesce(lag(s) OVER
+       |                (PARTITION BY word ORDER BY pos), 0) AS prev_s FROM ms$r)
+       |        WHERE prev_s = 0)""".stripMargin
+
+  private val qdistSql =
+    "CAST(list_sum(list_transform(generate_series(1, len(%s)), i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
+
+  private def kcRoundSql(r: Int): String = {
+    val prev = if (r == 1) "m0" else s"m${r - 1}"
+    val d = qdistSql.format("m.qv", "m.qv", "c.cqv", "m.qv", "c.cqv")
+    s"""c$r AS (SELECT id AS cid, qv AS cqv, d AS cd FROM $prev
+       |        ORDER BY d DESC, id LIMIT 1),
+       |m$r AS (SELECT m.id, m.qv, least(m.d, $d) AS d FROM $prev m, c$r c)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q94_bpe_merges" -> {
+      val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n")
+      val union = (1 to BpeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, lhs || rhs AS merged, pair_n FROM ch$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+         |           FROM (SELECT unnest($normToks) AS word FROM documents)
+         |           GROUP BY word),
+         |sg0 AS (SELECT word, n, posn - 1 AS pos, word[posn] AS tok FROM (
+         |         SELECT word, n, unnest(generate_series(1, len(word))) AS posn
+         |         FROM v0)),
+         |$rounds
+         |SELECT * FROM (
+         |  $union
+         |) ORDER BY merge_round""".stripMargin
+    },
+    "q95_semdedup" -> {
+      val t2 = SemMinCosX100 * SemMinCosX100
+      s"""WITH $lloydAssignSql,
+         |vv AS (SELECT q.id, q.vq, a2.cluster,
+         |              CAST(list_sum(list_transform(generate_series(1, len(q.vq)),
+         |                   i -> q.vq[i] * q.vq[i])) AS BIGINT) AS n2
+         |       FROM q JOIN a2 ON q.id = a2.id),
+         |cp AS (SELECT x.id AS id_a, y.id AS id_b,
+         |              CAST(list_sum(list_transform(generate_series(1, len(x.vq)),
+         |                   i -> x.vq[i] * y.vq[i])) AS BIGINT) AS dot,
+         |              x.n2 AS n2_a, y.n2 AS n2_b
+         |       FROM vv x JOIN vv y ON x.cluster = y.cluster AND x.id < y.id),
+         |cl AS (SELECT id_a, id_b FROM cp
+         |       WHERE dot > 0 AND dot * dot * 10000 >= $t2 * n2_a * n2_b),
+         |dr AS (SELECT id_b AS id, CAST(count(*) AS BIGINT) AS n_close_lower,
+         |              CAST(min(id_a) AS BIGINT) AS dup_of
+         |       FROM cl GROUP BY id_b)
+         |SELECT vv.id AS vec_id, vv.cluster,
+         |       coalesce(dr.n_close_lower, 0) AS n_close_lower,
+         |       coalesce(dr.dup_of, -1) AS dup_of,
+         |       CAST(CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM vv LEFT JOIN dr ON vv.id = dr.id
+         |ORDER BY vec_id""".stripMargin
+    },
+    "q96_lm_familiarity" ->
+      s"""WITH d AS (SELECT doc_id, $normToks AS t FROM documents),
+         |tri AS (SELECT doc_id, unnest(CASE WHEN len(t) - 2 <= 0 THEN []
+         |          ELSE list_transform(generate_series(1, len(t) - 2),
+         |               i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS tri
+         |        FROM d),
+         |dt AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY doc_id, tri),
+         |lm AS (SELECT tri, count(*) AS n_tri FROM tri GROUP BY tri),
+         |sc AS (SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_tris,
+         |              CAST(sum(dt.c * lm.n_tri) AS BIGINT) AS fam_sum
+         |       FROM dt JOIN lm ON dt.tri = lm.tri GROUP BY dt.doc_id),
+         |f AS (SELECT d2.doc_id,
+         |             coalesce(sc.n_tris, 0) AS n_tris,
+         |             coalesce(sc.fam_sum, 0) AS fam_sum,
+         |             CAST(CASE WHEN coalesce(sc.n_tris, 0) = 0 THEN 0
+         |                  ELSE (1000 * sc.fam_sum) // sc.n_tris END AS BIGINT)
+         |               AS mean_x1k
+         |      FROM documents d2 LEFT JOIN sc ON d2.doc_id = sc.doc_id)
+         |SELECT doc_id, n_tris, fam_sum, mean_x1k,
+         |       CAST(CASE WHEN mean_x1k >= $FamX1k THEN 1 ELSE 0 END AS INT)
+         |         AS familiar
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q97_quality_classifier" ->
+      s"""WITH wt AS (SELECT b AS bucket,
+         |              CASE WHEN strpos('02468ace', substr(md5(concat('$ClsSeed', ':',
+         |                   CAST(b AS VARCHAR))), 1, 1)) > 0
+         |                   THEN 1 ELSE -1 END AS w
+         |            FROM (SELECT unnest(generate_series(0, ${ClsBuckets - 1})) AS b)),
+         |tk AS (SELECT doc_id, unnest($normToks) AS token FROM documents),
+         |tb AS (SELECT doc_id, bucket, count(*) AS c FROM (
+         |         SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 4)) AS BIGINT)
+         |                        % $ClsBuckets AS bucket
+         |         FROM tk) GROUP BY doc_id, bucket),
+         |sc AS (SELECT tb.doc_id, CAST(sum(tb.c) AS BIGINT) AS n_tokens,
+         |              CAST(sum(tb.c * wt.w) AS BIGINT) AS score
+         |       FROM tb JOIN wt USING (bucket) GROUP BY tb.doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+         |       coalesce(sc.score, 0) AS score,
+         |       CAST(CASE WHEN coalesce(sc.score, 0) >= 0 THEN 1 ELSE 0 END AS INT)
+         |         AS keep_doc
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q98_kcenter_coreset" -> {
+      val d0 = qdistSql.format("v.qv", "v.qv", "s.cqv", "v.qv", "s.cqv")
+      val rounds = (1 until KCenterK).map(kcRoundSql).mkString(",\n")
+      val union = (1 until KCenterK).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS sel_round, cid AS vec_id, cd AS radius_d2 FROM c$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH v AS (SELECT vec_id AS id, $quantVec AS qv FROM embeddings),
+         |s0 AS (SELECT id AS cid, qv AS cqv FROM v
+         |       ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 1),
+         |m0 AS (SELECT v.id, v.qv, $d0 AS d FROM v, s0 s),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS sel_round, cid AS vec_id,
+         |         CAST(0 AS BIGINT) AS radius_d2 FROM s0
+         |  UNION ALL $union
+         |) ORDER BY sel_round""".stripMargin
+    }
+  )
+}

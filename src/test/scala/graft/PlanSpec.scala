@@ -332,4 +332,55 @@ class PlanSpec extends SparkSpec {
     new graft.expressions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("q94 BPE training: every window is per-word; round winners broadcast, no cartesian") {
+    val plan = executed(graft.queries.TrainPrepQueries.q94_bpe_merges(spark, sfDir))
+    val nodes = collectAll(plan)
+    val unpartitioned = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"BPE merge algebra must window per word, never globally:\n$plan")
+    val cart = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(cart.isEmpty, s"round winners must join back as 1-row broadcasts:\n$plan")
+    assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"expected the 1-row chosen-pair broadcast join:\n$plan")
+  }
+
+  test("q95 SemDeDup: pair search is an equi-join on cluster, never all-pairs") {
+    val plan = executed(graft.queries.TrainPrepQueries.q95_semdedup(spark, sfDir))
+    val nodes = collectAll(plan)
+    val cart = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(cart.isEmpty, s"SemDeDup must never plan a cartesian pair step:\n$plan")
+    // the within-cluster self-join must be a hash/merge equi-join keyed on
+    // the cluster id (the quadratic stays bounded per cluster)
+    val clusterKeyed = nodes.exists {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.exists(_.toString.contains("cluster"))
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.exists(_.toString.contains("cluster"))
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.exists(_.toString.contains("cluster"))
+      case _ => false
+    }
+    assert(clusterKeyed, s"expected a cluster-keyed equi-join:\n$plan")
+  }
+
+  test("q98 k-center: winners via TakeOrdered broadcasts; no windows, no cartesian") {
+    val plan = executed(graft.queries.TrainPrepQueries.q98_kcenter_coreset(spark, sfDir))
+    val nodes = collectAll(plan)
+    assert(nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"center updates must be 1-row broadcasts:\n$plan")
+    assert(nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"greedy selection must not plan any window:\n$plan")
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"per-round argmax must be a TakeOrderedAndProject, not a global sort:\n$plan")
+  }
 }
