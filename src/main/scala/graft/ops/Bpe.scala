@@ -67,7 +67,11 @@ object Bpe {
     val wg = Window.partitionBy("word", "grp").orderBy("pos")
     seg
       .withColumn("nxt", lead("tok", 1).over(wOrd))
-      .crossJoin(broadcast(chosen))
+      // LEFT against the 1-row winner: when merges are exhausted (no
+      // adjacent pairs anywhere), the winner relation is EMPTY and a plain
+      // cross join would wipe the segmentation — left keeps it unchanged
+      // (null lhs/rhs ⇒ f = 0 everywhere)
+      .join(broadcast(chosen), lit(true), "left")
       .withColumn("f",
         (col("tok") === col("lhs") && col("nxt") === col("rhs")).cast("int"))
       .withColumn("grp",

@@ -370,6 +370,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (delta) near-dup screen: verdicts for an ARRIVING batch
+    * against the EXISTING corpus — the production shape for a continuously
+    * growing corpus, where re-running the all-corpus pair join
+    * ([[minhashLshPairs]]) per increment would redo O(corpus) work for an
+    * O(batch) question. `isNew` (a deterministic predicate over `docs`)
+    * names the batch; every new doc gets a row: the count of existing
+    * docs sharing ≥1 LSH band, the lowest such id, and a `novel` flag.
+    *
+    * Scale shape: ONE signature pass over the union (the banded table is
+    * computed once and tracked-cached for the two sides), then one
+    * (band, band_key) equijoin whose left side is batch-sized. At corpus
+    * scale the OLD side's band table is the persisted artifact you'd keep
+    * materialized between increments (the text twin of [[AnnIndex]]'s
+    * incremental `append`; [[graft.streaming.NearDupStream]] is the same
+    * screen as a continuous stateful stream). New-vs-new duplication is
+    * deliberately out of scope here — that's the intra-batch pair join. */
+  def deltaNearDupScreen(
+      docs: DataFrame,
+      isNew: org.apache.spark.sql.Column,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tagged = cacheTracked(
+      minhashBands(docs, n, bands, rowsPerBand, idCol, textCol)
+        .join(docs.select(col(idCol).as("id"), isNew.as("__new")), "id"))
+    val nb = tagged.filter(col("__new"))
+      .select(col("id").as("new_id"), col("band"), col("band_key"))
+    val ob = tagged.filter(!col("__new"))
+      .select(col("id").as("old_id"), col("band"), col("band_key"))
+    val hits = nb.join(ob, Seq("band", "band_key"))
+      .groupBy(col("new_id").as("id"))
+      .agg(countDistinct("old_id").as("n_corpus_matches"),
+        min("old_id").as("dup_of"))
+    docs.filter(isNew).select(col(idCol).as("id")).join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("n_corpus_matches").isNull.cast("int").as("novel"))
+  }
+
   /** 64-bit SimHash over whitespace tokens of the normalized text.
     * Bit j (0..63) of token t = bit (j mod 4) of the (j div 4)-th hex
     * nibble of md5(t) — the first 64 bits of the digest; the document's

@@ -125,12 +125,51 @@ object TrainPrepQueries {
     Coreset.kCenters(Tables.embeddings(spark, dir), KCenterK)
       .orderBy("sel_round")
 
+  /** The deterministic "arriving batch" split (q70's md5-bucket
+    * convention): first 2 hex digits of md5("DeltaSeed:doc_id") below
+    * `DeltaBucketMax`/256 ⇒ the doc arrives in this increment (~25%). */
+  val DeltaSeed = "dd1"
+  val DeltaBucketMax = 64L
+  private def isArriving(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat_ws(":", lit(DeltaSeed), c.cast("string"))), 1, 2),
+      16, 10).cast("long") < DeltaBucketMax
+
+  /** X104 — incremental delta-dedup ([[graft.ops.Dedup.deltaNearDupScreen]]):
+    * the arriving ~25% screened against the standing corpus by LSH band
+    * collision — O(batch) verdict work per increment instead of
+    * re-running the corpus-wide pair join. */
+  def q99_delta_dedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.deltaNearDupScreen(
+      Tables.documents(spark, dir), isArriving(col("doc_id")),
+      n = DataPrepQueries.ShingleN, bands = DataPrepQueries.MinhashBands,
+      rowsPerBand = DataPrepQueries.MinhashRows)
+      .orderBy("doc_id")
+
+  /** X105 — BPE tokenizer APPLY ([[Bpe.segmentations]]): the corpus
+    * symbol vocabulary after the trained merges — per symbol, corpus
+    * occurrences (weighted by word count) and the distinct words using
+    * it. The artifact a tokenizer release ships next to the merge table
+    * (q94); symbol count shrinking against raw characters is the
+    * compression the merges bought. */
+  def q100_bpe_tokenize(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(wsTokens(normalizeText(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    Bpe.segmentations(vocab, BpeRounds)
+      .select(col("n"), col("word"), explode(col("seg")).as("symbol"))
+      .groupBy("symbol")
+      .agg(sum("n").as("n_occurrences"), countDistinct("word").as("n_words"))
+      .orderBy("symbol")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_bpe_merges" -> q94_bpe_merges,
     "q95_semdedup" -> q95_semdedup,
     "q96_lm_familiarity" -> q96_lm_familiarity,
     "q97_quality_classifier" -> q97_quality_classifier,
-    "q98_kcenter_coreset" -> q98_kcenter_coreset
+    "q98_kcenter_coreset" -> q98_kcenter_coreset,
+    "q99_delta_dedup" -> q99_delta_dedup,
+    "q100_bpe_tokenize" -> q100_bpe_tokenize
   )
 
   // ---------------------------------------------------------------- oracles
@@ -150,7 +189,7 @@ object TrainPrepQueries {
        |        ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
        |fz$r AS (SELECT p.word, p.n, p.pos, p.tok, c.lhs, c.rhs,
        |               CASE WHEN p.tok = c.lhs AND p.nxt = c.rhs THEN 1 ELSE 0 END AS f
-       |        FROM pr$r p, ch$r c),
+       |        FROM pr$r p LEFT JOIN ch$r c ON true),
        |gi$r AS (SELECT *, CASE WHEN f = 1 THEN pos - row_number() OVER
        |                 (PARTITION BY word, f ORDER BY pos) END AS grp
        |        FROM fz$r),
@@ -175,23 +214,60 @@ object TrainPrepQueries {
        |m$r AS (SELECT m.id, m.qv, least(m.d, $d) AS d FROM $prev m, c$r c)""".stripMargin
   }
 
+  /** Shared BPE replay: vocabulary → char segmentation → `BpeRounds`
+    * merge rounds (winners `ch1..chR`, segmentations `sg1..sgR`). */
+  private def bpeChainSql: String = {
+    val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n")
+    s"""v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+       |           FROM (SELECT unnest($normToks) AS word FROM documents)
+       |           GROUP BY word),
+       |sg0 AS (SELECT word, n, posn - 1 AS pos, word[posn] AS tok FROM (
+       |         SELECT word, n, unnest(generate_series(1, len(word))) AS posn
+       |         FROM v0)),
+       |$rounds""".stripMargin
+  }
+
+  private val arrivingSql =
+    s"CAST(concat('0x', substr(md5(concat('$DeltaSeed', ':', CAST(%s AS VARCHAR))), 1, 2)) AS BIGINT) < $DeltaBucketMax"
+
   val oracles: Map[String, String] = Map(
     "q94_bpe_merges" -> {
-      val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n")
       val union = (1 to BpeRounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, lhs || rhs AS merged, pair_n FROM ch$r")
         .mkString("\n  UNION ALL ")
-      s"""WITH v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n
-         |           FROM (SELECT unnest($normToks) AS word FROM documents)
-         |           GROUP BY word),
-         |sg0 AS (SELECT word, n, posn - 1 AS pos, word[posn] AS tok FROM (
-         |         SELECT word, n, unnest(generate_series(1, len(word))) AS posn
-         |         FROM v0)),
-         |$rounds
+      s"""WITH $bpeChainSql
          |SELECT * FROM (
          |  $union
          |) ORDER BY merge_round""".stripMargin
     },
+    "q100_bpe_tokenize" ->
+      s"""WITH $bpeChainSql
+         |SELECT tok AS symbol, CAST(sum(n) AS BIGINT) AS n_occurrences,
+         |       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+         |FROM sg$BpeRounds GROUP BY tok ORDER BY symbol""".stripMargin,
+    "q99_delta_dedup" ->
+      s"""WITH ${DataPrepQueries.shingleCte},
+         |mh AS (
+         |  SELECT id,
+         |         ${DataPrepQueries.minhashCols}
+         |  FROM sh GROUP BY id),
+         |banded AS (
+         |  ${DataPrepQueries.bandRows}),
+         |nb AS (SELECT id AS new_id, band, band_key FROM banded
+         |       WHERE ${arrivingSql.format("id")}),
+         |ob AS (SELECT id AS old_id, band, band_key FROM banded
+         |       WHERE NOT (${arrivingSql.format("id")})),
+         |ht AS (SELECT new_id AS id,
+         |              CAST(count(DISTINCT old_id) AS BIGINT) AS n_corpus_matches,
+         |              CAST(min(old_id) AS BIGINT) AS dup_of
+         |       FROM nb JOIN ob ON nb.band = ob.band AND nb.band_key = ob.band_key
+         |       GROUP BY new_id)
+         |SELECT d.doc_id, coalesce(ht.n_corpus_matches, 0) AS n_corpus_matches,
+         |       coalesce(ht.dup_of, -1) AS dup_of,
+         |       CAST(CASE WHEN ht.id IS NULL THEN 1 ELSE 0 END AS INT) AS novel
+         |FROM documents d LEFT JOIN ht ON d.doc_id = ht.id
+         |WHERE ${arrivingSql.format("d.doc_id")}
+         |ORDER BY d.doc_id""".stripMargin,
     "q95_semdedup" -> {
       val t2 = SemMinCosX100 * SemMinCosX100
       s"""WITH $lloydAssignSql,

@@ -38,6 +38,36 @@ class TrainPrepSpec extends SparkSpec {
     assert(segs("aaa") == Seq("aa", "a")) // odd tail stays single
   }
 
+  test("BPE: exhausted merges leave segmentations unchanged (no empty-winner wipe)") {
+    // one 2-char word: round 1 merges it fully; rounds 2-3 find no pairs
+    val vocab = Seq(("ab", 1L)).toDF("word", "n")
+    val merges = Bpe.trainMerges(vocab, rounds = 3).collect()
+    assert(merges.toSeq == Seq(Row(1, "a", "b", "ab", 1L)))
+    val segs = Bpe.segmentations(vocab, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(segs("ab") == Seq("ab"))
+  }
+
+  // ----------------------------------------------------------- delta dedup
+
+  test("delta screen: arriving near-dups flag against the standing corpus") {
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (0L, base), (1L, "a completely different standing document full of words"),
+      (2L, "yet another unrelated corpus document with its own content"),
+      (100L, base), // arriving exact copy of doc 0 -> matches corpus
+      (101L, "fresh novel arriving text sharing nothing with anything else")
+    ).toDF("doc_id", "text")
+    val out = Dedup.deltaNearDupScreen(docs, col("doc_id") >= 100L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(100L, 101L)) // verdicts ONLY for the batch
+    assert(out(100L).getAs[Int]("novel") == 0)
+    assert(out(100L).getAs[Long]("dup_of") == 0L)
+    assert(out(101L).getAs[Int]("novel") == 1)
+    assert(out(101L).getAs[Long]("dup_of") == -1L)
+  }
+
   // ------------------------------------------------------------- SemDeDup
 
   // unit-scale directions: the integer cosine test's BIGINT headroom is
