@@ -20,10 +20,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.defs ++ DataPrepQueries.defs ++ RelationalQueries.defs ++
       PipelineQueries.defs ++ AnalyticsQueries.defs ++ CurationQueries.defs ++
-      OlapQueries.defs ++ TrainPrepQueries.defs
+      OlapQueries.defs ++ TrainPrepQueries.defs ++ CorpusQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
       PipelineQueries.oracles ++ AnalyticsQueries.oracles ++ CurationQueries.oracles ++
-      OlapQueries.oracles ++ TrainPrepQueries.oracles
+      OlapQueries.oracles ++ TrainPrepQueries.oracles ++ CorpusQueries.oracles
 }

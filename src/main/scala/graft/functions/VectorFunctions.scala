@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
+  /** Deterministic ±1 sign matrix from md5 parity: entry (j, i) is +1 iff
+    * the first hex nibble of md5("seed:j:i") is even — the q21 hyperplane
+    * convention, reproducible in ANSI SQL as
+    * `strpos('02468ace', substr(md5(concat(seed, ':', j, ':', i)), 1, 1)) > 0`,
+    * so operators built on it (LSH hyperplanes, random projections) stay
+    * oracle-exact. Computed driver-side once and shipped as literals. */
+  def md5SignMatrix(seed: String, rows: Int, cols: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until rows).map(j => (0 until cols).map { i =>
+      val h = md.digest(s"$seed:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((h(0) >> 4) & 0x1) == 0) 1L else -1L
+    })
+  }
+
   /** `array<float>` → `array<bigint>`, elementwise floor(x*1000). Floats
     * widen to double exactly, so this is deterministic across engines. */
   def quantize(v: Column, scale: Int = 1000): Column =

@@ -412,6 +412,51 @@ object Dedup {
         col("n_corpus_matches").isNull.cast("int").as("novel"))
   }
 
+  /** Exact-substring duplicate spans (the n-gram twin of Lee et al. 2022's
+    * suffix-array ExactSubstr dedup, `deduplicate-text-datasets`): per
+    * document, how much of it is covered by token `n`-grams that also
+    * appear in ANOTHER document — the "how much of this doc is copied
+    * prose" measure that drives span-level (not doc-level) dedup cuts.
+    *
+    * Shape: one n-gram pass with start positions, a partial-aggregated
+    * group-by-gram to find cross-document grams, an equi-join back, and a
+    * bounded ×n position explode ONLY for matched grams. The suffix-array
+    * original finds arbitrary-length repeats in O(corpus); fixed-n grams
+    * are the declarative approximation (a repeat of length L ≥ n is
+    * covered by its L−n+1 constituent n-grams, so coverage is exact for
+    * every repeat ≥ n tokens — shorter repeats are deliberately ignored).
+    *
+    * Returns per doc: `n_tokens`, `n_dup_grams` (gram starts shared with
+    * another doc), `dup_tokens` (distinct token positions covered), and
+    * `dup_frac_x1k` = 1000·dup_tokens div n_tokens. */
+  def dupSpanStats(
+      docs: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      wsTokens(normalizeText(col(textCol))).as("t"))
+    val grams = base.select(col("id"),
+      posexplode(ngramsAll(col("t"), n)).as(Seq("s", "gram")))
+    val crossDoc = grams.groupBy("gram")
+      .agg(countDistinct("id").as("nd")).filter(col("nd") >= 2)
+      .select("gram")
+    val hits = grams.join(crossDoc, "gram")
+    val perDoc = hits
+      .select(col("id"), col("s"),
+        explode(sequence(col("s"), col("s") + lit(n - 1))).as("p"))
+      .groupBy("id")
+      .agg(countDistinct("s").as("n_dup_grams"),
+        countDistinct("p").as("dup_tokens"))
+    base.select(col("id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_frac_x1k",
+        expr("CASE WHEN n_tokens = 0 THEN 0L ELSE (1000 * dup_tokens) div n_tokens END"))
+  }
+
   /** 64-bit SimHash over whitespace tokens of the normalized text.
     * Bit j (0..63) of token t = bit (j mod 4) of the (j div 4)-th hex
     * nibble of md5(t) — the first 64 bits of the digest; the document's

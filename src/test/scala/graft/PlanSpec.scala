@@ -383,4 +383,50 @@ class PlanSpec extends SparkSpec {
     assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
       s"per-round argmax must be a TakeOrderedAndProject, not a global sort:\n$plan")
   }
+
+  test("q101 DSIR: the bucket-ratio table broadcasts; the corpus never sort-merges") {
+    val plan = executed(graft.queries.CorpusQueries.q101_dsir_weights(spark, sfDir))
+    val nodes = collectAll(plan)
+    assert(nodes.exists {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.exists(_.toString.contains("bucket")) ||
+          j.rightKeys.exists(_.toString.contains("bucket"))
+      case _ => false
+    }, s"expected the (≤4096-row) ratio table to broadcast-join on bucket:\n$plan")
+    assert(nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.leftKeys.exists(_.toString.contains("bucket")) => j
+    }.isEmpty, s"the bucket join must never sort-merge the token pass:\n$plan")
+  }
+
+  test("q102 scrub: a pure map-side pass — no hash shuffle anywhere") {
+    val nodes = collectAll(executed(
+      graft.queries.CorpusQueries.q102_pii_scrub(spark, sfDir)))
+    val hashShuffles = nodes.collect {
+      case s: ShuffleExchangeExec
+        if s.outputPartitioning.toString.contains("hashpartitioning") => s
+    }
+    assert(hashShuffles.isEmpty,
+      s"scrub must not shuffle (only the output sort may range-partition): $hashShuffles")
+  }
+
+  test("q103 dup spans: cross-doc grams via hash equi-join, never a nested loop") {
+    val plan = executed(graft.queries.CorpusQueries.q103_dup_spans(spark, sfDir))
+    val nodes = collectAll(plan)
+    assert(nodes.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"gram matching must stay an equi-join:\n$plan")
+  }
+
+  test("q104 random projection: shuffle-free (the sign matrix is a literal)") {
+    val nodes = collectAll(executed(
+      graft.queries.CorpusQueries.q104_random_projection(spark, sfDir)))
+    val hashShuffles = nodes.collect {
+      case s: ShuffleExchangeExec
+        if s.outputPartitioning.toString.contains("hashpartitioning") => s
+    }
+    assert(hashShuffles.isEmpty,
+      s"projection must not shuffle (explode of a literal is narrow): $hashShuffles")
+  }
 }
