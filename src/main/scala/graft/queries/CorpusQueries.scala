@@ -115,11 +115,39 @@ object CorpusQueries {
       .orderBy("vec_id", "rp_dim")
   }
 
+  /** Token budget the temperature-scaled mixture allocates (q107). */
+  val MixBudget = 1000000L
+
+  /** X112 — temperature-scaled source mixture: per-source sampling
+    * allocation ∝ n_tokens^α with α = 1/2 (UNIMAX-style temperature
+    * sampling — upweights small sources against raw-proportional mixing
+    * without the uniform extreme; `floor(sqrt)` is IEEE-correctly-rounded,
+    * so the integer weight is engine-exact). Emits the per-source token
+    * allocation under `MixBudget` and the implied epoch count ×1000 —
+    * epochs > 1 flags sources the schedule would repeat. One corpus token
+    * pass, a ≤|sources|-row aggregate, a 1-row broadcast total. */
+  def q107_temperature_mixture(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(wsTokens(normalizeText(col("text")))).cast("long").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens"))).cast("long"))
+    val tot = src.agg(sum("w").as("w_total"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w"),
+        expr(s"($MixBudget * w) div w_total").as("alloc_tokens"))
+      .withColumn("epochs_x1k", expr(
+        "CASE WHEN n_tokens = 0 THEN 0L ELSE (1000 * alloc_tokens) div n_tokens END"))
+      .orderBy("source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_dsir_weights" -> q101_dsir_weights,
     "q102_pii_scrub" -> q102_pii_scrub,
     "q103_dup_spans" -> q103_dup_spans,
-    "q104_random_projection" -> q104_random_projection
+    "q104_random_projection" -> q104_random_projection,
+    "q107_temperature_mixture" -> q107_temperature_mixture
   )
 
   // ---------------------------------------------------------------- oracles
@@ -191,6 +219,18 @@ object CorpusQueries {
          |            END AS BIGINT) AS dup_frac_x1k
          |FROM nt LEFT JOIN cv USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q107_temperature_mixture" ->
+      s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(len($normToks)) AS BIGINT) AS n_tokens
+         |           FROM documents GROUP BY source),
+         |w AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w FROM s),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w)
+         |SELECT source, n_docs, n_tokens, w,
+         |       CAST(($MixBudget * w) // w_total AS BIGINT) AS alloc_tokens,
+         |       CAST(CASE WHEN n_tokens = 0 THEN 0
+         |            ELSE (1000 * (($MixBudget * w) // w_total)) // n_tokens
+         |            END AS BIGINT) AS epochs_x1k
+         |FROM w, t ORDER BY source""".stripMargin,
     "q104_random_projection" ->
       s"""WITH q AS (SELECT vec_id, $quantVec AS vq FROM embeddings),
          |sm AS (SELECT j, list_transform(generate_series(0, ${EmbDim - 1}), i ->

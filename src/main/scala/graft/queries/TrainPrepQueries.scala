@@ -162,6 +162,77 @@ object TrainPrepQueries {
       .orderBy("symbol")
   }
 
+  /** X110 — tokenizer fertility per language ([[Bpe.segmentations]]):
+    * symbols-per-word (×1000, token-weighted) after the trained merges,
+    * split by language — THE tokenizer-equity metric (a vocabulary
+    * trained on a skewed mixture over-segments the minority languages;
+    * this measures exactly that). One corpus word pass + the
+    * vocabulary-sized segmentation join. */
+  def q105_bpe_fertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select(col("lang"),
+      explode(wsTokens(normalizeText(col("text")))).as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("n"))
+    val segLen = Bpe.segmentations(vocab, BpeRounds)
+      .select(col("word"), size(col("seg")).cast("long").as("n_sym"))
+    words.groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .join(segLen, "word")
+      .groupBy("lang")
+      .agg(sum("cnt").as("n_words"), sum(col("cnt") * col("n_sym")).as("n_symbols"))
+      .withColumn("fertility_x1k", expr("(1000 * n_symbols) div n_words"))
+      .orderBy("lang")
+  }
+
+  /** Span-corruption plan: md5("ScSeed:doc:pos") first-2-hex-digit
+    * threshold decides span STARTS (~15%), hex digit 3 mod 3 the span
+    * length (1–3 tokens) — the q70 deterministic-uniform convention. */
+  val ScSeed = "sc4"
+  val ScStartMax = 38L // P(start) = 38/256 ≈ 0.148
+
+  /** X111 — span-corruption mask planning: the T5/UL2 denoising-objective
+    * pre-pass — per document, deterministic corruption spans (masked-token
+    * islands after overlapping spans merge) and the realized mask rate.
+    * Sampling is md5-derived per (doc, position), so the plan is
+    * reproducible across runs/engines — the property a training pipeline
+    * needs to regenerate identical targets on restart. One token pass,
+    * one bounded ×3 explode for covered positions, one per-doc window. */
+  def q106_span_corruption(spark: SparkSession, dir: String): DataFrame =
+    spanMaskPlan(Tables.documents(spark, dir))
+
+  /** Core of q106 over any (doc_id, text) frame — split out so specs can
+    * brute-force tiny corpora against an independent JVM reimplementation. */
+  def spanMaskPlan(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = docs
+      .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("nt"),
+        posexplode(col("t")).as(Seq("pos", "tok")))
+    val h = md5(concat_ws(":", lit(ScSeed), col("doc_id").cast("string"),
+      col("pos").cast("string")))
+    val st = ps.withColumn("h", h)
+      .where(conv(substring(col("h"), 1, 2), 16, 10).cast("long") < ScStartMax)
+      .select(col("doc_id"), col("nt"), col("pos").cast("long").as("pos"),
+        (lit(1L) + pmod(conv(substring(col("h"), 3, 1), 16, 10).cast("long"),
+          lit(3L))).as("sl"))
+    val cv = st.select(col("doc_id"),
+        explode(sequence(col("pos"),
+          least(col("pos") + col("sl") - 1, col("nt") - 1))).as("p"))
+      .distinct()
+    val il = cv.withColumn("grp",
+      col("p") - row_number().over(Window.partitionBy("doc_id").orderBy("p")))
+    val ag = il.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_masked"), countDistinct("grp").as("n_spans"))
+    docs.select(col("doc_id"),
+        size(wsTokens(normalizeText(col("text")))).cast("long").as("n_tokens"))
+      .join(ag, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+      .withColumn("mask_x1k", expr(
+        "CASE WHEN n_tokens = 0 THEN 0L ELSE (1000 * n_masked) div n_tokens END"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_bpe_merges" -> q94_bpe_merges,
     "q95_semdedup" -> q95_semdedup,
@@ -169,7 +240,9 @@ object TrainPrepQueries {
     "q97_quality_classifier" -> q97_quality_classifier,
     "q98_kcenter_coreset" -> q98_kcenter_coreset,
     "q99_delta_dedup" -> q99_delta_dedup,
-    "q100_bpe_tokenize" -> q100_bpe_tokenize
+    "q100_bpe_tokenize" -> q100_bpe_tokenize,
+    "q105_bpe_fertility" -> q105_bpe_fertility,
+    "q106_span_corruption" -> q106_span_corruption
   )
 
   // ---------------------------------------------------------------- oracles
@@ -245,6 +318,52 @@ object TrainPrepQueries {
          |SELECT tok AS symbol, CAST(sum(n) AS BIGINT) AS n_occurrences,
          |       CAST(count(DISTINCT word) AS BIGINT) AS n_words
          |FROM sg$BpeRounds GROUP BY tok ORDER BY symbol""".stripMargin,
+    "q105_bpe_fertility" ->
+      s"""WITH $bpeChainSql,
+         |ns AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym
+         |       FROM sg$BpeRounds GROUP BY word),
+         |lw AS (SELECT lang, word, count(*) AS cnt
+         |       FROM (SELECT lang, unnest($normToks) AS word FROM documents)
+         |       GROUP BY lang, word)
+         |SELECT lang, CAST(sum(lw.cnt) AS BIGINT) AS n_words,
+         |       CAST(sum(lw.cnt * ns.n_sym) AS BIGINT) AS n_symbols,
+         |       CAST((1000 * sum(lw.cnt * ns.n_sym)) // sum(lw.cnt) AS BIGINT)
+         |         AS fertility_x1k
+         |FROM lw JOIN ns USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q106_span_corruption" ->
+      s"""WITH d AS (SELECT doc_id, $normToks AS t FROM documents),
+         |ps AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
+         |              unnest(CASE WHEN len(t) = 0 THEN []
+         |                     ELSE generate_series(0, len(t) - 1) END) AS pos
+         |       FROM d),
+         |hx AS (SELECT doc_id, nt, pos,
+         |              md5(concat('$ScSeed', ':', CAST(doc_id AS VARCHAR), ':',
+         |                  CAST(pos AS VARCHAR))) AS h
+         |       FROM ps),
+         |st AS (SELECT doc_id, nt, pos,
+         |              1 + CAST(concat('0x', substr(h, 3, 1)) AS BIGINT) % 3 AS sl
+         |       FROM hx
+         |       WHERE CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) < $ScStartMax),
+         |cv AS (SELECT DISTINCT doc_id, p FROM (
+         |         SELECT doc_id,
+         |                unnest(generate_series(pos, least(pos + sl - 1, nt - 1))) AS p
+         |         FROM st)),
+         |il AS (SELECT doc_id, p,
+         |              p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |       FROM cv),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked,
+         |              CAST(count(DISTINCT grp) AS BIGINT) AS n_spans
+         |       FROM il GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM d)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |       coalesce(ag.n_spans, 0) AS n_spans,
+         |       coalesce(ag.n_masked, 0) AS n_masked,
+         |       CAST(CASE WHEN nt.n_tokens = 0 THEN 0
+         |            ELSE (1000 * coalesce(ag.n_masked, 0)) // nt.n_tokens
+         |            END AS BIGINT) AS mask_x1k
+         |FROM nt LEFT JOIN ag USING (doc_id)
+         |ORDER BY nt.doc_id""".stripMargin,
     "q99_delta_dedup" ->
       s"""WITH ${DataPrepQueries.shingleCte},
          |mh AS (

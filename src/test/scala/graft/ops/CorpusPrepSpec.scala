@@ -40,6 +40,27 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out.getAs[Long]("n_ipv4") == 2L)
   }
 
+  test("scrub: stateless pass runs unchanged under Structured Streaming") {
+    // no shuffle, no state — the SAME operator body serves the continuous
+    // redaction stage of an ingest stream (append mode, no watermark needed)
+    implicit val ctx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Scrub.scrub(ms.toDF().toDF("doc_id", "text"),
+        Seq(Scrub.Email, Scrub.Ipv4))
+      .writeStream.format("memory").queryName("scrub_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq((1L, "mail a@b.io now"), (2L, "plain")))
+      q.processAllAvailable()
+      ms.addData(Seq((3L, "ping 10.0.0.7")))
+      q.processAllAvailable()
+      val out = spark.table("scrub_stream")
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+      assert(out == Map(1L -> "mail <EMAIL> now", 2L -> "plain",
+        3L -> "ping <IP>"))
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------ dup spans
 
   test("dup spans: a shared 8+-token span is covered; unique docs score 0") {
@@ -100,5 +121,29 @@ class CorpusPrepSpec extends SparkSpec {
     val expected = signs.map(row =>
       row.zip(Seq(1000L, 2000L, -3000L)).map { case (s, x) => s * x }.sum)
     assert((0 until 4).forall(j => out(j) == expected(j)))
+  }
+
+  test("temperature mixture: sqrt-weighted allocation, hand-computed") {
+    import org.apache.spark.sql.functions._
+    // token counts per source: a=100 (w=10), b=400 (w=20), c=2500 (w=50)
+    // w_total=80 -> allocs 125000 / 250000 / 625000 of the 1M budget
+    def doc(n: Int) = (0 until n).map(i => s"t$i").mkString(" ")
+    val rows =
+      (0 until 2).map(i => (i.toLong, doc(50), "en", "a", 1L)) ++
+      (0 until 4).map(i => (10L + i, doc(100), "en", "b", 1L)) ++
+      (0 until 5).map(i => (20L + i, doc(500), "en", "c", 1L))
+    val dir = java.nio.file.Files.createTempDirectory("tmix").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.CorpusQueries.q107_temperature_mixture(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n_tokens") == 100L)
+    assert(out("a").getAs[Long]("w") == 10L)
+    assert(out("a").getAs[Long]("alloc_tokens") == 125000L)
+    assert(out("b").getAs[Long]("alloc_tokens") == 250000L)
+    assert(out("c").getAs[Long]("alloc_tokens") == 625000L)
+    // temperature flattening: a's alloc share (12.5%) > its raw share (3.3%)
+    assert(out("a").getAs[Long]("epochs_x1k") == 1250000L)
+    assert(out.values.map(_.getAs[Long]("alloc_tokens")).sum <= 1000000L)
   }
 }

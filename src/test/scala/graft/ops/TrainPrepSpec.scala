@@ -185,4 +185,43 @@ class TrainPrepSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("n_tris") == 0L)
     assert(out(2L).getAs[Long]("mean_x1k") == 0L)
   }
+
+  // ------------------------------------------------------ span corruption
+
+  test("span corruption: Spark plan matches an independent JVM brute force") {
+    import graft.queries.TrainPrepQueries.{ScSeed, ScStartMax, spanMaskPlan}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // pre-normalized texts (lowercase, single-spaced) so tokens = split
+    val texts = (0L until 24L).map { id =>
+      id -> (0 until (5 + (id % 7).toInt * 6)).map(i => s"w${(i * 7 + id) % 13}")
+        .mkString(" ")
+    }
+    val df = texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = spanMaskPlan(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    texts.foreach { case (id, t) =>
+      val nt = t.split(" ").length
+      val covered = scala.collection.mutable.SortedSet[Int]()
+      var spans = 0
+      (0 until nt).foreach { pos =>
+        val h = md5hex(s"$ScSeed:$id:$pos")
+        if (java.lang.Long.parseLong(h.substring(0, 2), 16) < ScStartMax) {
+          val sl = 1 + (java.lang.Long.parseLong(h.substring(2, 3), 16) % 3).toInt
+          covered ++= (pos until math.min(pos + sl, nt))
+        }
+      }
+      spans = covered.count(p => !covered.contains(p - 1))
+      val r = got(id)
+      assert(r.getAs[Long]("n_tokens") == nt.toLong, s"doc $id n_tokens")
+      assert(r.getAs[Long]("n_masked") == covered.size.toLong, s"doc $id masked")
+      assert(r.getAs[Long]("n_spans") == spans.toLong, s"doc $id spans")
+      assert(r.getAs[Long]("mask_x1k") ==
+        (if (nt == 0) 0L else 1000L * covered.size / nt), s"doc $id ratio")
+    }
+    // the plan actually masks something and merges at least one overlap
+    assert(got.values.map(_.getAs[Long]("n_masked")).sum > 0)
+  }
 }
