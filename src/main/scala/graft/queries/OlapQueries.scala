@@ -356,6 +356,38 @@ object OlapQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** X113 — kNN label propagation: one majority-vote round of the
+    * embeddings' own `label` over the q91 kNN graph (ties → smallest
+    * label) — the graph-based mislabel/outlier detector: a vector whose
+    * neighbors outvote its own label is a labeling error or a boundary
+    * point. Work = the q91 IVF graph + one equijoin on neighbor id + a
+    * per-node vote window; nothing is all-pairs. */
+  def q108_label_propagation(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(Tables.embeddings(spark, dir), nCentroids = 16, nProbe = 4)
+
+  /** Core of q108 over any (vec_id, embedding, label) frame — split out so
+    * specs can plant a mislabel inside a tight cluster and see it flagged. */
+  def labelPropagation(emb: DataFrame, nCentroids: Int, nProbe: Int): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val knn = graft.ops.Ann.ivfTopK(emb, emb, k = KnnK, nCentroids = nCentroids,
+        nProbe = nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val votes = knn
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+    val mj = votes.withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("label").asc)))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("label").as("prop_label"),
+        col("votes").as("n_votes"))
+    labels.join(mj, col("vec_id") === col("query_id"))
+      .select(col("vec_id"), col("label").as("own_label"),
+        col("prop_label"), col("n_votes"))
+      .withColumn("agree", (col("own_label") === col("prop_label")).cast("int"))
+      .orderBy("vec_id")
+  }
+
   /** X97 — corpus datasheet: the per-(source, lang) "datasheet for
     * datasets" report a corpus release ships — doc/token volumes, quality
     * pass rate, and exact-duplicate rate, every ratio integer-quantized.
@@ -414,6 +446,7 @@ object OlapQueries {
     "q93_token_budget" -> q93_token_budget,
     "q92_corpus_datasheet" -> q92_corpus_datasheet,
     "q91_knn_graph" -> q91_knn_graph,
+    "q108_label_propagation" -> q108_label_propagation,
     "q87_winsorize" -> q87_winsorize,
     "q88_negative_ring" -> q88_negative_ring,
     "q89_data_quality" -> q89_data_quality,
@@ -429,6 +462,28 @@ object OlapQueries {
   )
 
   // ---------------------------------------------------------------- oracles
+
+  /** The q91 IVF-kNN oracle chain (quantize → 1 Lloyd round → assign →
+    * probe → bucket-join → rank), shared by q91 and q108's vote layer. */
+  private lazy val knnChainSql: String =
+    s"""v AS (SELECT vec_id, ${DataPrepQueries.quantVec} AS qv FROM embeddings),
+       |${DataPrepQueries.lloydCentSql(16, 1)},
+       |ca AS (
+       |  SELECT v.vec_id AS neighbor_id, v.qv AS cv, c.cent_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(v.qv)), i -> v.qv[i] * c.centv[i])) AS BIGINT) AS cdot
+       |  FROM v, cent c),
+       |ar AS (SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY cdot DESC, cent_id ASC) AS rn FROM ca),
+       |assigned AS (SELECT neighbor_id, cv, cent_id AS bucket FROM ar WHERE rn = 1),
+       |qr AS (SELECT neighbor_id AS query_id, cv AS qv, cent_id,
+       |              row_number() OVER (PARTITION BY neighbor_id ORDER BY cdot DESC, cent_id ASC) AS pr
+       |       FROM ca),
+       |probes AS (SELECT query_id, qv, cent_id AS bucket FROM qr WHERE pr <= 4),
+       |s AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.cv[i])) AS BIGINT) AS dot
+       |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+       |  WHERE p.query_id <> a.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q93_token_budget" ->
@@ -473,26 +528,26 @@ object OlapQueries {
          |GROUP BY f.source, f.lang
          |ORDER BY f.source, f.lang""".stripMargin,
     "q91_knn_graph" ->
-      s"""WITH v AS (SELECT vec_id, ${DataPrepQueries.quantVec} AS qv FROM embeddings),
-         |${DataPrepQueries.lloydCentSql(16, 1)},
-         |ca AS (
-         |  SELECT v.vec_id AS neighbor_id, v.qv AS cv, c.cent_id,
-         |         CAST(list_sum(list_transform(generate_series(1, len(v.qv)), i -> v.qv[i] * c.centv[i])) AS BIGINT) AS cdot
-         |  FROM v, cent c),
-         |ar AS (SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY cdot DESC, cent_id ASC) AS rn FROM ca),
-         |assigned AS (SELECT neighbor_id, cv, cent_id AS bucket FROM ar WHERE rn = 1),
-         |qr AS (SELECT neighbor_id AS query_id, cv AS qv, cent_id,
-         |              row_number() OVER (PARTITION BY neighbor_id ORDER BY cdot DESC, cent_id ASC) AS pr
-         |       FROM ca),
-         |probes AS (SELECT query_id, qv, cent_id AS bucket FROM qr WHERE pr <= 4),
-         |s AS (
-         |  SELECT p.query_id, a.neighbor_id,
-         |         CAST(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * a.cv[i])) AS BIGINT) AS dot
-         |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
-         |  WHERE p.query_id <> a.neighbor_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank FROM s)
+      s"""WITH $knnChainSql
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, dot
          |FROM r WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin,
+    "q108_label_propagation" ->
+      s"""WITH $knnChainSql,
+         |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= $KnnK),
+         |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |vt AS (SELECT k.query_id, l.label, CAST(count(*) AS BIGINT) AS votes
+         |       FROM knn k JOIN lb l ON k.neighbor_id = l.vec_id
+         |       GROUP BY k.query_id, l.label),
+         |mj AS (SELECT query_id, label AS prop_label, votes,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY votes DESC, label ASC) AS rn
+         |       FROM vt)
+         |SELECT lb.vec_id, lb.label AS own_label, mj.prop_label,
+         |       mj.votes AS n_votes,
+         |       CAST(CASE WHEN lb.label = mj.prop_label THEN 1 ELSE 0 END AS INT)
+         |         AS agree
+         |FROM lb JOIN mj ON lb.vec_id = mj.query_id AND mj.rn = 1
+         |ORDER BY lb.vec_id""".stripMargin,
     "q90_exists_orders" ->
       s"""SELECT c.c_custkey, c.c_mktsegment
          |FROM customer c

@@ -429,4 +429,45 @@ class PlanSpec extends SparkSpec {
     assert(hashShuffles.isEmpty,
       s"projection must not shuffle (explode of a literal is narrow): $hashShuffles")
   }
+
+  test("q106 span corruption: islands window partitions by doc, no cartesian") {
+    val plan = executed(graft.queries.TrainPrepQueries
+      .q106_span_corruption(spark, sfDir))
+    val nodes = collectAll(plan)
+    assert(nodes.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"mask planning must stay per-doc equi-work:\n$plan")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"the island window must partition by doc_id, never SinglePartition:\n$plan")
+  }
+
+  test("q107 temperature mixture: 1-row total broadcasts; corpus never sort-merges") {
+    val plan = executed(graft.queries.CorpusQueries
+      .q107_temperature_mixture(spark, sfDir))
+    val nodes = collectAll(plan)
+    // the only nested-loop join allowed is the 1-row broadcast total
+    val nlj = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(nlj.size <= 1, s"unexpected nested-loop joins:\n$plan")
+    assert(nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, s"nothing here is big enough to sort-merge:\n$plan")
+  }
+
+  test("q108 label propagation: votes join/window stay per-node, no cartesian") {
+    val plan = executed(graft.queries.OlapQueries
+      .q108_label_propagation(spark, sfDir))
+    val nodes = collectAll(plan)
+    assert(nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"label propagation must never go all-pairs:\n$plan")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"vote/rank windows must partition by node id:\n$plan")
+  }
 }

@@ -166,4 +166,26 @@ class AnnSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("label propagation flags a planted mislabel inside a tight cluster") {
+    // two tight clusters; id 3 sits in cluster A but carries B's label.
+    // nProbe = nCentroids so the kNN search is exhaustive regardless of
+    // how the coarse quantizer splits the space.
+    val rows =
+      (0L until 8L).map(i =>
+        (i, Seq(1.0f, 0.01f * i, 0.0f, 0.0f), if (i == 3L) 1 else 0)) ++
+      (10L until 18L).map(i =>
+        (i, Seq(0.01f * (i - 10), 1.0f, 0.0f, 0.0f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.queries.OlapQueries
+      .labelPropagation(emb, nCentroids = 2, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 16)
+    assert(out(3L).getAs[Long]("prop_label") == 0L) // neighbors outvote it
+    assert(out(3L).getAs[Int]("agree") == 0)
+    assert(out(3L).getAs[Long]("n_votes") == 5L) // unanimous 5-NN vote
+    (rows.map(_._1).toSet - 3L).foreach { id =>
+      assert(out(id).getAs[Int]("agree") == 1, s"vec $id should agree")
+    }
+  }
 }
