@@ -162,7 +162,7 @@ object CorpusQueries {
       s"regexp_replace($acc, '${r.pattern}', '${r.replacement}', 'g')"
     }
 
-  private def gramSql(n: Int): String =
+  private[queries] def gramSql(n: Int): String =
     (0 until n).map(j => if (j == 0) "t[s]" else s"t[s+$j]").mkString(", ")
 
   val oracles: Map[String, String] = Map(

@@ -233,6 +233,36 @@ object TrainPrepQueries {
       .orderBy("doc_id")
   }
 
+  /** X114 — gram novelty of the arriving batch: per arriving document,
+    * the fraction of its 8-gram occurrences whose gram appears NOWHERE in
+    * the standing corpus (×1000) — the corpus-refresh value metric ("how
+    * much genuinely new text does this crawl bring") that doc-level
+    * delta-dedup (q99) cannot see: a 95%-boilerplate doc is "novel" to
+    * LSH but worthless to training. One gram pass split by the q99
+    * arriving predicate, the standing side reduced to DISTINCT grams
+    * (partial-agg shuffle), one gram equijoin, one per-doc regroup. */
+  def q109_delta_novelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("doc_id"),
+      explode(ngramsAll(wsTokens(normalizeText(col("text"))),
+        CorpusQueries.SpanN)).as("gram"))
+    val standing = grams.where(!isArriving(col("doc_id")))
+      .select("gram").distinct().withColumn("seen", lit(1))
+    val flagged = grams.where(isArriving(col("doc_id")))
+      .join(standing, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    docs.where(isArriving(col("doc_id"))).select("doc_id")
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novel_x1k", expr(
+        "CASE WHEN n_grams = 0 THEN 0L ELSE (1000 * n_novel) div n_grams END"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_bpe_merges" -> q94_bpe_merges,
     "q95_semdedup" -> q95_semdedup,
@@ -242,7 +272,8 @@ object TrainPrepQueries {
     "q99_delta_dedup" -> q99_delta_dedup,
     "q100_bpe_tokenize" -> q100_bpe_tokenize,
     "q105_bpe_fertility" -> q105_bpe_fertility,
-    "q106_span_corruption" -> q106_span_corruption
+    "q106_span_corruption" -> q106_span_corruption,
+    "q109_delta_novelty" -> q109_delta_novelty
   )
 
   // ---------------------------------------------------------------- oracles
@@ -331,6 +362,32 @@ object TrainPrepQueries {
          |         AS fertility_x1k
          |FROM lw JOIN ns USING (word)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q109_delta_novelty" -> {
+      val n = CorpusQueries.SpanN
+      s"""WITH d AS (SELECT doc_id, $normToks AS t FROM documents),
+         |g AS (SELECT doc_id, concat_ws(' ', ${CorpusQueries.gramSql(n)}) AS gram
+         |      FROM (SELECT doc_id, t,
+         |              unnest(CASE WHEN len(t) - ${n - 1} <= 0 THEN []
+         |                     ELSE generate_series(1, len(t) - ${n - 1}) END) AS s
+         |            FROM d)),
+         |st AS (SELECT DISTINCT gram FROM g
+         |       WHERE NOT (${arrivingSql.format("doc_id")})),
+         |ar AS (SELECT doc_id, gram FROM g
+         |       WHERE ${arrivingSql.format("doc_id")}),
+         |fl AS (SELECT ar.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |              CAST(sum(CASE WHEN st.gram IS NULL THEN 1 ELSE 0 END)
+         |                   AS BIGINT) AS n_novel
+         |       FROM ar LEFT JOIN st ON ar.gram = st.gram
+         |       GROUP BY ar.doc_id)
+         |SELECT d2.doc_id, coalesce(fl.n_grams, 0) AS n_grams,
+         |       coalesce(fl.n_novel, 0) AS n_novel,
+         |       CAST(CASE WHEN coalesce(fl.n_grams, 0) = 0 THEN 0
+         |            ELSE (1000 * fl.n_novel) // fl.n_grams END AS BIGINT)
+         |         AS novel_x1k
+         |FROM documents d2 LEFT JOIN fl ON d2.doc_id = fl.doc_id
+         |WHERE ${arrivingSql.format("d2.doc_id")}
+         |ORDER BY d2.doc_id""".stripMargin
+    },
     "q106_span_corruption" ->
       s"""WITH d AS (SELECT doc_id, $normToks AS t FROM documents),
          |ps AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,

@@ -224,4 +224,37 @@ class TrainPrepSpec extends SparkSpec {
     // the plan actually masks something and merges at least one overlap
     assert(got.values.map(_.getAs[Long]("n_masked")).sum > 0)
   }
+
+  // -------------------------------------------------------- delta novelty
+
+  test("delta novelty: copied arriving text scores 0, unique text 1000") {
+    import graft.queries.TrainPrepQueries.{DeltaSeed, DeltaBucketMax}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arrives(id: Long): Boolean = {
+      val h = md.digest(s"$DeltaSeed:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 2), 16) < DeltaBucketMax
+    }
+    // pick real split members so the test follows the q99 arriving hash
+    val arriving = (0L to 80L).filter(arrives)
+    val standing = (0L to 80L).filterNot(arrives)
+    assert(arriving.size >= 2 && standing.size >= 1)
+    val shared = (1 to 10).map(i => s"c$i").mkString(" ") // 10 toks = 3 8-grams
+    val uniq = (1 to 10).map(i => s"u$i").mkString(" ")
+    val rows = Seq(
+      (standing.head, shared, "en", "s", 1L), // standing owner of the grams
+      (arriving(0), shared, "en", "s", 1L),   // arriving copy: nothing novel
+      (arriving(1), uniq, "en", "s", 1L))     // arriving unique: all novel
+    val dir = java.nio.file.Files.createTempDirectory("tnov").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TrainPrepQueries.q109_delta_novelty(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(arriving(0), arriving(1)))
+    assert(out(arriving(0)).getAs[Long]("n_grams") == 3L)
+    assert(out(arriving(0)).getAs[Long]("n_novel") == 0L)
+    assert(out(arriving(0)).getAs[Long]("novel_x1k") == 0L)
+    assert(out(arriving(1)).getAs[Long]("n_grams") == 3L)
+    assert(out(arriving(1)).getAs[Long]("novel_x1k") == 1000L)
+  }
 }
