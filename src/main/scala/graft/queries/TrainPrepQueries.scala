@@ -100,16 +100,7 @@ object TrainPrepQueries {
     * production path for any linear/hashed model. */
   def q97_quality_classifier(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val buckets = docs
-      .select(col("doc_id"), explode(wsTokens(normalizeText(col("text")))).as("token"))
-      .select(col("doc_id"),
-        pmod(conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long"),
-          lit(ClsBuckets.toLong)).as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
-    val scored = buckets.join(broadcast(clsWeights(spark)), "bucket")
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_tokens"), sum(col("c") * col("w")).as("score"))
-    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+    docs.select("doc_id").join(classifierScores(spark, dir), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("score"), lit(0L)).as("score"))
@@ -124,6 +115,41 @@ object TrainPrepQueries {
   def q98_kcenter_coreset(spark: SparkSession, dir: String): DataFrame =
     Coreset.kCenters(Tables.embeddings(spark, dir), KCenterK)
       .orderBy("sel_round")
+
+  /** q97's scoring chain (tokened docs only): hash tokens to weight
+    * buckets, broadcast-join the frozen weights, one per-doc regroup. */
+  private def classifierScores(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wsTokens(normalizeText(col("text")))).as("token"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long"),
+          lit(ClsBuckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    buckets.join(broadcast(clsWeights(spark)), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), sum(col("c") * col("w")).as("score"))
+  }
+
+  val HardK = 5
+
+  /** X115 — hard-example mining: the `HardK` docs per source with the
+    * SMALLEST classifier margin |score| (ties → lowest doc_id) — the
+    * active-learning / curriculum selection pass over q97's frozen-
+    * classifier scores (minimum-margin uncertainty sampling: the docs
+    * the gate is least sure about are the ones worth human labels or a
+    * later curriculum stage). Ranking rides the bounded-heap top-k
+    * aggregate (X76) on the negated margin — partial-aggregated, no
+    * WindowExec over the corpus. Zero-token docs carry no signal and are
+    * excluded (they have no score, not a confident one). */
+  def q110_hard_examples(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val m = classifierScores(spark, dir).join(src, "doc_id")
+      .withColumn("neg_margin", -abs(col("score")))
+    graft.ops.Relational.topKPerGroup(m, Seq("source"), "neg_margin", "doc_id", HardK)
+      .select(col("source"), col("rank"), col("doc_id"),
+        (-col("neg_margin")).as("margin"))
+      .orderBy("source", "rank")
+  }
 
   /** The deterministic "arriving batch" split (q70's md5-bucket
     * convention): first 2 hex digits of md5("DeltaSeed:doc_id") below
@@ -273,7 +299,8 @@ object TrainPrepQueries {
     "q100_bpe_tokenize" -> q100_bpe_tokenize,
     "q105_bpe_fertility" -> q105_bpe_fertility,
     "q106_span_corruption" -> q106_span_corruption,
-    "q109_delta_novelty" -> q109_delta_novelty
+    "q109_delta_novelty" -> q109_delta_novelty,
+    "q110_hard_examples" -> q110_hard_examples
   )
 
   // ---------------------------------------------------------------- oracles
@@ -334,7 +361,36 @@ object TrainPrepQueries {
   private val arrivingSql =
     s"CAST(concat('0x', substr(md5(concat('$DeltaSeed', ':', CAST(%s AS VARCHAR))), 1, 2)) AS BIGINT) < $DeltaBucketMax"
 
+  /** q97's oracle scoring chain (frozen weights → token buckets → per-doc
+    * score), shared by q97 and q110's margin-ranking layer. */
+  private lazy val clsChainSql: String =
+    s"""wt AS (SELECT b AS bucket,
+       |              CASE WHEN strpos('02468ace', substr(md5(concat('$ClsSeed', ':',
+       |                   CAST(b AS VARCHAR))), 1, 1)) > 0
+       |                   THEN 1 ELSE -1 END AS w
+       |            FROM (SELECT unnest(generate_series(0, ${ClsBuckets - 1})) AS b)),
+       |tk AS (SELECT doc_id, unnest($normToks) AS token FROM documents),
+       |tb AS (SELECT doc_id, bucket, count(*) AS c FROM (
+       |         SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 4)) AS BIGINT)
+       |                        % $ClsBuckets AS bucket
+       |         FROM tk) GROUP BY doc_id, bucket),
+       |sc AS (SELECT tb.doc_id, CAST(sum(tb.c) AS BIGINT) AS n_tokens,
+       |              CAST(sum(tb.c * wt.w) AS BIGINT) AS score
+       |       FROM tb JOIN wt USING (bucket) GROUP BY tb.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q110_hard_examples" ->
+      s"""WITH $clsChainSql,
+         |hd AS (SELECT d.source, sc.doc_id, abs(sc.score) AS margin
+         |       FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+         |rk AS (SELECT source, doc_id, margin,
+         |              row_number() OVER (PARTITION BY source
+         |                ORDER BY margin ASC, doc_id ASC) AS rank
+         |       FROM hd)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+         |       CAST(margin AS BIGINT) AS margin
+         |FROM rk WHERE rank <= $HardK
+         |ORDER BY source, rank""".stripMargin,
     "q94_bpe_merges" -> {
       val union = (1 to BpeRounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, lhs || rhs AS merged, pair_n FROM ch$r")
@@ -491,19 +547,7 @@ object TrainPrepQueries {
          |         AS familiar
          |FROM f ORDER BY doc_id""".stripMargin,
     "q97_quality_classifier" ->
-      s"""WITH wt AS (SELECT b AS bucket,
-         |              CASE WHEN strpos('02468ace', substr(md5(concat('$ClsSeed', ':',
-         |                   CAST(b AS VARCHAR))), 1, 1)) > 0
-         |                   THEN 1 ELSE -1 END AS w
-         |            FROM (SELECT unnest(generate_series(0, ${ClsBuckets - 1})) AS b)),
-         |tk AS (SELECT doc_id, unnest($normToks) AS token FROM documents),
-         |tb AS (SELECT doc_id, bucket, count(*) AS c FROM (
-         |         SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 4)) AS BIGINT)
-         |                        % $ClsBuckets AS bucket
-         |         FROM tk) GROUP BY doc_id, bucket),
-         |sc AS (SELECT tb.doc_id, CAST(sum(tb.c) AS BIGINT) AS n_tokens,
-         |              CAST(sum(tb.c * wt.w) AS BIGINT) AS score
-         |       FROM tb JOIN wt USING (bucket) GROUP BY tb.doc_id)
+      s"""WITH $clsChainSql
          |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
          |       coalesce(sc.score, 0) AS score,
          |       CAST(CASE WHEN coalesce(sc.score, 0) >= 0 THEN 1 ELSE 0 END AS INT)

@@ -257,4 +257,27 @@ class TrainPrepSpec extends SparkSpec {
     assert(out(arriving(1)).getAs[Long]("n_grams") == 3L)
     assert(out(arriving(1)).getAs[Long]("novel_x1k") == 1000L)
   }
+
+  // --------------------------------------------------------- hard examples
+
+  test("hard examples: top-5 smallest margins per source match a brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scores = graft.queries.TrainPrepQueries
+      .q97_quality_classifier(spark, dir).collect()
+      .filter(_.getAs[Long]("n_tokens") > 0)
+      .map(r => (r.getLong(0), math.abs(r.getAs[Long]("score"))))
+    val expected = scores.groupBy { case (id, _) => docs(id) }
+      .flatMap { case (src, xs) =>
+        xs.toSeq.sortBy { case (id, m) => (m, id) }.take(5).zipWithIndex
+          .map { case ((id, m), i) => (src, i + 1L, id, m) }
+      }.toSet
+    val got = graft.queries.TrainPrepQueries.q110_hard_examples(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("margin"))).toSet
+    assert(got == expected)
+  }
 }
