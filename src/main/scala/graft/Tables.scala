@@ -16,17 +16,26 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The `events` table is written with parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses by default; `nanosAsLong` reads it as raw nanos. We
-    * normalize to `ts_ms` (epoch millis, == DuckDB `epoch_ms(ts)`) which is
-    * also the reference's watermark unit (`lastProcessedEventAt` epoch
-    * millis — reference `TransactionViewUpsertService.kt:144`).
+  /** The `events` table normalized to `ts_ms` (epoch millis, == DuckDB
+    * `epoch_ms(ts)`) which is also the reference's watermark unit
+    * (`lastProcessedEventAt` epoch millis — reference
+    * `TransactionViewUpsertService.kt:144`).
+    *
+    * The driver has shipped `ts` as parquet TIMESTAMP(NANOS) (which Spark 4
+    * refuses by default; `nanosAsLong` reads it as raw nanos) and as
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize from whichever
+    * physical type arrives — the session timezone is pinned to UTC in every
+    * entry point, so the NTZ→timestamp cast is the identity DuckDB applies.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000") // nanos-as-long
+      case org.apache.spark.sql.types.TimestampType => unix_millis(col("ts"))
+      case _ => unix_millis(col("ts").cast("timestamp")) // TIMESTAMP_NTZ, UTC session
+    }
+    raw.withColumn("ts_ms", tsMs)
   }
 
   /** Money-exact view of `events`: `value` (double euros-ish) as integer
