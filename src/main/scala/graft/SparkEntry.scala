@@ -20,10 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.defs ++ DataPrepQueries.defs ++ RelationalQueries.defs ++
       PipelineQueries.defs ++ AnalyticsQueries.defs ++ CurationQueries.defs ++
-      OlapQueries.defs ++ TrainPrepQueries.defs ++ CorpusQueries.defs
+      OlapQueries.defs ++ TrainPrepQueries.defs ++ CorpusQueries.defs ++
+      MiningQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
       PipelineQueries.oracles ++ AnalyticsQueries.oracles ++ CurationQueries.oracles ++
-      OlapQueries.oracles ++ TrainPrepQueries.oracles ++ CorpusQueries.oracles
+      OlapQueries.oracles ++ TrainPrepQueries.oracles ++ CorpusQueries.oracles ++
+      MiningQueries.oracles
 }
