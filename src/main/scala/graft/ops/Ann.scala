@@ -292,4 +292,72 @@ object Ann {
         lit(minCosX100) * lit(minCosX100) * col("n2_a") * col("n2_b"))
       .select("id_a", "id_b", "dot", "n2_a", "n2_b")
   }
+
+  /** IVF recall sweep: exact recall@k of the IVF index (same geometry as
+    * [[ivfTopK]]) against the brute-force ground truth, at every probe
+    * depth in `probeDepths` — the operator that answers "what nProbe do I
+    * need", which is THE tuning question for an IVF index before a
+    * corpus-scale rollout.
+    *
+    * Shape: one centroid assignment of the corpus, one query×centroid
+    * ranking kept to max(probeDepths) rows per query, ONE candidate
+    * scoring pass tagged with the probe rank `pr` of each candidate's
+    * bucket; each depth then re-ranks the SAME candidate frame filtered to
+    * `pr <= depth` through the bounded-heap top-k — ReuseExchange dedups
+    * the shared scoring subtree across depths, so the sweep costs one
+    * candidate pass plus |depths| heap reductions, never |depths| index
+    * scans. Ground truth is [[bruteForceTopK]] (broadcast query side).
+    * All-integer output: hits, n_brute, recall_x1k = 1000·hits/n_brute. */
+  def recallSweep(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      probeDepths: Seq[Int] = Seq(1, 2, 4, 8),
+      trainRounds: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(probeDepths.nonEmpty && probeDepths == probeDepths.sorted)
+    GraftFunctions.register(queries.sparkSession)
+    val cent = coarseQuantizer(corpus, nCentroids, trainRounds, idCol, vecCol)
+    def scoredAgainstCentroids(df: DataFrame, qv: String) =
+      df.crossJoin(broadcast(cent))
+        .withColumn("cdot", call_function(GraftFunctions.DotLong, col(qv), col("centv")))
+        .drop("centv")
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    val assigned = scoredAgainstCentroids(c, "cv")
+      .groupBy("neighbor_id")
+      .agg(
+        max(struct(col("cdot").as("d"), (-col("cent_id")).as("nc"))).as("m"),
+        first(col("cv")).as("cv"))
+      .withColumn("bucket", -col("m.nc"))
+      .select("neighbor_id", "bucket", "cv")
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    val probes = scoredAgainstCentroids(q, "qv")
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= probeDepths.max)
+      .select(col("query_id"), col("qv"), col("cent_id").as("bucket"), col("pr"))
+    val cand = assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", call_function(GraftFunctions.DotLong, col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "dot", "pr")
+    val truth = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+    val denom = truth.agg(count(lit(1)).as("n_brute"))
+    val perDepth = probeDepths.map { np =>
+      rankTopK(cand.filter(col("pr") <= np)
+          .select("query_id", "neighbor_id", "dot"), k)
+        .select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np.toLong).as("nprobe"), col("hits"))
+    }.reduce(_ unionAll _)
+    perDepth.crossJoin(broadcast(denom))
+      .select(col("nprobe"), col("hits"), col("n_brute"),
+        expr("CASE WHEN n_brute = 0 THEN 0L ELSE (1000 * hits) div n_brute END")
+          .as("recall_x1k"))
+      .orderBy("nprobe")
+  }
 }
