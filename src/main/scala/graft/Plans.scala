@@ -48,7 +48,12 @@ object Plans {
     "q103_dup_spans" -> "ExactSubstr spans: gram equijoin + bounded explode only for cross-doc matches",
     "q104_random_projection" -> "JL projection: literal sign matrix, narrow posexplode, shuffle-free",
     "q106_span_corruption" -> "mask planning: token pass + bounded x3 explode + per-doc island window, no cartesian",
-    "q108_label_propagation" -> "label propagation: IVF kNN graph + neighbor-label equijoin + per-node vote window"
+    "q108_label_propagation" -> "label propagation: IVF kNN graph + neighbor-label equijoin + per-node vote window",
+    "q111_collocations" -> "collocation lift: one token pass, vocabulary-keyed equijoins, 1-row broadcast total",
+    "q112_source_overlap" -> "source overlap: DISTINCT (source,gram) bounds the gram equijoin fan-out to sources^2",
+    "q113_curriculum" -> "curriculum staging: two-phase globalCumSum, no single-partition window",
+    "q116_cooc_windows" -> "co-occurrence: slice+zip_with window unroll, bounded xW explode, ONE pair-key shuffle",
+    "q119_ann_recall" -> "recall sweep: one tagged candidate pass, per-depth heap re-ranks reuse the scoring exchange"
   )
 
   def main(args: Array[String]): Unit = {

@@ -21,11 +21,11 @@ object SparkEntry {
     CdcQueries.defs ++ DataPrepQueries.defs ++ RelationalQueries.defs ++
       PipelineQueries.defs ++ AnalyticsQueries.defs ++ CurationQueries.defs ++
       OlapQueries.defs ++ TrainPrepQueries.defs ++ CorpusQueries.defs ++
-      MiningQueries.defs ++ PatternQueries.defs
+      MiningQueries.defs ++ PatternQueries.defs ++ DriftQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
       PipelineQueries.oracles ++ AnalyticsQueries.oracles ++ CurationQueries.oracles ++
       OlapQueries.oracles ++ TrainPrepQueries.oracles ++ CorpusQueries.oracles ++
-      MiningQueries.oracles ++ PatternQueries.oracles
+      MiningQueries.oracles ++ PatternQueries.oracles ++ DriftQueries.oracles
 }

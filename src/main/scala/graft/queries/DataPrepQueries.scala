@@ -591,7 +591,7 @@ object DataPrepQueries {
       s"CASE WHEN s$j >= 0 THEN CAST($term AS BIGINT) ELSE 0 END"
     }.mkString(" + ")
 
-  private val simhashCte =
+  private[queries] val simhashCte =
     s"""docs AS (SELECT doc_id, $normToks AS t FROM docs0),
        |tok AS (SELECT doc_id AS id, md5(unnest(t)) AS h FROM docs),
        |nib AS (

@@ -83,9 +83,10 @@ object MiningQueries {
       .select(col("source"), explode(shinglesFromTokens(col("t"), OverlapN)).as("gram"))
       .distinct()
     val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
-    val inter = sg.as("a").join(sg.as("b"),
-        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    val inter = sg.select(col("source").as("src_a"), col("gram"))
+      .join(sg.select(col("source").as("src_b"), col("gram")), "gram")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_common"))
     val pairs = sizes.select(col("source").as("src_a"), col("sz").as("size_a"))
       .crossJoin(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("size_b"))))

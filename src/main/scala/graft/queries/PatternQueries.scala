@@ -41,10 +41,11 @@ object PatternQueries {
     val items = e.groupBy("event_type").agg(count(lit(1)).as("n_item"))
     val baskets = e.select("user_id", "d").distinct()
       .agg(count(lit(1)).as("n_baskets"))
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.user_id") === col("b.user_id") && col("a.d") === col("b.d") &&
-          col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("item_a"), col("b.event_type").as("item_b"))
+    val pairs = e.select(col("user_id"), col("d"), col("event_type").as("item_a"))
+      .join(e.select(col("user_id"), col("d"), col("event_type").as("item_b")),
+        Seq("user_id", "d"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= BasketMinSupport)
     pairs

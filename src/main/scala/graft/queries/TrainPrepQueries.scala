@@ -118,7 +118,7 @@ object TrainPrepQueries {
 
   /** q97's scoring chain (tokened docs only): hash tokens to weight
     * buckets, broadcast-join the frozen weights, one per-doc regroup. */
-  private def classifierScores(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def classifierScores(spark: SparkSession, dir: String): DataFrame = {
     val buckets = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(wsTokens(normalizeText(col("text")))).as("token"))
       .select(col("doc_id"),
@@ -363,7 +363,7 @@ object TrainPrepQueries {
 
   /** q97's oracle scoring chain (frozen weights → token buckets → per-doc
     * score), shared by q97 and q110's margin-ranking layer. */
-  private lazy val clsChainSql: String =
+  private[queries] lazy val clsChainSql: String =
     s"""wt AS (SELECT b AS bucket,
        |              CASE WHEN strpos('02468ace', substr(md5(concat('$ClsSeed', ':',
        |                   CAST(b AS VARCHAR))), 1, 1)) > 0
