@@ -21,11 +21,13 @@ object SparkEntry {
     CdcQueries.defs ++ DataPrepQueries.defs ++ RelationalQueries.defs ++
       PipelineQueries.defs ++ AnalyticsQueries.defs ++ CurationQueries.defs ++
       OlapQueries.defs ++ TrainPrepQueries.defs ++ CorpusQueries.defs ++
-      MiningQueries.defs ++ PatternQueries.defs ++ DriftQueries.defs
+      MiningQueries.defs ++ PatternQueries.defs ++ DriftQueries.defs ++
+      HygieneQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
       PipelineQueries.oracles ++ AnalyticsQueries.oracles ++ CurationQueries.oracles ++
       OlapQueries.oracles ++ TrainPrepQueries.oracles ++ CorpusQueries.oracles ++
-      MiningQueries.oracles ++ PatternQueries.oracles ++ DriftQueries.oracles
+      MiningQueries.oracles ++ PatternQueries.oracles ++ DriftQueries.oracles ++
+      HygieneQueries.oracles
 }
