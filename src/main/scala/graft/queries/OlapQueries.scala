@@ -465,7 +465,7 @@ object OlapQueries {
 
   /** The q91 IVF-kNN oracle chain (quantize → 1 Lloyd round → assign →
     * probe → bucket-join → rank), shared by q91 and q108's vote layer. */
-  private lazy val knnChainSql: String =
+  private[queries] lazy val knnChainSql: String =
     s"""v AS (SELECT vec_id, ${DataPrepQueries.quantVec} AS qv FROM embeddings),
        |${DataPrepQueries.lloydCentSql(16, 1)},
        |ca AS (
