@@ -53,7 +53,10 @@ object Plans {
     "q112_source_overlap" -> "source overlap: DISTINCT (source,gram) bounds the gram equijoin fan-out to sources^2",
     "q113_curriculum" -> "curriculum staging: two-phase globalCumSum, no single-partition window",
     "q116_cooc_windows" -> "co-occurrence: slice+zip_with window unroll, bounded xW explode, ONE pair-key shuffle",
-    "q119_ann_recall" -> "recall sweep: one tagged candidate pass, per-depth heap re-ranks reuse the scoring exchange"
+    "q119_ann_recall" -> "recall sweep: one tagged candidate pass, per-depth heap re-ranks reuse the scoring exchange",
+    "q124_sorted_neighborhood" -> "sorted-neighborhood screen: two-phase index + integer band equijoin, W rows per doc",
+    "q127_rank_ensemble" -> "Borda gate: three globalIndex passes, no single-partition window",
+    "q131_pagerank" -> "PageRank: per round one edge equijoin + one dst partial aggregate, edge-list-bounded"
   )
 
   def main(args: Array[String]): Unit = {
