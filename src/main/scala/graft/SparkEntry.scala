@@ -22,12 +22,14 @@ object SparkEntry {
       PipelineQueries.defs ++ AnalyticsQueries.defs ++ CurationQueries.defs ++
       OlapQueries.defs ++ TrainPrepQueries.defs ++ CorpusQueries.defs ++
       MiningQueries.defs ++ PatternQueries.defs ++ DriftQueries.defs ++
-      HygieneQueries.defs ++ FlowQueries.defs ++ BalanceQueries.defs
+      HygieneQueries.defs ++ FlowQueries.defs ++ BalanceQueries.defs ++
+      MaskQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
       PipelineQueries.oracles ++ AnalyticsQueries.oracles ++ CurationQueries.oracles ++
       OlapQueries.oracles ++ TrainPrepQueries.oracles ++ CorpusQueries.oracles ++
       MiningQueries.oracles ++ PatternQueries.oracles ++ DriftQueries.oracles ++
-      HygieneQueries.oracles ++ FlowQueries.oracles ++ BalanceQueries.oracles
+      HygieneQueries.oracles ++ FlowQueries.oracles ++ BalanceQueries.oracles ++
+      MaskQueries.oracles
 }
