@@ -23,7 +23,7 @@ object SparkEntry {
       OlapQueries.defs ++ TrainPrepQueries.defs ++ CorpusQueries.defs ++
       MiningQueries.defs ++ PatternQueries.defs ++ DriftQueries.defs ++
       HygieneQueries.defs ++ FlowQueries.defs ++ BalanceQueries.defs ++
-      MaskQueries.defs
+      MaskQueries.defs ++ BudgetQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
@@ -31,5 +31,5 @@ object SparkEntry {
       OlapQueries.oracles ++ TrainPrepQueries.oracles ++ CorpusQueries.oracles ++
       MiningQueries.oracles ++ PatternQueries.oracles ++ DriftQueries.oracles ++
       HygieneQueries.oracles ++ FlowQueries.oracles ++ BalanceQueries.oracles ++
-      MaskQueries.oracles
+      MaskQueries.oracles ++ BudgetQueries.oracles
 }
