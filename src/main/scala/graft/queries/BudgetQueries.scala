@@ -71,9 +71,10 @@ object BudgetQueries {
     * argmax via max-of-struct partial aggregate — no corpus window. */
   def q141_leakage_score(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id"),
-        explode(shinglesFromTokens(wsTokens(normalizeText(col("text"))),
-          DataPrepQueries.ShingleN)).as("shingle"))
+    val sh = docs
+      .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("__t"))
+      .select(col("doc_id"),
+        explode(shinglesFromTokens(col("__t"), DataPrepQueries.ShingleN)).as("shingle"))
     val ev = sh.filter(col("doc_id") % 2 === 1)
     val tr = sh.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").as("train_id"), col("shingle"))

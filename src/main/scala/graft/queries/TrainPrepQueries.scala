@@ -59,8 +59,9 @@ object TrainPrepQueries {
     * (corpus LM; per-doc regroup) + one equi-join on the trigram. */
   def q96_lm_familiarity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tris = docs.select(col("doc_id"),
-      explode(ngramsAll(wsTokens(normalizeText(col("text"))), 3)).as("tri"))
+    val tris = docs
+      .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("__t"))
+      .select(col("doc_id"), explode(ngramsAll(col("__t"), 3)).as("tri"))
     val docTri = tris.groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
     val lm = tris.groupBy("tri").agg(count(lit(1)).as("n_tri"))
     val scored = docTri.join(lm, "tri")
@@ -269,9 +270,10 @@ object TrainPrepQueries {
     * (partial-agg shuffle), one gram equijoin, one per-doc regroup. */
   def q109_delta_novelty(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val grams = docs.select(col("doc_id"),
-      explode(ngramsAll(wsTokens(normalizeText(col("text"))),
-        CorpusQueries.SpanN)).as("gram"))
+    val grams = docs
+      .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("__t"))
+      .select(col("doc_id"),
+        explode(ngramsAll(col("__t"), CorpusQueries.SpanN)).as("gram"))
     val standing = grams.where(!isArriving(col("doc_id")))
       .select("gram").distinct().withColumn("seen", lit(1))
     val flagged = grams.where(isArriving(col("doc_id")))
