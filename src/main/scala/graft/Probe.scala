@@ -29,6 +29,10 @@ object Probe {
         array_join(transform(graft.functions.TextFunctions.wsTokens(col("text")),
           t => concat(lit(s"r${r}x"), t)), " ").as("text"),
         col("lang"), col("source"), col("n_chars"))
+        // n_chars/lang deliberately keep the ORIGINAL doc's values: the
+        // synthesized corpus is a TIMING corpus (token-level work must grow
+        // exactly N×); it is never fed to the correctness gate, whose
+        // inputs are only the driver-generated sf dirs
     }.reduce(_ unionByName _)
     docReps.repartition(32).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/documents.parquet")
@@ -66,8 +70,10 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // driver memory must come from the LAUNCHING JVM's opts (e.g.
+      // `sbt -J-Xmx24g` / spark-submit --driver-memory): in local mode the
+      // JVM is already running here, so a builder conf would be a no-op
       .config("spark.cleaner.periodicGC.interval", "30s")
-      .config("spark.driver.memory", "24g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val outDir = java.nio.file.Files.createTempDirectory("graft-probe").toString

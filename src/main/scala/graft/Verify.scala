@@ -39,6 +39,9 @@ object Verify {
       }
       finally graft.ops.Dedup.unpersistIntermediates(spark)
     }
+    // the pinned shared-core tier (q16/q76 family) lives across queries by
+    // design; release it once the whole board is dumped
+    graft.ops.Dedup.unpersistPinned(spark)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

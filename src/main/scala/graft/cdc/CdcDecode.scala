@@ -76,6 +76,48 @@ object CdcDecode {
         .select(col("value").cast("string").as("json")),
       "json")
 
+  /** O1 — decode a Debezium JSON envelope, the other dominant CDC wire
+    * format (the reference's Mongo change stream has the same envelope
+    * semantics server-side: operation type + full document + cluster time,
+    * `EcommerceTransactionsLogEventsStream.kt:93`). Debezium wraps the
+    * document as `payload.after` (a JSON STRING for the Mongo connector),
+    * with `payload.op` ∈ c(reate)/r(ead, snapshot)/u(pdate-or-replace)/
+    * d(elete) and the source clock as `payload.ts_ms`.
+    *
+    * Mapping: c/r → insert, u → update (the Mongo connector folds replace
+    * into u — the downstream upsert ladder treats them identically);
+    * d carries no document and is dropped, as are corrupt envelopes and
+    * documents missing required fields (same log-and-skip as [[fromJson]]).
+    * A document that omits its own `tsMs` inherits the envelope's
+    * `ts_ms`, so resume/dedup ordering still works off the source clock. */
+  def fromDebeziumEnvelope(raw: DataFrame, jsonCol: String = "json"): Dataset[CdcEvent] = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val envSchema = StructType(Seq(
+      StructField("payload", StructType(Seq(
+        StructField("after", StringType),
+        StructField("op", StringType),
+        StructField("ts_ms", LongType))))))
+    val parsed = raw
+      .withColumn("p", from_json(col(jsonCol), envSchema))
+      .filter(col("p.payload.op").isin("c", "r", "u") &&
+        col("p.payload.after").isNotNull)
+      .withColumn("doc", from_json(col("p.payload.after"), eventEncoder.schema))
+      .filter(col("doc").isNotNull &&
+        col("doc.id").isNotNull && col("doc.transactionId").isNotNull &&
+        col("doc.eventCode").isNotNull)
+      .select(col("doc.*"),
+        col("p.payload.op").as("__op"), col("p.payload.ts_ms").as("__envTs"))
+      .withColumn("tsMs", coalesce(col("tsMs"), col("__envTs")))
+      .filter(col("tsMs").isNotNull)
+      .withColumn("operationType",
+        when(col("__op") === "u", lit("update")).otherwise(lit("insert")))
+      .withColumn("creationDate",
+        coalesce(col("creationDate"),
+          date_format(timestamp_millis(col("tsMs")), "yyyy-MM-dd'T'HH:mm:ss.SSSX")))
+      .drop("__op", "__envTs")
+    parsed.as[CdcEvent](eventEncoder)
+  }
+
   /** [[fromKafkaEnvelope]] plus the broker-side lineage columns. */
   def fromKafkaEnvelopeWithMeta(kafka: DataFrame): DataFrame = {
     val parsed = kafka.filter(col("value").isNotNull)

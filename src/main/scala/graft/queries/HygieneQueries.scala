@@ -158,8 +158,10 @@ object HygieneQueries {
          |              CAST(sum(list_sum(list_transform(vq, x -> x * x))) AS BIGINT)
          |                AS sum_norm2
          |       FROM q GROUP BY label),
-         |ds AS (SELECT label, i, CAST(sum(vq[i]) AS BIGINT) AS s
-         |       FROM q, (SELECT unnest(generate_series(1, 64)) AS i)
+         |ds AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS s
+         |       FROM (SELECT label, unnest(generate_series(1, len(vq))) AS i,
+         |                    unnest(vq) AS v
+         |             FROM q)
          |       GROUP BY label, i),
          |sv AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS sumvec_norm2
          |       FROM ds GROUP BY label)

@@ -290,9 +290,9 @@ object MiningQueries {
          |ORDER BY src_a, src_b""".stripMargin,
     "q115_dim_variance" ->
       s"""WITH q AS (SELECT $quantVec AS vq FROM embeddings),
-         |e AS (SELECT i - 1 AS dim, vq[i] AS v
-         |      FROM q, (SELECT unnest(generate_series(1, 64)) AS i)
-         |      WHERE i <= len(vq)),
+         |e AS (SELECT unnest(generate_series(1, len(vq))) - 1 AS dim,
+         |             unnest(vq) AS v
+         |      FROM q),
          |a AS (SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
          |             CAST(sum(v) AS BIGINT) AS sum_q,
          |             CAST(sum(v * v) AS BIGINT) AS sumsq_q

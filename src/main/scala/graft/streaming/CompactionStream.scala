@@ -11,9 +11,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * cross-batch bridge in O(1) state per user (the last emitted type and
   * the running change count).
   *
-  * Same ordering contract as [[TransitionStream]] (per-user event-time
-  * order non-decreasing across batches — the CDC delivery guarantee);
-  * within a batch events sort by (ts_ms, event_id). State is TTL-evicted
+  * Same redelivery contract as [[TransitionStream]]: state keeps the
+  * last SEEN (ts_ms, event_id) alongside the last emitted type, and any
+  * incoming event at or before that point is dropped before compacting —
+  * at-least-once redelivery is idempotent and a stale event can never
+  * re-open a change edge. Within a batch events sort by
+  * (ts_ms, event_id). State is TTL-evicted
   * on the watermark; a user returning after eviction restarts the change
   * sequence (documented trade — the alternative is unbounded state).
   * CompactionStreamSpec pins stream == batch q130 over batches split
@@ -21,7 +24,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object CompactionStream {
 
   case class Ev(user_id: Long, ts_ms: Long, event_id: Long, event_type: String)
-  case class Last(event_type: String, changes: Long)
+  case class Last(ts_ms: Long, event_id: Long, event_type: String, changes: Long)
   case class Change(user_id: Long, ts_ms: Long, event_id: Long,
       event_type: String, change_seq: Long)
 
@@ -33,10 +36,14 @@ object CompactionStream {
       events: Iterator[Ev],
       state: GroupState[Last]): Iterator[Change] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val incoming = events.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+    val prev = state.getOption
+    val incoming = events.toSeq
+      .filter(e => prev.forall(p =>
+        e.ts_ms > p.ts_ms || (e.ts_ms == p.ts_ms && e.event_id > p.event_id)))
+      .sortBy(e => (e.ts_ms, e.event_id))
     if (incoming.isEmpty) return Iterator.empty
-    var last = state.getOption.map(_.event_type).orNull
-    var seq = state.getOption.map(_.changes).getOrElse(0L)
+    var last = prev.map(_.event_type).orNull
+    var seq = prev.map(_.changes).getOrElse(0L)
     val out = scala.collection.mutable.ArrayBuffer.empty[Change]
     incoming.foreach { e =>
       if (last == null || last != e.event_type) {
@@ -45,7 +52,8 @@ object CompactionStream {
         last = e.event_type
       }
     }
-    state.update(Last(last, seq))
+    val seen = incoming.last
+    state.update(Last(seen.ts_ms, seen.event_id, last, seq))
     state.setTimeoutTimestamp(math.max(
       incoming.last.ts_ms + StateTtlMs, state.getCurrentWatermarkMs() + 1))
     out.iterator

@@ -14,12 +14,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * pair — the batch twin's window order. Across batches the state keeps
   * only that last (ts_ms, event_id, event_type) triple per user (O(1)
   * state per user, TTL-evicted on the watermark like [[CdcStream]]); a
-  * batch whose events all sort BEFORE the remembered last event is a
-  * replay and contributes transitions only for the portion it re-sorts —
-  * the ordering contract (per-user event-time order non-decreasing across
-  * batches, the CDC delivery guarantee) is what makes the stream's
-  * transition multiset converge to the batch matrix, and
-  * TransitionStreamSpec pins stream == batch on a two-batch split.
+  * redelivered or stale event — (ts_ms, event_id) at or before the
+  * remembered last triple — is DROPPED before chaining, so at-least-once
+  * delivery (the repo's own CDC model, q04) is idempotent here too: a
+  * replayed batch emits nothing, and a late-but-within-watermark stale
+  * event can never produce a time-reversed transition.
+  * TransitionStreamSpec pins stream == batch on a two-batch split and
+  * redelivery-is-a-no-op on a replayed batch.
   *
   * The downstream matrix is a `groupBy(from_type, to_type).count` over
   * this append stream — an incremental aggregate in Update mode, or the
@@ -40,9 +41,12 @@ object TransitionStream {
       events: Iterator[Ev],
       state: GroupState[LastEv]): Iterator[Transition] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val incoming = events.toSeq.sortBy(e => (e.ts_ms, e.event_id))
-    if (incoming.isEmpty) return Iterator.empty
     val prev = state.getOption
+    val incoming = events.toSeq
+      .filter(e => prev.forall(p =>
+        e.ts_ms > p.ts_ms || (e.ts_ms == p.ts_ms && e.event_id > p.event_id)))
+      .sortBy(e => (e.ts_ms, e.event_id))
+    if (incoming.isEmpty) return Iterator.empty
     val chain = prev.map(p => Ev(userId, p.ts_ms, p.event_id, p.event_type)).toSeq ++ incoming
     val out = chain.zip(chain.tail).map { case (a, b) =>
       Transition(userId, a.event_type, b.event_type, b.ts_ms, b.event_id)

@@ -233,14 +233,23 @@ object ViewStore {
     * the one immediately prior — and a crash anywhere in the window leaves
     * the view fully readable at that prior snapshot with the purge simply
     * not yet applied. `purgeKeys` is idempotent; callers must re-invoke it
-    * after a crash (same contract as a failed table-format DELETE). */
+    * after a crash (same contract as a failed table-format DELETE). To
+    * make that recovery sound, EVERY purge call with keys — including one
+    * whose keys hash to no live bucket (e.g. the re-invocation after a
+    * crash that already flipped the purged manifest in) — retires history
+    * down to the current snapshot before returning: absence from the
+    * current view proves nothing about older retained snapshots, and an
+    * erasure request must not leave them readable. */
   def purgeKeys(
       spark: SparkSession,
       viewPath: String,
       keyCol: String,
       keys: Seq[Any]): Long = {
     val m = readManifest(spark, viewPath).getOrElse(return 0L)
-    if (m.buckets.isEmpty || keys.isEmpty) return 0L
+    if (keys.isEmpty) return 0L
+    if (m.buckets.isEmpty) {
+      retireHistory(fs(spark, viewPath), new Path(viewPath)); return 0L
+    }
     val f = fs(spark, viewPath)
     val root = new Path(viewPath)
     val purgeNull = keys.contains(null)
@@ -260,8 +269,9 @@ object ViewStore {
       .select(bucketOf(col("__k")).as("b"))
       .distinct().collect().map(_.getLong(0).toInt)
       .filter(m.buckets.contains).sorted.toSeq
-    if (touched.isEmpty) return 0L
-    val current = readBuckets(spark, viewPath, touched).getOrElse(return 0L)
+    if (touched.isEmpty) { retireHistory(f, root); return 0L }
+    val current = readBuckets(spark, viewPath, touched)
+      .getOrElse { retireHistory(f, root); return 0L }
     // null-safe match: isin is NULL (not false) on a null key, which a bare
     // filter(!isPurged) would drop — coalesce keeps null-keyed rows unless
     // the caller explicitly purged null
@@ -322,6 +332,19 @@ object ViewStore {
     }
     if (f.exists(target)) lose()
     if (!f.rename(tmp, target)) lose()
+  }
+
+  /** Purge-recovery truncation: delete every manifest except the newest,
+    * then GC unreferenced generations — the terminal state a completed
+    * purge leaves behind. Called from [[purgeKeys]]'s no-rows-touched
+    * paths so a crash between a purge's manifest flip and its retire step
+    * cannot leave purged rows readable via time travel after the
+    * documented re-invocation. */
+  private def retireHistory(f: FileSystem, root: Path): Unit = {
+    manifestSeqs(f, root).dropRight(1).foreach { case (_, name) =>
+      f.delete(new Path(root, name), false)
+    }
+    gc(f, root)
   }
 
   /** Drop manifests beyond the retention window, then every bucket dir no

@@ -72,6 +72,37 @@ class CdcDecodeSpec extends SparkSpec {
     assert(viaKafka == direct)
   }
 
+  test("debezium envelope decode: op mapping, deletes/corrupt dropped, envelope ts_ms fallback (O1)") {
+    val good = EventGen.generate(nTx = 2, seed = 23L, noise = false)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val wire = CdcDecode.toJson(good.toDS()).collect().map(_.getString(0))
+    // wrap each document in a Debezium envelope; alternate create/update
+    val envelopes = wire.zipWithIndex.map { case (doc, i) =>
+      val op = if (i % 2 == 0) "c" else "u"
+      s"""{"payload":{"before":null,"after":"${esc(doc)}","op":"$op","ts_ms":${9000 + i}}}"""
+    }
+    val polluted = (envelopes.toSeq :+
+      """{"payload":{"before":null,"after":null,"op":"d","ts_ms":9999}}""" :+ // delete: no doc
+      """{"payload":{"after":"{ not json","op":"c","ts_ms":1}}""" :+ // corrupt document
+      "{ not an envelope" :+ // corrupt envelope
+      // document missing its own tsMs: must inherit the envelope clock
+      """{"payload":{"after":"{\"id\":\"dz1\",\"transactionId\":\"tdz\",\"eventCode\":\"TRANSACTION_ACTIVATED_EVENT\"}","op":"r","ts_ms":7777}}""")
+      .toDF("json")
+    val out = CdcDecode.fromDebeziumEnvelope(polluted).collect()
+    assert(out.length == good.size + 1)
+    val byId = out.map(e => e.id -> e).toMap
+    // op mapping: even-indexed docs arrived as c -> insert, odd as u -> update
+    wire.zipWithIndex.foreach { case (_, i) =>
+      val e = byId(good(i).id)
+      assert(e.operationType == (if (i % 2 == 0) "insert" else "update"),
+        s"op mapping wrong for ${e.id}")
+      assert(e.tsMs == good(i).tsMs, "document tsMs must win over envelope ts_ms")
+    }
+    val fallback = byId("dz1")
+    assert(fallback.tsMs == 7777L, "envelope ts_ms must backfill a missing document tsMs")
+    assert(fallback.operationType == "insert", "snapshot read (r) maps to insert")
+  }
+
   test("decode composes with the replay pipeline end-to-end") {
     val events = EventGen.generate(nTx = 8, seed = 41L)
     val viaWire = ViewReplay.replay(

@@ -42,14 +42,21 @@ class RuntimeFilterSpec extends SparkSpec {
       val optimized = joined.queryExecution.optimizedPlan.toString
       assert(optimized.contains("might_contain") || optimized.contains("bloom_filter"),
         s"expected an injected bloom runtime filter, optimized plan:\n$optimized")
-      // and the result is unchanged by the (superset) filter
+      // and the result is unchanged by the (superset) filter; the two plans
+      // may order partial double sums differently, so compare with a
+      // relative tolerance instead of exact bit equality
       val expect = withConf(
         "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
         lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority").agg(sum("l_extendedprice").as("rev"))
-          .collect().toSeq
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       }
-      assert(joined.collect().toSeq == expect)
+      val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == expect.keySet)
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - expect(k)) <= 1e-9 * math.max(1.0, math.abs(expect(k))),
+          s"rev for $k: $v vs ${expect(k)}")
+      }
     }
   }
 }

@@ -7,7 +7,7 @@ import graft.SparkSpec
 
 /** The streaming compaction must converge, over batches split mid-user,
   * to the batch lag-filter (q130's shape) on the same data — state keeps
-  * only (last type, change count) per user. */
+  * only (last seen ts/event_id, last type, change count) per user. */
 class CompactionStreamSpec extends SparkSpec {
 
   import spark.implicits._
@@ -71,6 +71,37 @@ class CompactionStreamSpec extends SparkSpec {
       q.processAllAvailable()
       assert(rows.toSeq == Seq(("view", 1L), ("click", 2L)),
         "the duplicate 'view' in batch 2 must be suppressed by the state bridge")
+    } finally q.stop()
+  }
+
+  test("at-least-once redelivery is idempotent: replayed/stale events emit nothing") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = CompactionStream.changes(
+      ms.toDF().toDF("user_id", "ts_ms", "event_id", "event_type"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[CompactionStream.Change], _: Long) =>
+        rows.synchronized { rows ++= ds.collect().map(c => (c.event_type, c.change_seq)) }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-compact-ckpt").toString)
+      .start()
+    try {
+      ms.addData(Seq((1L, 10L, 1L, "view"), (1L, 20L, 2L, "click")))
+      q.processAllAvailable()
+      assert(rows.toSeq == Seq(("view", 1L), ("click", 2L)))
+      // full-batch replay (at-least-once): must not re-emit or bump change_seq
+      ms.addData(Seq((1L, 10L, 1L, "view"), (1L, 20L, 2L, "click")))
+      q.processAllAvailable()
+      assert(rows.toSeq == Seq(("view", 1L), ("click", 2L)), "replay must be a no-op")
+      // a stale 'view' older than state's last seen event must not re-open a
+      // view-edge; the genuinely new 'view' continues the sequence correctly
+      ms.addData(Seq((1L, 15L, 99L, "view"), (1L, 30L, 3L, "view")))
+      q.processAllAvailable()
+      assert(rows.toSeq == Seq(("view", 1L), ("click", 2L), ("view", 3L)),
+        "only the new event's edge is emitted, once")
     } finally q.stop()
   }
 }

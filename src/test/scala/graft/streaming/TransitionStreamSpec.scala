@@ -76,4 +76,36 @@ class TransitionStreamSpec extends SparkSpec {
         "the bridge transition must span the batch boundary")
     } finally q.stop()
   }
+
+  test("at-least-once redelivery is idempotent: replayed/stale events emit nothing") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String)]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val q = TransitionStream.transitions(
+      ms.toDF().toDF("user_id", "ts_ms", "event_id", "event_type"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[TransitionStream.Transition], _: Long) =>
+        rows.synchronized { rows ++= ds.collect().map(t => (t.from_type, t.to_type, t.event_id)) }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-trans-ckpt").toString)
+      .start()
+    try {
+      ms.addData(Seq((1L, 10L, 1L, "view"), (1L, 20L, 2L, "click")))
+      q.processAllAvailable()
+      assert(rows.toSeq == Seq(("view", "click", 2L)))
+      // redeliver the whole batch (at-least-once): must be a no-op, NOT a
+      // time-reversed click->view + duplicate view->click pair
+      ms.addData(Seq((1L, 10L, 1L, "view"), (1L, 20L, 2L, "click")))
+      q.processAllAvailable()
+      assert(rows.toSeq == Seq(("view", "click", 2L)), "replayed batch must emit nothing")
+      // a stale-but-in-watermark event older than state's last is dropped,
+      // while a genuinely new event still chains off the remembered last
+      ms.addData(Seq((1L, 15L, 99L, "error"), (1L, 30L, 3L, "purchase")))
+      q.processAllAvailable()
+      assert(rows.toSeq == Seq(("view", "click", 2L), ("click", "purchase", 3L)),
+        "stale event must not re-order the chain")
+    } finally q.stop()
+  }
 }

@@ -142,6 +142,62 @@ class ViewStoreSpec extends SparkSpec {
     assert(ViewStore.read(spark, path).get.count() == 4L)
   }
 
+  test("purgeKeys crash window: flip published, retire+gc lost — re-invocation completes, no snapshot resurrects purged rows") {
+    val path = tmp()
+    commitBatch(path, 0L, Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    commitBatch(path, 1L, Seq((4L, 40L)))
+    val m = ViewStore.readManifest(spark, path).get
+    // Hand-build the exact on-disk state of a crash BETWEEN the purged
+    // manifest's publication and the retire+gc of the pre-purge snapshot,
+    // replicating purgeKeys's own steps: history truncated to the current
+    // manifest, touched bucket rewritten into a purge generation, new
+    // manifest flipped in — then "crash" (skip retire + gc), leaving the
+    // pre-purge manifest and its generation dirs orphaned on disk.
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    ViewStore.snapshots(spark, path).dropRight(1).foreach { s =>
+      f.delete(new org.apache.hadoop.fs.Path(root, f"MANIFEST-$s%020d"), false)
+    }
+    val touchedB = Seq(2L).toDF("k")
+      .select(ViewStore.bucketOf(col("k")).as("b")).as[Long].collect()
+      .map(_.toInt).toSet.filter(m.buckets.contains)
+    val kept = ViewStore.readBuckets(spark, path, touchedB.toSeq).get
+      .filter(col("k") =!= 2L)
+      .withColumn("__bucket", ViewStore.bucketOf(col("k")))
+    val genRel = f"purge-${m.seq + 1}%020d"
+    kept.write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/$genRel")
+    val rewritten = touchedB.toSeq.flatMap { b =>
+      val rel = s"$genRel/__bucket=$b"
+      if (f.exists(new org.apache.hadoop.fs.Path(root, rel))) Some(b -> rel) else None
+    }.toMap
+    ViewStore.writeManifest(f, root,
+      ViewStore.Manifest(m.seq + 1, m.lastBatchId, (m.buckets -- touchedB) ++ rewritten))
+    // ---- crash here: both manifests live ----
+    assert(ViewStore.snapshots(spark, path).contains(m.seq),
+      "crash state must still hold the pre-purge manifest")
+    // the flip IS the commit point: the live read is already purged
+    assert(!ViewStore.read(spark, path).get
+      .select("k").as[Long].collect().contains(2L))
+    // re-invocation (the documented recovery contract) completes the purge
+    assert(ViewStore.purgeKeys(spark, path, "k", Seq(2L)) == 0L,
+      "no row can be removed twice")
+    val seqs = ViewStore.snapshots(spark, path)
+    assert(!seqs.contains(m.seq),
+      s"re-invocation must retire the pre-purge snapshot, got $seqs")
+    seqs.foreach { s =>
+      val ks = ViewStore.readAt(spark, path, s).get
+        .select("k").as[Long].collect().toSet
+      assert(!ks.contains(2L), s"snapshot $s resurrects the purged key")
+    }
+    assert(ViewStore.read(spark, path).get
+      .select("k", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (3L, 30L), (4L, 40L)))
+    // and the view is still appendable afterwards
+    commitBatch(path, 2L, Seq((5L, 50L)))
+    assert(ViewStore.read(spark, path).get.count() == 4L)
+  }
+
   test("purgeKeys: null-keyed rows survive unrelated purges; explicit null purge removes them") {
     val path = tmp()
     // a null key hashes to a fixed bucket (xxhash64 leaves the seed);
