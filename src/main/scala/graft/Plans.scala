@@ -11,26 +11,43 @@ import java.nio.file.{Files, Paths}
   */
 object Plans {
 
-  /** Headline queries whose physical shape carries the 100 TB argument. */
+  /** Headline queries whose physical shape carries the 100 TB argument —
+    * every query that costs >0.5 s on the sf0.1 bench board, plus the
+    * pushdown/flagship exemplars. */
   val Headline: Seq[(String, String)] = Seq(
     "q01_filter_project" -> "filter+projection pushdown into the parquet scan",
+    "q02_ttl_antifilter" -> "schema'd from_json TTL screen: one parse, codegen'd filter, no data shuffle before the output sort",
     "q09_transactions_view" -> "flagship replay: ONE data shuffle for dedup+tie-break+fold",
+    "q15_exact_dedup" -> "exact dedup: ONE fingerprint shuffle, keep-first via min aggregate",
     "q16_jaccard_pairs" -> "inverted-index self-join, df-capped; no all-pairs",
     "q17_minhash_lsh_pairs" -> "banded signature equijoin (sub-quadratic near-dup)",
+    "q19_simhash_pairs" -> "simhash pairs: 16-bit segment pigeonhole equijoin + bit_count(xor) rerank, no all-pairs",
     "q20_ann_brute_topk" -> "broadcast query side; map-side bounded-heap top-k, no cross-product window",
+    "q21_ann_lsh_topk" -> "hyperplane LSH: bucket equijoin candidates + exact heap rerank (md5-parity planes)",
+    "q30_crossmodal_pairs" -> "cross-modal agreement: q16's pinned pair core + per-side embedding equijoins (pairs << corpus)",
     "q31_ann_ivf_topk" -> "IVF: broadcast centroids/probes, bucketed search, heap rerank",
+    "q33_dup_clusters" -> "connected components iterate the EDGE list (min-label rounds, checkpoint-truncated), corpus untouched per round",
     "q34_pack_sequences" -> "two-phase global cumsum: no single-partition window",
+    "q37_contamination" -> "LSH pair set bucketed by source pair: attribution joins ride the bounded pair table",
+    "q38_tfidf_terms" -> "TF-IDF: partial-agg tf/df shuffles, ranking window per doc only",
+    "q41_session_stats" -> "session_window aggregate: ONE user shuffle, same expression batch and streaming",
     "q43_top_orders" -> "star join: dims broadcast, TakeOrderedAndProject top-k",
     "q44_region_volume" -> "six-way star join, all dims broadcast, fact never sort-merges",
     "q45_skew_join_agg" -> "salted join: physical key includes __salt",
     "q52_corpus_curation" -> "full curation pass composed as ONE lazy plan (dedup ∘ clusters ∘ quality ∘ report)",
+    "q53_decontaminate" -> "band-key LEFT ANTI screen: distinct eval keys vs corpus, no pair materialization",
     "q54_corpus_shuffle" -> "deterministic shuffle: fused md5 key, two-phase index, no single-partition window",
     "q60_signup_follow" -> "binned range join: hash equi-join on (key, bucket), NOT a nested loop",
     "q62_scd2_intervals" -> "SCD2: both windows share one user_id shuffle, no re-exchange between them",
+    "q64_trigram_lm" -> "trigram + Kneser-Ney continuation: two partial-agg gram shuffles + one bigram equijoin",
     "q65_kmeans_assign" -> "k-means round: centroids broadcast, corpus never shuffles for assignment",
+    "q66_zipf_coverage" -> "Zipf head: TakeOrdered top-k, two-phase rank/cumsum over the k surviving rows only",
     "q71_above_avg_orders" -> "correlated scalar subqueries decorrelated to aggregate+join (no per-row re-execution)",
     "q72_anomalous_windows" -> "integer sigma-test: one count shuffle, window stats broadcast back",
     "q73_exact_contamination" -> "exact n-gram screen: distinct eval grams broadcast, corpus screened in one pass",
+    "q74_boilerplate_share" -> "boilerplate share: one df shuffle on the shingle + equijoin back + per-doc aggregate",
+    "q75_retention_cohorts" -> "cohort matrix: co-partitioned customer-key shuffles, broadcast cohort sizes",
+    "q76_containment_pairs" -> "containment: SAME pinned intersection core as q16 — the family builds it once per session",
     "q77_top_orders_per_cust" -> "bounded-heap top-k per group: partial ObjectHashAggregate, no window sort",
     "q78_asof_native" -> "native as-of join: one exchange+sort per side, linear merge walk, no blended window",
     "q79_sliding_windows" -> "hopping windows: map-side 2x fan-out, ONE partial-aggregated shuffle",
@@ -40,23 +57,35 @@ object Plans {
     "q86_chunk_dedup" -> "chunk ownership: one shuffle on the chunk hash, one on doc_id",
     "q88_negative_ring" -> "hash-ring negatives: two-phase global index + integer rank equi-join",
     "q89_data_quality" -> "constraint gate: one conditional-aggregate pass + groupBy + anti-join",
+    "q91_knn_graph" -> "kNN graph: IVF bucket search with queries = corpus, map-side bounded-heap ranking",
     "q94_bpe_merges" -> "BPE training: per-word windows, vocabulary-sized shuffles, 1-row broadcast winners",
     "q95_semdedup" -> "SemDeDup: broadcast-trained clusters bound the pair search (cluster-keyed equi-join, no all-pairs)",
     "q98_kcenter_coreset" -> "k-center: one corpus pass per round against a TakeOrdered broadcast winner, no windows",
+    "q100_bpe_tokenize" -> "BPE apply: one corpus word pass + vocabulary-sized segmentation join",
     "q101_dsir_weights" -> "DSIR: one token pass, <=4096-row ratio table broadcast back, two partial aggs",
     "q102_pii_scrub" -> "pattern scrub: codegen'd regexp map pass, zero shuffles",
     "q103_dup_spans" -> "ExactSubstr spans: gram equijoin + bounded explode only for cross-doc matches",
     "q104_random_projection" -> "JL projection: literal sign matrix, narrow posexplode, shuffle-free",
     "q106_span_corruption" -> "mask planning: token pass + bounded x3 explode + per-doc island window, no cartesian",
+    "q105_bpe_fertility" -> "tokenizer fertility: one word pass + vocabulary-sized segmentation join, per-language aggregate",
     "q108_label_propagation" -> "label propagation: IVF kNN graph + neighbor-label equijoin + per-node vote window",
+    "q110_hard_examples" -> "min-margin mining: bounded-heap top-k on the negated margin, no corpus window",
     "q111_collocations" -> "collocation lift: one token pass, vocabulary-keyed equijoins, 1-row broadcast total",
     "q112_source_overlap" -> "source overlap: DISTINCT (source,gram) bounds the gram equijoin fan-out to sources^2",
     "q113_curriculum" -> "curriculum staging: two-phase globalCumSum, no single-partition window",
+    "q114_neardup_flow" -> "near-dup flow: two meta joins over the bounded pinned pair set, |sources|^2 aggregate",
     "q116_cooc_windows" -> "co-occurrence: slice+zip_with window unroll, bounded xW explode, ONE pair-key shuffle",
+    "q117_basket_pairs" -> "basket pairs: per-basket fan-out bounded by the event-type vocabulary^2, broadcast totals",
     "q119_ann_recall" -> "recall sweep: one tagged candidate pass, per-depth heap re-ranks reuse the scoring exchange",
+    "q120_concordance" -> "KWIC: narrow posexplode + literal term filter, context sliced from the bound token array, no joins",
+    "q122_score_calibration" -> "calibration: classifier scoring chain + |bins|-sized aggregate + 1-row broadcast total",
     "q124_sorted_neighborhood" -> "sorted-neighborhood screen: two-phase index + integer band equijoin, W rows per doc",
     "q127_rank_ensemble" -> "Borda gate: three globalIndex passes, no single-partition window",
-    "q131_pagerank" -> "PageRank: per round one edge equijoin + one dst partial aggregate, edge-list-bounded"
+    "q131_pagerank" -> "PageRank: per round one edge equijoin + one dst partial aggregate, edge-list-bounded",
+    "q132_session_paths" -> "session paths: one sorted collect per session group, then session-count-sized aggregates",
+    "q135_cluster_keeper" -> "cluster keeper: CC labels + per-cluster max-of-struct argmax, no corpus window",
+    "q136_dedup_masks" -> "dup-span masks: gram equijoin -> bounded position explode -> island window over DUPLICATED positions only",
+    "q138_vocab_growth" -> "Heaps curve: two-phase doc index, min-decile per gram type, constant-partition cumsum over 10 rows"
   )
 
   def main(args: Array[String]): Unit = {

@@ -470,4 +470,59 @@ class PlanSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       s"vote/rank windows must partition by node id:\n$plan")
   }
+
+  test("q131 PageRank rounds: edge-list equi-work only — no cartesian, no corpus window") {
+    val plan = executed(graft.queries.FlowQueries.q131_pagerank(spark, sfDir))
+    val nodes = collectAll(plan)
+    assert(nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"every round must be an edge equijoin, never all-pairs:\n$plan")
+    // rank mass flows through joins + partial aggregates; the only windows
+    // allowed are partitioned ones inside the IVF quantizer's BOUNDED
+    // training sample (TakeOrdered limit) — an unpartitioned window would
+    // mean a round funnels node/edge state through one task
+    assert(nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.forall(_.partitionSpec.nonEmpty),
+      s"PageRank rounds must never window over a single partition:\n$plan")
+  }
+
+  test("q136 dup-span masks: island window partitions by doc over duplicated positions only") {
+    val plan = executed(graft.queries.MaskQueries.q136_dedup_masks(spark, sfDir))
+    val nodes = collectAll(plan)
+    assert(nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"cross-doc gram matching must stay an equi-join:\n$plan")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"the island-merge window must partition by doc_id, never SinglePartition:\n$plan")
+  }
+
+  test("q138 vocab growth: doc index is two-phase; the cumsum window is decile-sized") {
+    val plan = executed(graft.queries.MaskQueries.q138_vocab_growth(spark, sfDir))
+    val nodes = collectAll(plan)
+    // decile cumsum runs over GrowthBuckets rows behind an aggregate — the
+    // corpus-sized gram table must never feed an unpartitioned window
+    // directly (same contract as the q10 two-phase index pin)
+    val globalWindows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    globalWindows.foreach { w =>
+      val aboveAgg = collectAll(w).exists {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+        case _ => false
+      }
+      assert(aboveAgg,
+        s"unpartitioned window directly over the data (no aggregate below):\n$plan")
+    }
+    assert(nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"no stage of the growth curve may go all-pairs:\n$plan")
+  }
 }
