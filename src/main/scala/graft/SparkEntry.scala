@@ -23,7 +23,8 @@ object SparkEntry {
       OlapQueries.defs ++ TrainPrepQueries.defs ++ CorpusQueries.defs ++
       MiningQueries.defs ++ PatternQueries.defs ++ DriftQueries.defs ++
       HygieneQueries.defs ++ FlowQueries.defs ++ BalanceQueries.defs ++
-      MaskQueries.defs ++ BudgetQueries.defs
+      MaskQueries.defs ++ BudgetQueries.defs ++ SearchQueries.defs ++
+      GraphStatQueries.defs ++ OpsAuditQueries.defs ++ JourneyQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
@@ -31,5 +32,6 @@ object SparkEntry {
       OlapQueries.oracles ++ TrainPrepQueries.oracles ++ CorpusQueries.oracles ++
       MiningQueries.oracles ++ PatternQueries.oracles ++ DriftQueries.oracles ++
       HygieneQueries.oracles ++ FlowQueries.oracles ++ BalanceQueries.oracles ++
-      MaskQueries.oracles ++ BudgetQueries.oracles
+      MaskQueries.oracles ++ BudgetQueries.oracles ++ SearchQueries.oracles ++
+      GraphStatQueries.oracles ++ OpsAuditQueries.oracles ++ JourneyQueries.oracles
 }

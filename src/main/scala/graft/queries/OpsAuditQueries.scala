@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-5 wave-13c operational/audit operators: join-key skew audit
+  * (the pre-flight read before choosing broadcast/salt/AQE levers for a
+  * big join — X30's salted join needs to know WHICH keys are hot and how
+  * hot), deterministic priority sampling (weighted sampling without
+  * replacement via the Duffield–Lund–Thorup priority scheme, hash-derandomized
+  * so every engine/retry draws the same sample), and semi-structured
+  * JSON payload extraction (the schema-on-read field pull every event
+  * pipeline does before it can aggregate).
+  *
+  * Oracle conventions as the sibling modules: exact integers end-to-end,
+  * identical aliases both sides, ORDER BY a unique key.
+  */
+object OpsAuditQueries {
+
+  /** Skew audit: report the `SkewTopK` heaviest join keys. */
+  val SkewTopK = 10
+  /** Parallelism the salt recommendation targets (the session's shuffle
+    * width; a cluster run passes its own). */
+  val SkewTasks = 32L
+  /** Priority sampling: sample size and seed. */
+  val PriorityK = 50
+  val PrioritySeed = 57L
+
+  /** X155 — join-key skew audit over `orders.o_custkey`: per-key row
+    * counts reduced to the `SkewTopK` heaviest keys with their share of
+    * the table (×10⁶), their ratio to the mean key load (×1000), and a
+    * salt factor — how many of the `SkewTasks` shuffle partitions this
+    * key alone would fill, i.e. the replication X30's salted join should
+    * use for it. The read-before-you-join companion of the salt/AQE
+    * levers: a key with salt_factor 1 is harmless, one at 8 needs
+    * salting or AQE skew-split.
+    *
+    * Scale: one partial-aggregated shuffle on the key, a 1-row totals
+    * broadcast, top-k via TakeOrderedAndProject — no global sort. */
+  def q148_skew_audit(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"))
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(SkewTopK)
+    top.crossJoin(broadcast(totals))
+      .withColumn("share_x1e6", expr("(1000000 * cnt) div n_rows"))
+      .withColumn("skew_x1k", expr("(cnt * n_keys * 1000) div n_rows"))
+      .withColumn("salt_factor",
+        expr(s"greatest(1L, cnt div greatest(1L, n_rows div $SkewTasks))"))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key"))).cast("long"))
+      .select("rank", "key", "cnt", "share_x1e6", "skew_x1k", "salt_factor")
+      .orderBy("rank")
+  }
+
+  /** X156 — deterministic priority sampling: weighted sampling without
+    * replacement (weight = `n_chars`) via the priority scheme — each doc
+    * draws `u` from its md5 (a uniform 32-bit integer, so every engine,
+    * retry, and re-run draws the SAME sample), priority = ⌊w·2³² / u⌋,
+    * keep the `PriorityK` largest priorities. Long docs are
+    * proportionally more likely to survive, yet the sample is a pure
+    * function of (seed, doc_id, weight) — the reproducibility contract
+    * RNG-based weighted reservoirs can't give a distributed pipeline.
+    *
+    * Scale: a pure scalar map pass + TakeOrderedAndProject top-k (per-
+    * partition heaps, no global sort), exactly the q51/q54 hash-
+    * determinism discipline with weights attached. */
+  def q149_priority_sample(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("weight"))
+      .withColumn("u",
+        conv(substring(md5(concat(lit(s"$PrioritySeed:"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long") + 1L)
+      .withColumn("priority", expr("(weight * 4294967296) div u"))
+    val top = scored.orderBy(col("priority").desc, col("doc_id")).limit(PriorityK)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("priority").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "weight", "priority")
+      .orderBy("rank")
+  }
+
+  /** X157 — semi-structured JSON payload extraction: pull the typed
+    * field `props.$.k` out of the JSON payload column and aggregate it
+    * per event type — count/coverage/sum/min/max/distinct. The
+    * schema-on-read step every event pipeline fronts its analytics
+    * with; extraction is a codegen'd scalar pass (`get_json_object`),
+    * the aggregate one partial-aggregated shuffle on the type. At scale
+    * the extraction cost is the reason to land parsed columns once
+    * (schema-first X52 ingest), and this operator is the probe that
+    * tells you which fields earn that column. */
+  def q150_payload_extract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_skew_audit" -> q148_skew_audit,
+    "q149_priority_sample" -> q149_priority_sample,
+    "q150_payload_extract" -> q150_payload_extract
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    "q148_skew_audit" ->
+      s"""WITH c AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+         |           FROM orders GROUP BY o_custkey),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |             CAST(sum(cnt) AS BIGINT) AS n_rows FROM c),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank
+         |      FROM c)
+         |SELECT rank, key, cnt,
+         |       CAST((1000000 * cnt) // t.n_rows AS BIGINT) AS share_x1e6,
+         |       CAST((cnt * t.n_keys * 1000) // t.n_rows AS BIGINT) AS skew_x1k,
+         |       CAST(greatest(1, cnt // greatest(1, t.n_rows // $SkewTasks)) AS BIGINT)
+         |         AS salt_factor
+         |FROM r CROSS JOIN t WHERE rank <= $SkewTopK ORDER BY rank""".stripMargin,
+    "q149_priority_sample" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |         CAST(concat('0x', substr(md5(concat('$PrioritySeed', ':',
+         |              CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1 AS u
+         |  FROM documents),
+         |p AS (SELECT doc_id, weight, CAST((weight * 4294967296) // u AS BIGINT) AS priority
+         |      FROM s),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS BIGINT)
+         |             AS rank FROM p)
+         |SELECT rank, doc_id, weight, priority
+         |FROM r WHERE rank <= $PriorityK ORDER BY rank""".stripMargin,
+    "q150_payload_extract" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(k) AS BIGINT) AS n_with_k,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(min(k) AS BIGINT) AS min_k,
+        |       CAST(max(k) AS BIGINT) AS max_k,
+        |       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
