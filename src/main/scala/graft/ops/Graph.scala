@@ -78,6 +78,69 @@ object Graph {
     labels.select(col("id"), col("comp").as("component_id"))
   }
 
+  /** X160 — incremental connected components: fold a batch of NEW edges
+    * into an existing `(id, component_id)` assignment WITHOUT re-running
+    * label propagation over the standing edge set. The arriving edges are
+    * first COLLAPSED to component space (each endpoint replaced by its
+    * standing component id; unseen nodes are their own singleton
+    * component), then [[connectedComponents]] runs on that contracted
+    * graph — whose size is bounded by 2·|batch|, never by the corpus —
+    * and the resulting component→component merge map is applied back to
+    * the assignment as one broadcast relabel join.
+    *
+    * Correctness: contracting each standing component to one meta-node
+    * preserves connectivity (every standing component is internally
+    * connected by definition), and component ids are min-reachable node
+    * ids on both levels, so the two-level min composes to the global
+    * min — the result is identical to [[connectedComponents]] over the
+    * union edge set (IncrementalComponentsSpec proves it on random
+    * graphs and adversarial bridge chains).
+    *
+    * Idempotent: re-folding edges already reflected in the assignment
+    * collapses them to self-loops, which are filtered — the assignment
+    * is unchanged, which is what makes the streaming form
+    * ([[graft.streaming.ComponentStream]]) safe under at-least-once
+    * foreachBatch re-delivery.
+    *
+    * Scale: at 100 TB the standing assignment is the big side and is
+    * touched exactly once by the final relabel join (merge map
+    * broadcast, bounded by the batch); everything else scales with the
+    * arriving batch. This is the O(batch) maintenance path next to
+    * q33's full recompute — the same relationship X104's delta-dedup
+    * has to the corpus-wide pair join. */
+  def incrementalComponents(
+      assignment: DataFrame,
+      newEdges: DataFrame,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b"): DataFrame = {
+    val e = newEdges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(eager = true)
+    val a = assignment.select(col("id").cast("long").as("id"),
+      col("component_id").cast("long").as("component_id"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val nodeComp = nodes.join(a, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component_id"), col("id")).as("comp"))
+      .localCheckpoint(eager = true)
+    val compEdges = e
+      .join(nodeComp.select(col("id").as("src"), col("comp").as("ca")), "src")
+      .join(nodeComp.select(col("id").as("dst"), col("comp").as("cb")), "dst")
+      .select(col("ca").as("id_a"), col("cb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    val meta = connectedComponents(compEdges)
+      .select(col("id").as("old_comp"), col("component_id").as("new_comp"))
+    val updatedOld = a
+      .join(broadcast(meta), col("component_id") === col("old_comp"), "left")
+      .select(col("id"), coalesce(col("new_comp"), col("component_id")).as("component_id"))
+    val newAssigned = nodeComp
+      .join(a.select("id"), Seq("id"), "left_anti")
+      .join(broadcast(meta), col("comp") === col("old_comp"), "left")
+      .select(col("id"), coalesce(col("new_comp"), col("comp")).as("component_id"))
+    updatedOld.union(newAssigned)
+  }
+
   /** Duplicate-cluster resolution over a document table: label every doc
     * with its near-dup cluster (docs in no pair are their own singleton
     * cluster), the cluster size, and the keep-first canonical flag
