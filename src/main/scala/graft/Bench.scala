@@ -138,12 +138,21 @@ object Bench {
     val RocksProvider =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     // warm each provider's path first (state-store init + codegen + JIT
-    // dominated the first run and made the reported number swing 4×)
+    // dominated the first run and made the reported number swing 4×).
+    // 1× measurements run BEFORE either 10× run and each measured run
+    // starts GC'd: the 100k-event run allocates ~10 GB of state + events
+    // and its GC storm (measured 40 s of collection time) poisoned
+    // whatever ran next — in the r5 interim run the RocksDB 1× rate read
+    // 7.9k ev/s right after the HDFS 10× run vs 24.9k in a clean session.
     safeThroughput(None, nTx = 1000)
-    val evHdfs = safeThroughput(None, nTx = 10000).round
-    val evHdfs10x = safeThroughput(None, nTx = 100000).round
     safeThroughput(Some(RocksProvider), nTx = 1000)
+    gcBetweenSections()
+    val evHdfs = safeThroughput(None, nTx = 10000).round
+    gcBetweenSections()
     val evRocks = safeThroughput(Some(RocksProvider), nTx = 10000).round
+    gcBetweenSections()
+    val evHdfs10x = safeThroughput(None, nTx = 100000).round
+    gcBetweenSections()
     val evRocks10x = safeThroughput(Some(RocksProvider), nTx = 100000).round
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     diag("stream") = jvmDiag()

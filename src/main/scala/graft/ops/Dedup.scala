@@ -87,7 +87,7 @@ object Dedup {
     * is a NO-OP — the round-robin shuffle only fires for under-split
     * inputs, where it moves less data than the explode shuffle it
     * replaced ever did. */
-  private def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batch partitioning is the source's
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism

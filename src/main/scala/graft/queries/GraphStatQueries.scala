@@ -39,10 +39,13 @@ object GraphStatQueries {
     * and closure is an equi-join back on the canonical edge set —
     * everything is edge-list-sized, the corpus is never re-touched. */
   def q145_knn_triangles(spark: SparkSession, dir: String): DataFrame = {
-    val und = knnEdges(spark, dir)
+    // tracked-cached: the canonical edge set feeds FOUR consumers (degree
+    // + the three triangle roles) — uncached, the whole IVF-kNN chain
+    // would execute once per consumer
+    val und = graft.ops.Dedup.cacheTracked(knnEdges(spark, dir)
       .select(least(col("query_id"), col("neighbor_id")).as("u"),
         greatest(col("query_id"), col("neighbor_id")).as("v"))
-      .distinct()
+      .distinct())
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))

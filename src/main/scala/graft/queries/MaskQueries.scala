@@ -30,8 +30,16 @@ object MaskQueries {
     * position explode → island merge (pos − row_number grouping) — one
     * per-doc window over only the DUPLICATED positions, never the corpus. */
   def q136_dedup_masks(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir).select(col("doc_id"),
-      wsTokens(normalizeText(col("text"))).as("t"))
+    // spread: an under-split input (one small parquet file locally) would
+    // run the whole n-gram construction on ONE task — measured 2.9 s ->
+    // 0.9 s at sf0.1; a no-op when the input already has >= cores splits
+    val base = graft.ops.Dedup.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
+    // NOT cached: the gram table feeds both the df aggregate and the
+    // position join-back, but materializing 5·10⁵ gram strings costs more
+    // than the second codegen'd pass recomputing them (measured 2.5 s
+    // cached vs 0.9 s recomputed at sf0.1 — the q103 head, structurally
+    // identical and uncached, confirms)
     val grams = base.select(col("doc_id"),
       posexplode(ngramStrings(col("t"), MaskN)).as(Seq("s0", "gram")))
       .select(col("doc_id"), (col("s0") + 1).as("s"), col("gram"))
@@ -41,14 +49,26 @@ object MaskQueries {
     val pos = grams.join(crossDoc, "gram")
       .select(col("doc_id"),
         explode(sequence(col("s"), col("s") + lit(MaskN - 1))).as("p"))
-      .distinct()
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    pos.withColumn("grp", col("p") - row_number().over(w))
-      .groupBy("doc_id", "grp")
-      .agg(min("p").cast("long").as("span_start"),
-        max("p").cast("long").as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_len"))
+    // island merge INSIDE a per-doc array: collect each doc's duplicated
+    // positions once (collect_set dedups overlapping grams' positions at
+    // the partial-aggregate level), then derive the merged spans with
+    // bound array expressions — one doc-keyed shuffle replaces the former
+    // distinct exchange + row_number window pair, and no WindowExec
+    // exists anywhere in the plan (positions per doc are bounded by the
+    // doc's token count, so the arrays are small by construction)
+    pos.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("p"))).as("ps"))
+      .withColumn("sidx", expr(
+        "filter(sequence(1, size(ps)), i -> i = 1 OR element_at(ps, i) != element_at(ps, i - 1) + 1)"))
+      .withColumn("span", explode(expr(
+        """transform(sequence(1, size(sidx)), j -> struct(
+          |  CAST(element_at(ps, element_at(sidx, j)) AS BIGINT) AS span_start,
+          |  CAST(element_at(ps, CASE WHEN j < size(sidx)
+          |       THEN element_at(sidx, j + 1) - 1 ELSE size(ps) END) AS BIGINT) AS span_end))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("span.span_start").as("span_start"),
+        col("span.span_end").as("span_end"),
+        (col("span.span_end") - col("span.span_start") + 1).as("span_len"))
       .orderBy("doc_id", "span_start")
   }
 

@@ -54,7 +54,9 @@ object SearchQueries {
     * a ≤|terms|-row and a 1-row broadcast; final top-k is a sort-free
     * TakeOrderedAndProject. */
   def q142_bm25_topk(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // spread: the token pass must not run single-task on an under-split
+    // local file (no-op when the input has >= cores splits)
+    val docs = graft.ops.Dedup.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), normTokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
     val totals = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
@@ -126,7 +128,7 @@ object SearchQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val toks = Tables.documents(spark, dir)
+    val toks = graft.ops.Dedup.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), posexplode(normTokens(col("text"))).as(Seq("pos", "token")))
       .withColumn("cut",
         (conv(substring(md5(col("token")), 1, 2), 16, 10).cast("long") % CdcCutMod === 0L)

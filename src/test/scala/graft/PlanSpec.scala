@@ -487,18 +487,21 @@ class PlanSpec extends SparkSpec {
       s"PageRank rounds must never window over a single partition:\n$plan")
   }
 
-  test("q136 dup-span masks: island window partitions by doc over duplicated positions only") {
+  test("q136 dup-span masks: equi-join gram matching, island merge holds no window at all") {
     val plan = executed(graft.queries.MaskQueries.q136_dedup_masks(spark, sfDir))
     val nodes = collectAll(plan)
     assert(nodes.collect {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
       case j: BroadcastNestedLoopJoinExec => j
     }.isEmpty, s"cross-doc gram matching must stay an equi-join:\n$plan")
+    // the island merge moved INSIDE a per-doc array expression (collect_set
+    // → bound span transform): the plan must carry no WindowExec anywhere —
+    // the former doc-partitioned row_number window cost an extra exchange
     val windows = nodes.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
-      s"the island-merge window must partition by doc_id, never SinglePartition:\n$plan")
+    assert(windows.isEmpty,
+      s"the island merge is an array expression now — no WindowExec expected:\n$plan")
   }
 
   test("q138 vocab growth: doc index is two-phase; the cumsum window is decile-sized") {
