@@ -84,8 +84,13 @@ object Plans {
     "q131_pagerank" -> "PageRank: per round one edge equijoin + one dst partial aggregate, edge-list-bounded",
     "q132_session_paths" -> "session paths: one sorted collect per session group, then session-count-sized aggregates",
     "q135_cluster_keeper" -> "cluster keeper: CC labels + per-cluster max-of-struct argmax, no corpus window",
-    "q136_dedup_masks" -> "dup-span masks: gram equijoin -> bounded position explode -> island window over DUPLICATED positions only",
-    "q138_vocab_growth" -> "Heaps curve: two-phase doc index, min-decile per gram type, constant-partition cumsum over 10 rows"
+    "q136_dedup_masks" -> "dup-span masks: spread gram pass, equijoin -> bounded position explode -> WINDOW-FREE per-doc array island merge",
+    "q138_vocab_growth" -> "Heaps curve: two-phase doc index, min-decile per gram type, constant-partition cumsum over 10 rows",
+    "q142_bm25_topk" -> "BM25 retrieval: probe-term filter BEFORE any shuffle, df + totals broadcast, TakeOrderedAndProject top-k",
+    "q144_cdc_chunks" -> "content-defined chunks: spread token pass, doc-partitioned chunk-id window, ownership on the digest shuffle",
+    "q145_knn_triangles" -> "kNN triangles: cached canonical edge set, wedge equijoins bounded by deg<=2k, never |V|^2",
+    "q146_knn_outliers" -> "kth-neighbor outliers: per-query max-of-struct argmax, one global exact percentile, broadcast threshold",
+    "q152_market_share" -> "TPC-H Q8 star: fact streams once, both nation roles + region + supplier broadcast, AQE re-plans the customer join"
   )
 
   def main(args: Array[String]): Unit = {

@@ -528,4 +528,41 @@ class PlanSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
     }.isEmpty, s"no stage of the growth curve may go all-pairs:\n$plan")
   }
+
+  test("q142 BM25: df/totals broadcast, top-k via TakeOrdered, no corpus-wide sort") {
+    val plan = executed(graft.queries.SearchQueries.q142_bm25_topk(spark, sfDir))
+    val nodes = collectAll(plan)
+    assert(nodes.exists {
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _ => false
+    }, s"top-k must be TakeOrderedAndProject, not a global sort+limit:\n$plan")
+    // the 1-row corpus-totals frame attaches as a broadcast cross join —
+    // fine (build side is one row); an unbroadcast cartesian is not
+    assert(nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"totals must broadcast, never a partitioned cartesian:\n$plan")
+  }
+
+  test("q145 triangles: every join is an equi-join over the edge list, nothing all-pairs") {
+    val plan = executed(graft.queries.GraphStatQueries.q145_knn_triangles(spark, sfDir))
+    val nodes = collectAll(plan)
+    assert(nodes.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"wedge closure must stay hash equi-joins on edge endpoints:\n$plan")
+  }
+
+  test("q152 market share: dims broadcast, the fact side never sort-merges") {
+    val plan = executed(graft.queries.JourneyQueries.q152_market_share(spark, sfDir))
+    val nodes = collectAll(plan)
+    val bhj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 4,
+      s"nation x2/region/supplier (and small sides under AQE) must broadcast, got ${bhj.size}:\n$plan")
+    assert(nodes.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"no nested-loop anywhere in the star:\n$plan")
+  }
 }
