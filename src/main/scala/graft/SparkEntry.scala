@@ -24,7 +24,8 @@ object SparkEntry {
       MiningQueries.defs ++ PatternQueries.defs ++ DriftQueries.defs ++
       HygieneQueries.defs ++ FlowQueries.defs ++ BalanceQueries.defs ++
       MaskQueries.defs ++ BudgetQueries.defs ++ SearchQueries.defs ++
-      GraphStatQueries.defs ++ OpsAuditQueries.defs ++ JourneyQueries.defs
+      GraphStatQueries.defs ++ OpsAuditQueries.defs ++ JourneyQueries.defs ++
+      TuningQueries.defs ++ BehaviorQueries.defs ++ NormQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
@@ -33,5 +34,6 @@ object SparkEntry {
       MiningQueries.oracles ++ PatternQueries.oracles ++ DriftQueries.oracles ++
       HygieneQueries.oracles ++ FlowQueries.oracles ++ BalanceQueries.oracles ++
       MaskQueries.oracles ++ BudgetQueries.oracles ++ SearchQueries.oracles ++
-      GraphStatQueries.oracles ++ OpsAuditQueries.oracles ++ JourneyQueries.oracles
+      GraphStatQueries.oracles ++ OpsAuditQueries.oracles ++ JourneyQueries.oracles ++
+      TuningQueries.oracles ++ BehaviorQueries.oracles ++ NormQueries.oracles
 }
