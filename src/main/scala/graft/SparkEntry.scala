@@ -25,7 +25,9 @@ object SparkEntry {
       HygieneQueries.defs ++ FlowQueries.defs ++ BalanceQueries.defs ++
       MaskQueries.defs ++ BudgetQueries.defs ++ SearchQueries.defs ++
       GraphStatQueries.defs ++ OpsAuditQueries.defs ++ JourneyQueries.defs ++
-      TuningQueries.defs ++ BehaviorQueries.defs ++ NormQueries.defs
+      TuningQueries.defs ++ BehaviorQueries.defs ++ NormQueries.defs ++
+      ProjectionQueries.defs ++ SketchQueries.defs ++ KeywordQueries.defs ++
+      RetailQueries.defs ++ SeriesQueries.defs ++ LabelQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
@@ -35,5 +37,7 @@ object SparkEntry {
       HygieneQueries.oracles ++ FlowQueries.oracles ++ BalanceQueries.oracles ++
       MaskQueries.oracles ++ BudgetQueries.oracles ++ SearchQueries.oracles ++
       GraphStatQueries.oracles ++ OpsAuditQueries.oracles ++ JourneyQueries.oracles ++
-      TuningQueries.oracles ++ BehaviorQueries.oracles ++ NormQueries.oracles
+      TuningQueries.oracles ++ BehaviorQueries.oracles ++ NormQueries.oracles ++
+      ProjectionQueries.oracles ++ SketchQueries.oracles ++ KeywordQueries.oracles ++
+      RetailQueries.oracles ++ SeriesQueries.oracles ++ LabelQueries.oracles
 }

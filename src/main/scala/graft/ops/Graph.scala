@@ -163,4 +163,57 @@ object Graph {
       .withColumn("is_canonical", (col("doc_id") === col("component_id")).cast("int"))
       .select("doc_id", "component_id", "cluster_size", "is_canonical")
   }
+
+  /** X187 — k-core decomposition (iterative peel): the maximal subgraph
+    * in which every node keeps degree ≥ k. Per round: degree aggregate →
+    * drop under-degree nodes → drop their edges; repeat to the fixpoint
+    * (no edge removed). On the kNN graph (q91) the k-core separates the
+    * dense semantic regions (core members) from bridges and stragglers —
+    * the structural complement of q146's kth-neighbor DISTANCE outliers,
+    * and the candidate set for q98-style coreset seeding.
+    *
+    * Returns `(id, deg)` for surviving nodes (degree inside the core).
+    * Multi-edges are collapsed (simple-graph degrees); self-loops
+    * dropped.
+    *
+    * Scale: every round is one degree aggregate + two semi-joins on the
+    * EDGE list (never node²); rounds are checkpoint-truncated like
+    * [[connectedComponents]] (lineage stays O(1)); convergence checks
+    * count already-materialized checkpoints. Peel rounds needed can be
+    * O(graph) on pathological chains — `maxIter` caps loudly, same
+    * contract as the CC loop.
+    */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b",
+      maxIter: Int = 100): DataFrame = {
+    require(k >= 1, "k-core needs k >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    var sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val keep = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val next = sym
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(eager = true)
+      converged = next.count() == sym.count()
+      sym = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kCore did not converge within maxIter=$maxIter peel rounds — raise maxIter")
+    sym.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+      .select(col("src").as("id"), col("deg"))
+  }
 }

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Relational
+
+/** Round-5 wave-15a structural operators: bipartite co-engagement graph
+  * projection (the item-item affinity graph recommenders and mixture
+  * planners read), and sweep-line peak concurrency (exact interval-overlap
+  * load without materializing any overlap pair).
+  *
+  * Oracle conventions as the sibling modules: exact integers end-to-end,
+  * identical aliases both sides, ORDER BY a unique key.
+  */
+object ProjectionQueries {
+
+  /** X171 — bipartite projection of the order↔brand engagement graph:
+    * orders are one side, part brands the other (dim attribute via a
+    * broadcast join — brand granularity keeps the projected graph
+    * |brands|²-bounded where raw part ids would make every pair unique),
+    * and the projection emits brand-brand edges weighted by co-purchase
+    * support plus integer lift ×1000 (support·N / (cnt_a·cnt_b) — the
+    * q117 association measure lifted from per-basket items to a projected
+    * GRAPH artifact downstreams can walk).
+    *
+    * Scale: the self-join fans out per order bounded by (distinct brands
+    * per order)² ≤ (lineitems per order)², never corpus²; brand totals
+    * and the order count ride as broadcasts; the pair aggregate is
+    * |brands|²-bounded. The reference consumes a keyed event stream —
+    * this is the co-engagement artifact its analytics twin publishes.
+    */
+  def q161_brand_copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ib = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand").as("brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select("okey", "brand").distinct()
+    val total = ib.select(countDistinct("okey").cast("long").as("n_orders"))
+    val brandCnt = ib.groupBy("brand").agg(count(lit(1)).cast("long").as("cnt"))
+    val pairs = ib.as("a")
+      .join(ib.as("b"), col("a.okey") === col("b.okey") &&
+        col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).cast("long").as("support"))
+    pairs
+      .join(broadcast(brandCnt).withColumnRenamed("brand", "brand_a")
+        .withColumnRenamed("cnt", "cnt_a"), Seq("brand_a"))
+      .join(broadcast(brandCnt).withColumnRenamed("brand", "brand_b")
+        .withColumnRenamed("cnt", "cnt_b"), Seq("brand_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_x1000",
+        expr("(1000 * support * n_orders) div (cnt_a * cnt_b)"))
+      .select("brand_a", "brand_b", "support", "lift_x1000")
+      .orderBy("brand_a", "brand_b")
+  }
+
+  /** X173 — sweep-line peak concurrency: the maximum number of
+    * simultaneously-open gap-sessions (q29's 30-minute rule) per UTC day,
+    * computed EXACTLY without materializing a single overlap pair — each
+    * session contributes a +1 boundary at its start and a −1 boundary one
+    * millisecond after its last event, and the peak is the running-sum
+    * maximum over the boundary stream (the capacity-planning read behind
+    * "how many concurrent users must the state store hold").
+    *
+    * Scale: 2 rows per session (≪ events); the running sum is the
+    * two-phase [[Relational.globalCumSum]] — range shuffle + local window
+    * + broadcast prefix offsets, never a single-task global window. Total
+    * order (ts, delta, user_id, session_seq) puts closes before opens at
+    * the same millisecond, so back-to-back sessions never double-count.
+    * A session spanning midnight credits its boundaries to the days they
+    * land in (peak is per boundary day — documented convention, same
+    * formula in the oracle).
+    */
+  def q163_peak_concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Relational.sessionize(Tables.events(spark, dir),
+      Seq("user_id"), col("ts_ms"), col("event_id"), CdcQueries.SessionGapMs)
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"))
+    val bounds = sess.select(col("user_id"), col("session_seq"),
+        col("start_ms").as("ts"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("user_id"), col("session_seq"),
+        (col("end_ms") + 1).as("ts"), lit(-1L).as("delta")))
+    Relational.globalCumSum(bounds,
+        Seq(col("ts"), col("delta"), col("user_id"), col("session_seq")),
+        col("delta"), "conc")
+      .withColumn("day", expr("ts div 86400000"))
+      .groupBy("day")
+      .agg(max("conc").cast("long").as("peak"),
+        count(lit(1)).cast("long").as("n_boundaries"))
+      .orderBy("day")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_brand_copurchase" -> q161_brand_copurchase,
+    "q163_peak_concurrency" -> q163_peak_concurrency
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    "q161_brand_copurchase" ->
+      """WITH ib AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ib),
+        |bc AS (SELECT brand, CAST(count(*) AS BIGINT) AS cnt FROM ib GROUP BY brand),
+        |pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |              CAST(count(*) AS BIGINT) AS support
+        |       FROM ib a JOIN ib b ON a.okey = b.okey AND a.brand < b.brand
+        |       GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, support,
+        |       CAST((1000 * support * n_orders) // (ca.cnt * cb.cnt) AS BIGINT)
+        |         AS lift_x1000
+        |FROM pr
+        |JOIN bc ca ON ca.brand = pr.brand_a
+        |JOIN bc cb ON cb.brand = pr.brand_b
+        |CROSS JOIN tot
+        |ORDER BY brand_a, brand_b""".stripMargin,
+    "q163_peak_concurrency" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),
+         |lagged AS (SELECT *,
+         |                  lag(ts_ms) OVER (PARTITION BY user_id
+         |                                   ORDER BY ts_ms, event_id) AS prev_ts
+         |           FROM e),
+         |labeled AS (SELECT *,
+         |                   CAST(sum(CASE WHEN prev_ts IS NULL
+         |                                 OR ts_ms - prev_ts > ${CdcQueries.SessionGapMs}
+         |                            THEN 1 ELSE 0 END)
+         |                        OVER (PARTITION BY user_id
+         |                              ORDER BY ts_ms, event_id
+         |                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |                     AS session_seq
+         |            FROM lagged),
+         |sess AS (SELECT user_id, session_seq,
+         |                min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+         |         FROM labeled GROUP BY user_id, session_seq),
+         |bounds AS (
+         |  SELECT user_id, session_seq, start_ms AS ts, CAST(1 AS BIGINT) AS delta
+         |  FROM sess
+         |  UNION ALL
+         |  SELECT user_id, session_seq, end_ms + 1 AS ts, CAST(-1 AS BIGINT) AS delta
+         |  FROM sess),
+         |swept AS (SELECT ts, CAST(sum(delta) OVER (ORDER BY ts, delta, user_id,
+         |                 session_seq ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+         |          FROM bounds)
+         |SELECT CAST(ts // 86400000 AS BIGINT) AS day,
+         |       CAST(max(conc) AS BIGINT) AS peak,
+         |       CAST(count(*) AS BIGINT) AS n_boundaries
+         |FROM swept GROUP BY 1 ORDER BY day""".stripMargin
+  )
+}

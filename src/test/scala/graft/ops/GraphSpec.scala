@@ -88,4 +88,39 @@ class GraphSpec extends SparkSpec {
     assert(out.filter(col("component_id") === 0L).count() == 20)
     assert(out.filter(col("is_canonical") === 1).count() == 1)
   }
+
+  /** Reference k-core: iterative peel on an adjacency map, driver-side. */
+  private def bruteKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var adj = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (n, nb) if nb.size < k => n }.toSet
+      changed = drop.nonEmpty
+      adj = (adj -- drop).view.mapValues(_ -- drop).toMap.filter(_._2.nonEmpty)
+    }
+    adj.map { case (n, nb) => n -> nb.size.toLong }
+  }
+
+  test("kCore: triangle with a pendant — 2-core keeps the triangle, drops the pendant") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Graph.kCore(edges, k = 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // chain collapse: peeling the pendant re-exposes new pendants round by round
+    val chain = (0L until 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    assert(Graph.kCore(chain, k = 2).count() == 0)
+  }
+
+  test("kCore matches the driver-side peel on seeded random graphs, incl. multi-edges") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 14
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        Seq((1L, 1L), (2L, 3L), (2L, 3L)) // self-loop + multi-edge hygiene
+      val k = 2 + trial % 2
+      val got = Graph.kCore(edges.toDF("id_a", "id_b"), k).as[(Long, Long)].collect().toMap
+      assert(got == bruteKCore(edges, k), s"trial $trial k=$k")
+    }
+  }
 }
