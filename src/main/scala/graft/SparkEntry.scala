@@ -27,7 +27,8 @@ object SparkEntry {
       GraphStatQueries.defs ++ OpsAuditQueries.defs ++ JourneyQueries.defs ++
       TuningQueries.defs ++ BehaviorQueries.defs ++ NormQueries.defs ++
       ProjectionQueries.defs ++ SketchQueries.defs ++ KeywordQueries.defs ++
-      RetailQueries.defs ++ SeriesQueries.defs ++ LabelQueries.defs
+      RetailQueries.defs ++ SeriesQueries.defs ++ LabelQueries.defs ++
+      MonitorQueries.defs ++ ReshapeQueries.defs ++ ReconcileQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
@@ -39,5 +40,6 @@ object SparkEntry {
       GraphStatQueries.oracles ++ OpsAuditQueries.oracles ++ JourneyQueries.oracles ++
       TuningQueries.oracles ++ BehaviorQueries.oracles ++ NormQueries.oracles ++
       ProjectionQueries.oracles ++ SketchQueries.oracles ++ KeywordQueries.oracles ++
-      RetailQueries.oracles ++ SeriesQueries.oracles ++ LabelQueries.oracles
+      RetailQueries.oracles ++ SeriesQueries.oracles ++ LabelQueries.oracles ++
+      MonitorQueries.oracles ++ ReshapeQueries.oracles ++ ReconcileQueries.oracles
 }

@@ -39,7 +39,7 @@ object CdcQueries {
     * testdata row counts). */
   val CadenceN = 500
 
-  private def statusCaseSql(c: String): String =
+  private[queries] def statusCaseSql(c: String): String =
     "CASE " + StatusMapping.map { case (k, v) => s"WHEN $c = '$k' THEN '$v'" }
       .mkString(" ") + s" ELSE '$StatusDefault' END"
 

@@ -119,10 +119,43 @@ object GraphStatQueries {
       .orderBy("label")
   }
 
+  /** Candidate links reported by q178. */
+  val LinkTopK = 20
+
+  /** X193 — common-neighbor link prediction over the kNN graph: for
+    * node pairs NOT already connected, the number of shared neighbors
+    * (the classic link-prediction / "you may also like" score, and on
+    * an embedding kNN graph the near-miss detector: two vectors the
+    * index didn't connect but whose neighborhoods agree — candidates a
+    * dedup or retrieval pass should re-examine). Top [[LinkTopK]] by
+    * (common neighbors desc, pair).
+    *
+    * Scale: the wedge join is the q145 machinery — Σdeg² with deg ≤ 2k,
+    * a constant per node; the non-edge screen is a LEFT ANTI against
+    * the canonical edge set; everything edge-list-sized, never |V|². */
+  def q178_link_prediction(spark: SparkSession, dir: String): DataFrame = {
+    val und = graft.ops.Dedup.cacheTracked(knnEdges(spark, dir)
+      .select(least(col("query_id"), col("neighbor_id")).as("u"),
+        greatest(col("query_id"), col("neighbor_id")).as("v"))
+      .distinct())
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("u"), col("y.nbr").as("v"))
+    wedges.groupBy("u", "v")
+      .agg(count(lit(1)).cast("long").as("common_neighbors"))
+      .join(und, Seq("u", "v"), "left_anti")
+      .orderBy(col("common_neighbors").desc, col("u"), col("v"))
+      .limit(LinkTopK)
+      .select(col("u").as("id_a"), col("v").as("id_b"), col("common_neighbors"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_knn_triangles" -> q145_knn_triangles,
     "q146_knn_outliers" -> q146_knn_outliers,
-    "q147_embed_drift" -> q147_embed_drift
+    "q147_embed_drift" -> q147_embed_drift,
+    "q178_link_prediction" -> q178_link_prediction
   )
 
   // ---------------------------------------------------------------- oracles
@@ -181,6 +214,23 @@ object GraphStatQueries {
          |SELECT label, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
          |       CAST(sum((mean_a_x1k - mean_b_x1k) * (mean_a_x1k - mean_b_x1k)) AS BIGINT)
          |         AS drift_sq
-         |FROM m GROUP BY label ORDER BY label""".stripMargin
+         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    "q178_link_prediction" ->
+      s"""WITH ${OlapQueries.knnChainSql},
+         |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= $KnnK),
+         |und AS (SELECT DISTINCT least(query_id, neighbor_id) AS u,
+         |               greatest(query_id, neighbor_id) AS v FROM knn),
+         |adj AS (SELECT u AS node, v AS nbr FROM und
+         |        UNION ALL
+         |        SELECT v AS node, u AS nbr FROM und),
+         |w AS (SELECT x.nbr AS u, y.nbr AS v
+         |      FROM adj x JOIN adj y ON x.node = y.node AND x.nbr < y.nbr),
+         |cn AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors
+         |       FROM w GROUP BY u, v),
+         |ne AS (SELECT cn.u, cn.v, cn.common_neighbors
+         |       FROM cn LEFT JOIN und ON und.u = cn.u AND und.v = cn.v
+         |       WHERE und.u IS NULL)
+         |SELECT u AS id_a, v AS id_b, common_neighbors
+         |FROM ne ORDER BY common_neighbors DESC, u, v LIMIT $LinkTopK""".stripMargin
   )
 }
