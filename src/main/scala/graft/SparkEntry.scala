@@ -28,7 +28,8 @@ object SparkEntry {
       TuningQueries.defs ++ BehaviorQueries.defs ++ NormQueries.defs ++
       ProjectionQueries.defs ++ SketchQueries.defs ++ KeywordQueries.defs ++
       RetailQueries.defs ++ SeriesQueries.defs ++ LabelQueries.defs ++
-      MonitorQueries.defs ++ ReshapeQueries.defs ++ ReconcileQueries.defs
+      MonitorQueries.defs ++ ReshapeQueries.defs ++ ReconcileQueries.defs ++
+      EvalQueries.defs ++ StatQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
@@ -41,5 +42,6 @@ object SparkEntry {
       TuningQueries.oracles ++ BehaviorQueries.oracles ++ NormQueries.oracles ++
       ProjectionQueries.oracles ++ SketchQueries.oracles ++ KeywordQueries.oracles ++
       RetailQueries.oracles ++ SeriesQueries.oracles ++ LabelQueries.oracles ++
-      MonitorQueries.oracles ++ ReshapeQueries.oracles ++ ReconcileQueries.oracles
+      MonitorQueries.oracles ++ ReshapeQueries.oracles ++ ReconcileQueries.oracles ++
+      EvalQueries.oracles ++ StatQueries.oracles
 }

@@ -53,21 +53,30 @@ object SearchQueries {
     * probe-term filter BEFORE any shuffle); df and the corpus totals are
     * a ≤|terms|-row and a 1-row broadcast; final top-k is a sort-free
     * TakeOrderedAndProject. */
-  def q142_bm25_topk(spark: SparkSession, dir: String): DataFrame = {
+  /** The probe-term tf frame `(doc_id, dl, term, tf)` — the shared front
+    * of BM25 scoring, also reused by q181's query-likelihood ranker. */
+  private[queries] def bm25Tf(spark: SparkSession, dir: String): DataFrame = {
     // spread: the token pass must not run single-task on an under-split
     // local file (no-op when the input has >= cores splits)
+    graft.ops.Dedup.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), normTokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Per-doc BM25 score `(doc_id, score, n_terms_hit)` over the probe
+    * terms — q142's scoring chain, shared with q181's fusion. */
+  private[queries] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.ops.Dedup.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), normTokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
     val totals = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
-    val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(Bm25Terms: _*))
-      .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).as("tf"))
+    val tf = bm25Tf(spark, dir)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(df), "term")
+    tf.join(broadcast(df), "term")
       .crossJoin(broadcast(totals))
       .withColumn("norm_x1k",
         expr(s"${1000L - Bx1k} + ($Bx1k * dl * n_docs) div total_dl"))
@@ -77,6 +86,10 @@ object SearchQueries {
       .withColumn("contrib", expr("(idf_x1k * tfsat_x1k) div 1000"))
       .groupBy("doc_id")
       .agg(sum("contrib").as("score"), count(lit(1)).as("n_terms_hit"))
+  }
+
+  def q142_bm25_topk(spark: SparkSession, dir: String): DataFrame = {
+    val scored = bm25Scored(spark, dir)
     val top = scored.orderBy(col("score").desc, col("doc_id")).limit(Bm25K)
     top.withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -166,31 +179,38 @@ object SearchQueries {
 
   private val termList = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
 
+  /** The q142 BM25 oracle chain (tokenize → probe-term tf → df/totals →
+    * score → global rank as CTE `top`; `tf` carries (doc_id, dl, term,
+    * tf) for rankers that reuse the candidate pass) — shared with
+    * q181's fusion oracle. */
+  private[queries] lazy val bm25ChainSql: String =
+    s"""d AS (SELECT doc_id, $normToks AS toks,
+       |                  CAST(len($normToks) AS BIGINT) AS dl
+       |           FROM documents),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |               CAST(sum(dl) AS BIGINT) AS total_dl FROM d),
+       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |       WHERE list_contains($termList, term)
+       |       GROUP BY doc_id, dl, term),
+       |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |s AS (
+       |  SELECT tf.doc_id,
+       |         (${1000L - Bx1k} + ($Bx1k * tf.dl * t.n_docs) // t.total_dl) AS norm_x1k,
+       |         (1000 * (t.n_docs - dfr.df + 1)) // (dfr.df + 1) AS idf_x1k,
+       |         (tf.tf * ${K1x1k + 1000L} * 1000)
+       |           // (tf.tf * 1000 + ($K1x1k * (${1000L - Bx1k} + ($Bx1k * tf.dl * t.n_docs) // t.total_dl)) // 1000)
+       |           AS tfsat_x1k
+       |  FROM tf JOIN dfr USING (term) CROSS JOIN tot t),
+       |sc AS (SELECT doc_id, CAST(sum((idf_x1k * tfsat_x1k) // 1000) AS BIGINT) AS score,
+       |              CAST(count(*) AS BIGINT) AS n_terms_hit
+       |       FROM s GROUP BY doc_id),
+       |top AS (SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |        FROM sc)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q142_bm25_topk" ->
-      s"""WITH d AS (SELECT doc_id, $normToks AS toks,
-         |                  CAST(len($normToks) AS BIGINT) AS dl
-         |           FROM documents),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |               CAST(sum(dl) AS BIGINT) AS total_dl FROM d),
-         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
-         |       WHERE list_contains($termList, term)
-         |       GROUP BY doc_id, dl, term),
-         |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-         |s AS (
-         |  SELECT tf.doc_id,
-         |         (${1000L - Bx1k} + ($Bx1k * tf.dl * t.n_docs) // t.total_dl) AS norm_x1k,
-         |         (1000 * (t.n_docs - dfr.df + 1)) // (dfr.df + 1) AS idf_x1k,
-         |         (tf.tf * ${K1x1k + 1000L} * 1000)
-         |           // (tf.tf * 1000 + ($K1x1k * (${1000L - Bx1k} + ($Bx1k * tf.dl * t.n_docs) // t.total_dl)) // 1000)
-         |           AS tfsat_x1k
-         |  FROM tf JOIN dfr USING (term) CROSS JOIN tot t),
-         |sc AS (SELECT doc_id, CAST(sum((idf_x1k * tfsat_x1k) // 1000) AS BIGINT) AS score,
-         |              CAST(count(*) AS BIGINT) AS n_terms_hit
-         |       FROM s GROUP BY doc_id),
-         |top AS (SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-         |        FROM sc)
+      s"""WITH $bm25ChainSql
          |SELECT rank, doc_id, score, n_terms_hit
          |FROM top WHERE rank <= $Bm25K ORDER BY rank""".stripMargin,
     "q143_filtered_ann" ->
