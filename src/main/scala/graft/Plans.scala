@@ -90,7 +90,20 @@ object Plans {
     "q144_cdc_chunks" -> "content-defined chunks: spread token pass, doc-partitioned chunk-id window, ownership on the digest shuffle",
     "q145_knn_triangles" -> "kNN triangles: cached canonical edge set, wedge equijoins bounded by deg<=2k, never |V|^2",
     "q146_knn_outliers" -> "kth-neighbor outliers: per-query max-of-struct argmax, one global exact percentile, broadcast threshold",
-    "q152_market_share" -> "TPC-H Q8 star: fact streams once, both nation roles + region + supplier broadcast, AQE re-plans the customer join"
+    "q152_market_share" -> "TPC-H Q8 star: fact streams once, both nation roles + region + supplier broadcast, AQE re-plans the customer join",
+    "q161_brand_copurchase" -> "bipartite projection: brand via broadcast dim, pair fan-out bounded per order, one pair-key shuffle",
+    "q163_peak_concurrency" -> "sweep line: +1/-1 session deltas, per-day running max inside a day-partitioned window, no overlap pairs",
+    "q168_rfm_segments" -> "RFM: per-user aggregate then three globalIndex quintile passes, no single-partition window",
+    "q178_link_prediction" -> "link prediction: wedge equijoins on the cached canonical edge list + LEFT ANTI non-edge screen, TakeOrdered cut",
+    "q181_rrf_fusion" -> "RRF: both rankers share the probe-term candidate pass (ReuseExchange), each cut by TakeOrdered, fusion on <=60 rows",
+    "q182_ndcg_at_k" -> "NDCG: IVF kNN graph + two label equijoins, literal discount arrays, |labels|-row final aggregate",
+    "q184_knn_confusion" -> "confusion: q108 vote chain feeds two |labels|-row aggregates full-outer-joined, nothing corpus-wide after votes",
+    "q185_rater_kappa" -> "kappa: Rocchio rater = broadcast |labels| centroids + max-of-struct argmax (no window), marginals are |labels|-row",
+    "q187_mann_kendall" -> "Mann-Kendall: pair space is |days|^2 per type (calendar-bounded), lower-median via per-type window over pairs",
+    "q189_spearman_rfm" -> "Spearman: ranks from two two-phase globalIndex passes, 1-row moment aggregate, no corpus window",
+    "q190_phrase_search" -> "phrase search: probe-term postings filter before any shuffle, (doc,pos+i) equijoins, TakeOrdered cut",
+    "q191_mmr_rerank" -> "MMR: TakeOrdered candidate cut, pairwise dots + greedy fold all inside the plan on MmrCand^2 rows",
+    "q192_bloom_decontam" -> "bloom decontam: eval bitset broadcasts, two left-semi broadcast probes map-side, only candidates shuffle to the exact join"
   )
 
   def main(args: Array[String]): Unit = {

@@ -29,7 +29,7 @@ object SparkEntry {
       ProjectionQueries.defs ++ SketchQueries.defs ++ KeywordQueries.defs ++
       RetailQueries.defs ++ SeriesQueries.defs ++ LabelQueries.defs ++
       MonitorQueries.defs ++ ReshapeQueries.defs ++ ReconcileQueries.defs ++
-      EvalQueries.defs ++ StatQueries.defs
+      EvalQueries.defs ++ StatQueries.defs ++ RetrievalQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
@@ -43,5 +43,5 @@ object SparkEntry {
       ProjectionQueries.oracles ++ SketchQueries.oracles ++ KeywordQueries.oracles ++
       RetailQueries.oracles ++ SeriesQueries.oracles ++ LabelQueries.oracles ++
       MonitorQueries.oracles ++ ReshapeQueries.oracles ++ ReconcileQueries.oracles ++
-      EvalQueries.oracles ++ StatQueries.oracles
+      EvalQueries.oracles ++ StatQueries.oracles ++ RetrievalQueries.oracles
 }

@@ -158,7 +158,50 @@ object StatQueries {
       .select("n_users", "sum_d2", "rho_x1e6")
   }
 
+  /** X211 — maximal burst window (Kadane): per event type, the
+    * contiguous day span with the largest total deviation above the
+    * floored mean (`dev_d = c_d − (Σc div n)`, q186's prescale) — the
+    * "when was the surge, exactly" report that turns q174's CUSUM alarm
+    * into a bounded incident window. The classic linear-scan recurrence
+    * (restart when the running sum goes non-positive; strict improvement
+    * ⇒ FIRST maximal window wins) is order-dependent, so it runs as the
+    * q169/q174 codegen'd `aggregate` fold over the day-ordered array;
+    * the oracle replays the identical recurrence as a recursive CTE.
+    *
+    * Scale: one (type, day) cell pass; the fold runs on |types| rows of
+    * ≤|days| entries — calendar-bounded. */
+  def q193_burst_window(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val st = cells.groupBy("event_type").agg(sum("c").as("s"), count(lit(1)).as("n"))
+    cells.join(broadcast(st), "event_type")
+      .withColumn("dev", col("c") - expr("s div n"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("dev")))).as("dd"))
+      .withColumn("k", expr(
+        """aggregate(dd,
+          |  named_struct('best', CAST(-4611686018427387904 AS BIGINT),
+          |    'bs', CAST(0 AS BIGINT), 'be', CAST(0 AS BIGINT),
+          |    'cur', CAST(0 AS BIGINT), 'cs', CAST(0 AS BIGINT)),
+          |  (a, x) -> named_struct(
+          |    'best', CASE WHEN (CASE WHEN a.cur > 0 THEN a.cur ELSE CAST(0 AS BIGINT) END) + x.dev > a.best
+          |                 THEN (CASE WHEN a.cur > 0 THEN a.cur ELSE CAST(0 AS BIGINT) END) + x.dev
+          |                 ELSE a.best END,
+          |    'bs', CASE WHEN (CASE WHEN a.cur > 0 THEN a.cur ELSE CAST(0 AS BIGINT) END) + x.dev > a.best
+          |               THEN (CASE WHEN a.cur > 0 THEN a.cs ELSE x.day END)
+          |               ELSE a.bs END,
+          |    'be', CASE WHEN (CASE WHEN a.cur > 0 THEN a.cur ELSE CAST(0 AS BIGINT) END) + x.dev > a.best
+          |               THEN x.day ELSE a.be END,
+          |    'cur', (CASE WHEN a.cur > 0 THEN a.cur ELSE CAST(0 AS BIGINT) END) + x.dev,
+          |    'cs', CASE WHEN a.cur > 0 THEN a.cs ELSE x.day END))""".stripMargin))
+      .select(col("event_type"), col("k.bs").as("burst_start_day"),
+        col("k.be").as("burst_end_day"), col("k.best").as("burst_sum"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_burst_window" -> q193_burst_window,
     "q186_acf_daily" -> q186_acf_daily,
     "q187_mann_kendall" -> q187_mann_kendall,
     "q188_chi2_independence" -> q188_chi2_independence,
@@ -168,6 +211,42 @@ object StatQueries {
   // ---------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q193_burst_window" ->
+      """WITH RECURSIVE cells AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s,
+        |              CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY event_type),
+        |rk AS (SELECT cells.event_type, cells.day,
+        |              cells.c - (st.s // st.n) AS dev,
+        |              CAST(row_number() OVER (PARTITION BY cells.event_type
+        |                   ORDER BY cells.day) AS BIGINT) AS rk
+        |       FROM cells JOIN st USING (event_type)),
+        |r AS (
+        |  SELECT event_type, rk, day, dev,
+        |         dev AS cur, day AS cs,
+        |         dev AS best, day AS bs, day AS be
+        |  FROM rk WHERE rk = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.rk, n.day, n.dev,
+        |         (CASE WHEN r.cur > 0 THEN r.cur ELSE 0 END) + n.dev AS cur,
+        |         CASE WHEN r.cur > 0 THEN r.cs ELSE n.day END AS cs,
+        |         CASE WHEN (CASE WHEN r.cur > 0 THEN r.cur ELSE 0 END) + n.dev > r.best
+        |              THEN (CASE WHEN r.cur > 0 THEN r.cur ELSE 0 END) + n.dev
+        |              ELSE r.best END AS best,
+        |         CASE WHEN (CASE WHEN r.cur > 0 THEN r.cur ELSE 0 END) + n.dev > r.best
+        |              THEN (CASE WHEN r.cur > 0 THEN r.cs ELSE n.day END)
+        |              ELSE r.bs END AS bs,
+        |         CASE WHEN (CASE WHEN r.cur > 0 THEN r.cur ELSE 0 END) + n.dev > r.best
+        |              THEN n.day ELSE r.be END AS be
+        |  FROM r JOIN rk n ON n.event_type = r.event_type AND n.rk = r.rk + 1),
+        |last AS (SELECT event_type, max(rk) AS mrk FROM r GROUP BY event_type)
+        |SELECT r.event_type, CAST(r.bs AS BIGINT) AS burst_start_day,
+        |       CAST(r.be AS BIGINT) AS burst_end_day,
+        |       CAST(r.best AS BIGINT) AS burst_sum
+        |FROM r JOIN last ON last.event_type = r.event_type AND r.rk = last.mrk
+        |ORDER BY r.event_type""".stripMargin,
     "q186_acf_daily" ->
       s"""WITH cells AS (
          |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,

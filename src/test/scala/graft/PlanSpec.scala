@@ -552,6 +552,44 @@ class PlanSpec extends SparkSpec {
     }.isEmpty, s"wedge closure must stay hash equi-joins on edge endpoints:\n$plan")
   }
 
+  test("q190 phrase search: probe-term filter cuts the token stream before any shuffle") {
+    val plan = executed(graft.queries.RetrievalQueries.q190_phrase_search(spark, sfDir))
+    val nodes = collectAll(plan)
+    // positional intersection must be hash equi-joins on (doc, pos) —
+    // postings-sized, never corpus-sized nested loops
+    assert(nodes.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"phrase alignment must stay equi-joins:\n$plan")
+    assert(nodes.exists {
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _ => false
+    }, s"phrase top-k must be TakeOrderedAndProject:\n$plan")
+  }
+
+  test("q192 bloom decontam: the bitset prefilter broadcasts (train grams never shuffle to it)") {
+    val plan = executed(graft.queries.RetrievalQueries.q192_bloom_decontam(spark, sfDir))
+    val nodes = collectAll(plan)
+    val semis = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(semis.size >= 2,
+      s"both bloom-bit probes must be broadcast left-semi hash joins, got ${semis.size}:\n$plan")
+  }
+
+  test("q191 MMR: candidate cut is a TakeOrdered; the greedy fold adds no window") {
+    val plan = executed(graft.queries.RetrievalQueries.q191_mmr_rerank(spark, sfDir))
+    val nodes = collectAll(plan)
+    assert(nodes.exists {
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _ => false
+    }, s"MMR candidates must come from TakeOrderedAndProject:\n$plan")
+    assert(nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"the greedy selection is a fold, never a corpus window:\n$plan")
+  }
+
   test("q152 market share: dims broadcast, the fact side never sort-merges") {
     val plan = executed(graft.queries.JourneyQueries.q152_market_share(spark, sfDir))
     val nodes = collectAll(plan)
