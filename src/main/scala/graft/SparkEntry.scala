@@ -29,7 +29,8 @@ object SparkEntry {
       ProjectionQueries.defs ++ SketchQueries.defs ++ KeywordQueries.defs ++
       RetailQueries.defs ++ SeriesQueries.defs ++ LabelQueries.defs ++
       MonitorQueries.defs ++ ReshapeQueries.defs ++ ReconcileQueries.defs ++
-      EvalQueries.defs ++ StatQueries.defs ++ RetrievalQueries.defs
+      EvalQueries.defs ++ StatQueries.defs ++ RetrievalQueries.defs ++
+      FuzzyQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
@@ -43,5 +44,6 @@ object SparkEntry {
       ProjectionQueries.oracles ++ SketchQueries.oracles ++ KeywordQueries.oracles ++
       RetailQueries.oracles ++ SeriesQueries.oracles ++ LabelQueries.oracles ++
       MonitorQueries.oracles ++ ReshapeQueries.oracles ++ ReconcileQueries.oracles ++
-      EvalQueries.oracles ++ StatQueries.oracles ++ RetrievalQueries.oracles
+      EvalQueries.oracles ++ StatQueries.oracles ++ RetrievalQueries.oracles ++
+      FuzzyQueries.oracles
 }
