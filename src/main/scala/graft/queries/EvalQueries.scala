@@ -93,7 +93,7 @@ object EvalQueries {
     val lbl = emb.select(col("vec_id"), col("label").cast("long").as("label"))
     val disc = array(DiscountX1e6.map(lit): _*)
     val ideal = array(IdealPrefixX1e6.map(lit): _*)
-    val knn = graft.ops.Ann.ivfTopK(emb, emb, k = k, nCentroids = 16, nProbe = 4)
+    val knn = OlapQueries.knnGraphPinned(spark, dir)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
     val dcg = knn
       .join(lbl.toDF("query_id", "q_label"), "query_id")
@@ -167,8 +167,8 @@ object EvalQueries {
     * |labels|-row aggregates joined full-outer — nothing after the
     * votes exceeds |labels| rows. */
   def q184_knn_confusion(spark: SparkSession, dir: String): DataFrame = {
-    val lp = OlapQueries.labelPropagation(
-      Tables.embeddings(spark, dir), nCentroids = 16, nProbe = 4)
+    val lp = OlapQueries.labelPropagationOver(
+      Tables.embeddings(spark, dir), OlapQueries.knnGraphPinned(spark, dir))
     val byTrue = lp.groupBy(col("own_label").as("label"))
       .agg(count(lit(1)).as("n_true"), sum("agree").cast("long").as("tp"))
     val byPred = lp.groupBy(col("prop_label").as("label"))
@@ -207,7 +207,8 @@ object EvalQueries {
     * the kappa arithmetic runs on |labels|-row marginals. */
   def q185_rater_kappa(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val r1 = OlapQueries.labelPropagation(emb, nCentroids = 16, nProbe = 4)
+    val r1 = OlapQueries.labelPropagationOver(emb,
+        OlapQueries.knnGraphPinned(spark, dir))
       .select(col("vec_id"), col("prop_label").as("l1"))
     val cents = emb
       .select(col("label").cast("long").as("label"),

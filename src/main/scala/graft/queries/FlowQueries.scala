@@ -53,7 +53,7 @@ object FlowQueries {
     * the edge list (the [[graft.ops.Graph]] posture). */
   def q131_pagerank(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val edges = Ann.ivfTopK(emb, emb, k = OlapQueries.KnnK, nCentroids = 16, nProbe = 4)
+    val edges = OlapQueries.knnGraphPinned(spark, dir)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = emb.select(col("vec_id"))

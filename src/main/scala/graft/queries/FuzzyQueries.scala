@@ -70,9 +70,8 @@ object FuzzyQueries {
     * `0.15·Scale·N div |S|` so total mass is preserved at N·Scale).
     * Top 20 non-seed vectors by rank reported (the expansion answer). */
   def q195_personalized_pagerank(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Ann
     val emb = Tables.embeddings(spark, dir)
-    val edges = Ann.ivfTopK(emb, emb, k = OlapQueries.KnnK, nCentroids = 16, nProbe = 4)
+    val edges = OlapQueries.knnGraphPinned(spark, dir)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = emb.select(col("vec_id"),
@@ -119,12 +118,7 @@ object FuzzyQueries {
     * Scale: degrees are one edge-list aggregate; the moment sums are
     * one more pass over 2|E| rows — never |V|². */
   def q196_degree_assortativity(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Ann
-    val emb = Tables.embeddings(spark, dir)
-    val und = Ann.ivfTopK(emb, emb, k = OlapQueries.KnnK, nCentroids = 16, nProbe = 4)
-      .select(least(col("query_id"), col("neighbor_id")).as("u"),
-        greatest(col("query_id"), col("neighbor_id")).as("v"))
-      .distinct()
+    val und = OlapQueries.knnUndirectedPinned(spark, dir)
     val dirEdges = und.select(col("u").as("a"), col("v").as("b"))
       .union(und.select(col("v").as("a"), col("u").as("b")))
     val deg = dirEdges.groupBy("a").agg(count(lit(1)).cast("long").as("d"))

@@ -23,9 +23,7 @@ object GraphStatQueries {
   import OlapQueries.KnnK
 
   private def knnEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Ann.ivfTopK(
-      Tables.embeddings(spark, dir), Tables.embeddings(spark, dir),
-      k = KnnK, nCentroids = 16, nProbe = 4)
+    OlapQueries.knnGraphPinned(spark, dir)
 
   /** X152 — kNN-graph triangle count + local clustering coefficient:
     * undirected-canonicalize the q91 edges (u < v), enumerate each
@@ -39,13 +37,9 @@ object GraphStatQueries {
     * and closure is an equi-join back on the canonical edge set —
     * everything is edge-list-sized, the corpus is never re-touched. */
   def q145_knn_triangles(spark: SparkSession, dir: String): DataFrame = {
-    // tracked-cached: the canonical edge set feeds FOUR consumers (degree
-    // + the three triangle roles) — uncached, the whole IVF-kNN chain
-    // would execute once per consumer
-    val und = graft.ops.Dedup.cacheTracked(knnEdges(spark, dir)
-      .select(least(col("query_id"), col("neighbor_id")).as("u"),
-        greatest(col("query_id"), col("neighbor_id")).as("v"))
-      .distinct())
+    // session-pinned: the canonical edge set feeds FOUR consumers here
+    // (degree + the three triangle roles) and two sibling queries
+    val und = OlapQueries.knnUndirectedPinned(spark, dir)
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -134,10 +128,7 @@ object GraphStatQueries {
     * a constant per node; the non-edge screen is a LEFT ANTI against
     * the canonical edge set; everything edge-list-sized, never |V|². */
   def q178_link_prediction(spark: SparkSession, dir: String): DataFrame = {
-    val und = graft.ops.Dedup.cacheTracked(knnEdges(spark, dir)
-      .select(least(col("query_id"), col("neighbor_id")).as("u"),
-        greatest(col("query_id"), col("neighbor_id")).as("v"))
-      .distinct())
+    val und = OlapQueries.knnUndirectedPinned(spark, dir)
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
     val wedges = adj.as("x").join(adj.as("y"),
