@@ -590,6 +590,23 @@ class PlanSpec extends SparkSpec {
     }.isEmpty, s"the greedy selection is a fold, never a corpus window:\n$plan")
   }
 
+  test("q199 RAG capstone: both retrieval arms are TakeOrdered; no corpus-wide window anywhere") {
+    val plan = executed(graft.queries.RagQueries.q199_rag_context(spark, sfDir))
+    val nodes = collectAll(plan)
+    val takes = nodes.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takes.size >= 2,
+      s"lexical + vector arms (and the fused cut) must be TakeOrderedAndProject, got ${takes.size}:\n$plan")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // every window here runs on TakeOrdered/fold output (≤RagDepth rows):
+    // two arm rank stamps, the fused stamp, the packing cumsum — never a
+    // corpus-fed window (the arms' cuts above are what guarantee that)
+    assert(windows.size <= 6, s"unexpected windows in the capstone:\n$plan")
+  }
+
   test("q152 market share: dims broadcast, the fact side never sort-merges") {
     val plan = executed(graft.queries.JourneyQueries.q152_market_share(spark, sfDir))
     val nodes = collectAll(plan)
