@@ -257,6 +257,22 @@ object EvalQueries {
 
   private val knnK = OlapQueries.KnnK
 
+  /** The scored-and-labeled oracle chain (q97's classifier `sc` + q26's
+    * keep gate `kp`) — shared by q183 and the q203–q205 curve family. */
+  private[queries] lazy val clsKeepSql: String =
+    s"""${TrainPrepQueries.clsChainSql},
+       |qm AS (
+       |  SELECT doc_id,
+       |         CAST(len($toks) AS BIGINT) AS n_tokens,
+       |         CAST(CASE WHEN len($toks) > 0 THEN floor(10000 * ${hitsSql("en")} / len($toks)) ELSE 0 END AS BIGINT) AS stop_per_10k,
+       |         CAST(CASE WHEN len($toks) > 0 THEN floor(100 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len($toks)) ELSE 0 END AS BIGINT) AS mean_tok_len_x100
+       |  FROM documents),
+       |kp AS (SELECT doc_id,
+       |              CAST(n_tokens >= 10 AND n_tokens <= 500 AND stop_per_10k <= 3000
+       |                   AND mean_tok_len_x100 >= 200 AND mean_tok_len_x100 <= 800
+       |                   AS BIGINT) AS keep
+       |       FROM qm)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q181_rrf_fusion" ->
       s"""WITH ${SearchQueries.bm25ChainSql},
@@ -305,18 +321,7 @@ object EvalQueries {
          |       CAST(sum(ndcg_x1e6) // count(*) AS BIGINT) AS mean_ndcg_x1e6
          |FROM nd GROUP BY label ORDER BY label""".stripMargin,
     "q183_classifier_auc" ->
-      s"""WITH ${TrainPrepQueries.clsChainSql},
-         |qm AS (
-         |  SELECT doc_id,
-         |         CAST(len($toks) AS BIGINT) AS n_tokens,
-         |         CAST(CASE WHEN len($toks) > 0 THEN floor(10000 * ${hitsSql("en")} / len($toks)) ELSE 0 END AS BIGINT) AS stop_per_10k,
-         |         CAST(CASE WHEN len($toks) > 0 THEN floor(100 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / len($toks)) ELSE 0 END AS BIGINT) AS mean_tok_len_x100
-         |  FROM documents),
-         |kp AS (SELECT doc_id,
-         |              CAST(n_tokens >= 10 AND n_tokens <= 500 AND stop_per_10k <= 3000
-         |                   AND mean_tok_len_x100 >= 200 AND mean_tok_len_x100 <= 800
-         |                   AS BIGINT) AS keep
-         |       FROM qm),
+      s"""WITH $clsKeepSql,
          |g AS (SELECT sc.score, CAST(sum(kp.keep) AS BIGINT) AS pos_s,
          |             CAST(count(*) - sum(kp.keep) AS BIGINT) AS neg_s
          |      FROM sc JOIN kp USING (doc_id) GROUP BY sc.score),
