@@ -103,7 +103,13 @@ object Plans {
     "q189_spearman_rfm" -> "Spearman: ranks from two two-phase globalIndex passes, 1-row moment aggregate, no corpus window",
     "q190_phrase_search" -> "phrase search: probe-term postings filter before any shuffle, (doc,pos+i) equijoins, TakeOrdered cut",
     "q191_mmr_rerank" -> "MMR: TakeOrdered candidate cut, pairwise dots + greedy fold all inside the plan on MmrCand^2 rows",
-    "q192_bloom_decontam" -> "bloom decontam: eval bitset broadcasts, two left-semi broadcast probes map-side, only candidates shuffle to the exact join"
+    "q192_bloom_decontam" -> "bloom decontam: eval bitset broadcasts, two left-semi broadcast probes map-side, only candidates shuffle to the exact join",
+    "q199_rag_context" -> "RAG capstone: TakeOrdered arms -> RRF -> in-plan MMR fold -> token packing, one lazy plan, bounded-row tail",
+    "q200_ppjoin_pairs" -> "PPJoin: rarity-ordered prefix postings equijoin, exact-Jaccard rerank on candidates only",
+    "q204_average_precision" -> "AP: two-phase globalIndex + globalCumSum over the ranked corpus, no single-task window",
+    "q205_cumulative_gains" -> "gains: explicit-floor decile bucketing on the two-phase index, 10-row cumulative tail",
+    "q206_frequent_triples" -> "A-priori triples: frequent-pair candidate generation, basket re-scan counts candidates only",
+    "q208_bfs_layers" -> "BFS layers: bounded frontier-expand/anti-join rounds off the pinned edge core, localCheckpoint per round"
   )
 
   def main(args: Array[String]): Unit = {

@@ -145,4 +145,40 @@ class SqlFrontDoorSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ == BinnedRangeJoinRule)
   }
+  test("q142 BM25 retrieval runs as pure SQL (retrieval family)") {
+    withViews {
+      import SearchQueries.{Bm25Terms, Bm25K, K1x1k, Bx1k}
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      sameRows(
+        spark.sql(
+          s"""WITH d AS (
+             |  SELECT doc_id, filter(split($NormSql, ' '), x -> x != '') AS toks
+             |  FROM documents),
+             |dd AS (SELECT doc_id, toks, CAST(size(toks) AS BIGINT) AS dl FROM d),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |               CAST(sum(dl) AS BIGINT) AS total_dl FROM dd),
+             |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM (SELECT doc_id, dl, explode(toks) AS term FROM dd)
+             |       WHERE term IN ($termList)
+             |       GROUP BY doc_id, dl, term),
+             |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+             |s AS (
+             |  SELECT tf.doc_id,
+             |         (${1000L - Bx1k} + ($Bx1k * tf.dl * t.n_docs) div t.total_dl) AS norm_x1k,
+             |         (1000 * (t.n_docs - dfr.df + 1)) div (dfr.df + 1) AS idf_x1k,
+             |         (tf.tf * ${K1x1k + 1000L} * 1000)
+             |           div (tf.tf * 1000 + ($K1x1k * (${1000L - Bx1k} + ($Bx1k * tf.dl * t.n_docs) div t.total_dl)) div 1000)
+             |           AS tfsat_x1k
+             |  FROM tf JOIN dfr USING (term) CROSS JOIN tot t),
+             |sc AS (SELECT doc_id, CAST(sum((idf_x1k * tfsat_x1k) div 1000) AS BIGINT) AS score,
+             |              CAST(count(*) AS BIGINT) AS n_terms_hit
+             |       FROM s GROUP BY doc_id),
+             |top AS (SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+             |        FROM sc)
+             |SELECT rank, doc_id, score, n_terms_hit
+             |FROM top WHERE rank <= $Bm25K ORDER BY rank""".stripMargin),
+        SearchQueries.q142_bm25_topk(spark, sfDir))
+    }
+  }
+
 }
