@@ -78,7 +78,7 @@ object CurationQueries {
     * (containment ≈ 1) that symmetric Jaccard (÷ union) misses entirely.
     * Same sub-quadratic candidate generation as q16. */
   def q76_containment_pairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(Tables.documents(spark, dir),
+    Dedup.containmentPairsPinned(spark, dir,
       n = ShingleN, minContainX10k = ContainMinX10k, maxDf = JaccardMaxDf)
       .orderBy("id_a", "id_b")
 

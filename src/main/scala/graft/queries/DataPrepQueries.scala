@@ -68,7 +68,7 @@ object DataPrepQueries {
       .orderBy("doc_id")
 
   def q16_jaccard_pairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(spark, dir),
+    Dedup.jaccardPairsPinned(spark, dir,
       n = ShingleN, minJaccardX10k = JaccardMinX10k, maxDf = JaccardMaxDf)
       .orderBy("id_a", "id_b")
 
@@ -201,7 +201,7 @@ object DataPrepQueries {
   def q30_crossmodal_pairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.expressions.GraftFunctions
     GraftFunctions.register(spark)
-    val pairs = Dedup.jaccardPairs(Tables.documents(spark, dir),
+    val pairs = Dedup.jaccardPairsPinned(spark, dir,
       n = ShingleN, minJaccardX10k = JaccardMinX10k, maxDf = JaccardMaxDf)
       .select("id_a", "id_b", "jaccard_x10k")
     val emb = Tables.embeddings(spark, dir)

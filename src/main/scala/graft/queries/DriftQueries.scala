@@ -146,7 +146,8 @@ object DriftQueries {
           col("stop_per_10k") <= 3000 &&
           col("mean_tok_len_x100") >= 200 && col("mean_tok_len_x100") <= 800)
           .cast("long"))
-    val losers = Dedup.jaccardPairs(docs, n = DataPrepQueries.ShingleN,
+    val losers = Dedup.jaccardPairsPinned(spark, dir,
+        n = DataPrepQueries.ShingleN,
         minJaccardX10k = DataPrepQueries.JaccardMinX10k,
         maxDf = DataPrepQueries.JaccardMaxDf)
       .select(col("id_b").as("doc_id")).distinct()

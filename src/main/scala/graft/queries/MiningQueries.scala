@@ -133,7 +133,8 @@ object MiningQueries {
     val docs = Tables.documents(spark, dir)
     val meta = docs.select(col("doc_id"),
       col("source"), size(toksOf(col("text"))).cast("long").as("ntok"))
-    val pairs = Dedup.jaccardPairs(docs, n = DataPrepQueries.ShingleN,
+    val pairs = Dedup.jaccardPairsPinned(spark, dir,
+      n = DataPrepQueries.ShingleN,
       minJaccardX10k = DataPrepQueries.JaccardMinX10k,
       maxDf = DataPrepQueries.JaccardMaxDf)
     pairs

@@ -72,7 +72,8 @@ object TuningQueries {
     * band-collision set; nothing corpus-quadratic. */
   def q157_lsh_curve(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val exact = Dedup.jaccardPairs(docs, n = DataPrepQueries.ShingleN,
+    val exact = Dedup.jaccardPairsPinned(spark, dir,
+      n = DataPrepQueries.ShingleN,
       minJaccardX10k = CurveMinX10k, maxDf = DataPrepQueries.JaccardMaxDf)
     val caught = Dedup.minhashLshPairs(docs, n = DataPrepQueries.ShingleN,
         bands = DataPrepQueries.MinhashBands, rowsPerBand = DataPrepQueries.MinhashRows)
