@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * frame (or a projection of one). `Dataset.unpersist` only clears
+    * CacheManager entries — checkpoint blocks live at the RDD layer, so
+    * without this they survive until a driver GC lets the
+    * ContextCleaner find the dead reference (which under a large heap
+    * can be never). Safe to call only once the frame's successors are
+    * materialized. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Connected components of the undirected graph given by `edges`
     * `(srcCol, dstCol)`. Returns one row per distinct node:
     * `(id, component_id)` with `component_id` = min node id reachable.
@@ -51,6 +63,8 @@ object Graph {
       .localCheckpoint(eager = true)
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(eager = true)
+    // e's blocks are dead once sym is materialized
+    releaseLocalCheckpoint(e)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(eager = true)
@@ -68,6 +82,9 @@ object Graph {
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
         .localCheckpoint(eager = true)
       converged = next.filter(col("comp") < col("prev_comp")).isEmpty
+      // superseded round's label blocks are dead once `next` is
+      // materialized — release eagerly instead of waiting for a driver GC
+      releaseLocalCheckpoint(labels)
       labels = next.select("id", "comp")
       iter += 1
     }
@@ -208,6 +225,11 @@ object Graph {
         .select("src", "dst")
         .localCheckpoint(eager = true)
       converged = next.count() == sym.count()
+      // release the superseded round's checkpoint blocks once `next` is
+      // materialized — a deep peel (up to maxIter rounds) would otherwise
+      // hold every intermediate edge set in block-manager storage for the
+      // life of the job
+      releaseLocalCheckpoint(sym)
       sym = next
       iter += 1
     }

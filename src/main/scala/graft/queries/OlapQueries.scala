@@ -361,29 +361,25 @@ object OlapQueries {
     * production pipeline materializes once per embedding refresh. The
     * memo returns the SAME DataFrame instance, so every consumer's
     * plan shares Spark's CacheManager entry by construction. */
-  private val knnPinned =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val knnPinned = new graft.ops.PinnedCoreMemo[String]
   private[queries] def knnGraphPinned(spark: SparkSession, dir: String): DataFrame =
-    knnPinned.computeIfAbsent((spark, dir), { _ =>
+    knnPinned.getOrBuild(spark, dir) {
       val emb = Tables.embeddings(spark, dir)
-      graft.ops.Dedup.cachePinned(
-        graft.ops.Ann.ivfTopK(emb, emb, k = KnnK, nCentroids = 16, nProbe = 4))
-    })
+      graft.ops.Ann.ivfTopK(emb, emb, k = KnnK, nCentroids = 16, nProbe = 4)
+    }
 
   def q91_knn_graph(spark: SparkSession, dir: String): DataFrame =
     knnGraphPinned(spark, dir).orderBy("query_id", "rank")
 
   /** The canonical UNDIRECTED edge set of [[knnGraphPinned]] (u < v,
     * deduped) — q145/q178/q196 all start here, so it is pinned too. */
-  private val undPinned =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val undPinned = new graft.ops.PinnedCoreMemo[String]
   private[queries] def knnUndirectedPinned(spark: SparkSession, dir: String): DataFrame =
-    undPinned.computeIfAbsent((spark, dir), { _ =>
-      graft.ops.Dedup.cachePinned(knnGraphPinned(spark, dir)
+    undPinned.getOrBuild(spark, dir)(
+      knnGraphPinned(spark, dir)
         .select(least(col("query_id"), col("neighbor_id")).as("u"),
           greatest(col("query_id"), col("neighbor_id")).as("v"))
         .distinct())
-    })
 
   /** X113 — kNN label propagation: one majority-vote round of the
     * embeddings' own `label` over the q91 kNN graph (ties → smallest

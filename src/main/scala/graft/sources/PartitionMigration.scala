@@ -40,10 +40,30 @@ object PartitionMigration {
     * of that day's subtree via dynamic partition overwrite); the
     * manifest is replaced atomically AFTER the data lands, so a crash
     * mid-migration leaves the day unlisted and dualRead still serves it
-    * from the old layout (complete either way). */
+    * from the old layout (complete either way).
+    *
+    * Only days that actually EXIST in `oldDir` enter the manifest: a
+    * requested-but-absent day must stay unlisted, because listing it
+    * would make [[dualRead]]'s anti-filter hide the day from the old
+    * layout forever — if it lands there later (e.g. a
+    * [[DatePartitioning.relandDays]] backfill), readers would silently
+    * lose it (round-5 ADVICE).
+    *
+    * Re-landing INTO A MIGRATED DAY of the old layout is the one flow
+    * that still needs an explicit step: the day is already listed, so
+    * dualRead serves the (now stale) new-layout copy. Call
+    * `migrateDays(..., force = true)` for those days after the reland —
+    * `force` re-copies listed days (the per-day dynamic overwrite makes
+    * it idempotent), restoring the complete-view contract. */
   def migrateDays(spark: SparkSession, oldDir: String, newDir: String,
-      days: Seq[Long], subCol: String = "source"): Unit = {
-    val toDo = days.filterNot(migratedDays(newDir))
+      days: Seq[Long], subCol: String = "source", force: Boolean = false): Unit = {
+    // metadata-only: `day` is a partition column, so distinct() resolves
+    // from directory listing, never a data scan (cast: partition
+    // discovery may infer int)
+    val present = spark.read.parquet(oldDir).select(col("day").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val requested = if (force) days else days.filterNot(migratedDays(newDir))
+    val toDo = requested.filter(present)
     if (toDo.isEmpty) return
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

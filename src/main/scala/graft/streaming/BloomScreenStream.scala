@@ -71,12 +71,8 @@ object BloomScreenStream {
           val gen = s"gen-${System.currentTimeMillis()}-$batchId"
           next.write.mode("overwrite")
             .parquet(new java.io.File(statePath, gen).toString)
-          val tmp = new java.io.File(statePath, s".$Pointer.tmp")
-          java.nio.file.Files.writeString(tmp.toPath, s"$batchId:$gen")
-          java.nio.file.Files.move(tmp.toPath,
-            new java.io.File(statePath, Pointer).toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // atomic pointer flip + superseded-generation sweep (GenState)
+          GenState.flip(statePath, batchId, gen)
         }
         ()
       }

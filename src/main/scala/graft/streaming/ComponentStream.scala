@@ -67,12 +67,8 @@ object ComponentStream {
           next.write.mode("overwrite").parquet(dir.toString)
           // atomic pointer flip: write-to-temp + rename, so a reader never
           // sees a partial pointer and a crash leaves the old snapshot live
-          val tmp = new java.io.File(statePath, s".$Pointer.tmp")
-          java.nio.file.Files.writeString(tmp.toPath, s"$batchId:$gen")
-          java.nio.file.Files.move(tmp.toPath,
-            new java.io.File(statePath, Pointer).toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // atomic pointer flip + superseded-generation sweep (GenState)
+          GenState.flip(statePath, batchId, gen)
         }
         ()
       }

@@ -26,7 +26,10 @@ object QualityMonitorStream {
 
   private val Pointer = "_CURRENT"
 
-  /** Current (label, n_true, tp, n_pred) counts — empty if none. */
+  /** Current (label, n_true, tp, n_pred) counts — empty if none. The
+    * label is STRING in the persisted state (see [[confusionDelta]]'s
+    * explicit cast), so the state schema is identical whether or not
+    * the first batch was empty and for any incoming label type. */
   def snapshot(spark: SparkSession, statePath: String): DataFrame = {
     val ptr = new java.io.File(statePath, Pointer)
     if (ptr.exists()) {
@@ -34,7 +37,7 @@ object QualityMonitorStream {
       spark.read.parquet(new java.io.File(statePath, gen).toString)
     } else {
       import spark.implicits._
-      Seq.empty[(Long, Long, Long, Long)].toDF("label", "n_true", "tp", "n_pred")
+      Seq.empty[(String, Long, Long, Long)].toDF("label", "n_true", "tp", "n_pred")
     }
   }
 
@@ -45,12 +48,16 @@ object QualityMonitorStream {
   }
 
   /** The per-batch confusion delta of a (true_label, pred_label) frame —
-    * two |labels|-row aggregates full-outer-merged (q184's shape). */
+    * two |labels|-row aggregates full-outer-merged (q184's shape). The
+    * label is cast to STRING explicitly (the RetractStream key
+    * discipline): without it the persisted state type would depend on
+    * the first non-empty batch's label type vs the empty-state stub —
+    * fragile for downstream readers of the state table. */
   private[streaming] def confusionDelta(pairs: DataFrame): DataFrame = {
-    val byTrue = pairs.groupBy(col("true_label").as("label"))
+    val byTrue = pairs.groupBy(col("true_label").cast("string").as("label"))
       .agg(count(lit(1)).as("n_true"),
         sum((col("true_label") === col("pred_label")).cast("long")).as("tp"))
-    val byPred = pairs.groupBy(col("pred_label").as("label"))
+    val byPred = pairs.groupBy(col("pred_label").cast("string").as("label"))
       .agg(count(lit(1)).as("n_pred"))
     byTrue.join(byPred, Seq("label"), "full")
       .select(col("label"),
@@ -77,12 +84,8 @@ object QualityMonitorStream {
           val gen = s"gen-${System.currentTimeMillis()}-$batchId"
           next.write.mode("overwrite")
             .parquet(new java.io.File(statePath, gen).toString)
-          val tmp = new java.io.File(statePath, s".$Pointer.tmp")
-          java.nio.file.Files.writeString(tmp.toPath, s"$batchId:$gen")
-          java.nio.file.Files.move(tmp.toPath,
-            new java.io.File(statePath, Pointer).toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // atomic pointer flip + superseded-generation sweep (GenState)
+          GenState.flip(statePath, batchId, gen)
         }
         ()
       }

@@ -123,4 +123,16 @@ class GraphSpec extends SparkSpec {
       assert(got == bruteKCore(edges, k), s"trial $trial k=$k")
     }
   }
+
+  test("iterative loops release superseded checkpoint blocks (bounded persistent RDDs)") {
+    // a 12-node chain peels one pendant pair per round under k=2 — many
+    // rounds, so unreleased per-round checkpoints would pile up here
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    Graph.kCore(chain, k = 2).count()
+    Graph.connectedComponents(chain).count()
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    // kept: at most the final round of each loop (+ CC's symmetric edge
+    // set, which backs the returned labels' lineage) — NOT one per round
+    assert(persisted <= 6, s"expected bounded persistent RDDs, got $persisted")
+  }
 }

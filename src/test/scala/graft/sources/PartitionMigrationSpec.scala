@@ -58,6 +58,39 @@ class PartitionMigrationSpec extends SparkSpec {
     assert(read() == all, "post-cutover read == full data")
   }
 
+  test("absent days never enter the manifest; a later backfill of them stays visible") {
+    val (oldDir, newDir) = mkOld()
+    // day 9 does not exist yet — migrating (1, 9) must list only 1
+    PartitionMigration.migrateDays(spark, oldDir, newDir, Seq(1L, 9L))
+    assert(PartitionMigration.migratedDays(newDir) == Set(1L),
+      "a requested-but-absent day must stay unlisted")
+    // day 9 lands in the OLD layout afterwards (the reland/backfill flow)
+    Seq((9L, "a", 90L)).toDF("day", "source", "v")
+      .write.mode("append").partitionBy("day").parquet(oldDir)
+    val got = PartitionMigration.dualRead(spark, oldDir, newDir)
+      .select("day", "source", "v").as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got.contains((9L, "a", 90L)),
+      "the backfilled day must be served from the old layout, not anti-filtered away")
+    assert(got.size == 6)
+  }
+
+  test("force re-migration refreshes a migrated day after an old-layout reland") {
+    val (oldDir, newDir) = mkOld()
+    PartitionMigration.migrateDays(spark, oldDir, newDir, Seq(2L))
+    // day 2 is re-landed in the old layout with an extra row; without a
+    // re-migration dualRead serves the stale new-layout copy (2 rows)
+    Seq((2L, "c", 22L)).toDF("day", "source", "v")
+      .write.mode("append").partitionBy("day").parquet(oldDir)
+    assert(PartitionMigration.dualRead(spark, oldDir, newDir)
+      .filter(col("day") === 2L).count() == 2, "stale until forced")
+    // the documented repair step: force re-copies the listed day
+    PartitionMigration.migrateDays(spark, oldDir, newDir, Seq(2L), force = true)
+    val day2 = PartitionMigration.dualRead(spark, oldDir, newDir)
+      .filter(col("day") === 2L).select("source", "v")
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(day2 == Seq(("a", 20L), ("b", 21L), ("c", 22L)))
+  }
+
   test("dual-read prunes: mid-migration, old-layout scan excludes migrated days") {
     val (oldDir, newDir) = mkOld()
     PartitionMigration.migrateDays(spark, oldDir, newDir, Seq(2L))

@@ -30,24 +30,42 @@ class QualityMonitorStreamSpec extends SparkSpec {
 
     val streamed = QualityMonitorStream.snapshot(spark, state)
       .orderBy("label").collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val oneShot = QualityMonitorStream.confusionDelta(
         pairsData.toDF("true_label", "pred_label"))
       .orderBy("label").collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(streamed == oneShot, "count-level equality under batch splits")
     // label 0: n_true 4, tp 3, n_pred 3 -> prec 10000, rec 7500
-    assert(streamed.contains((0L, 4L, 3L, 3L)))
+    assert(streamed.contains(("0", 4L, 3L, 3L)))
     // label 2: never true, predicted once
-    assert(streamed.contains((2L, 0L, 0L, 1L)))
+    assert(streamed.contains(("2", 0L, 0L, 1L)))
 
     val rep = QualityMonitorStream.report(spark, state)
       .select("label", "prec_x10k", "rec_x10k", "f1_x10k")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // label 0: prec=10000, rec=7500, f1=(2*10000*7500) div 17500 = 8571
-    assert(rep.contains((0L, 10000L, 7500L, 8571L)))
+    assert(rep.contains(("0", 10000L, 7500L, 8571L)))
     // label 2: all zero guards hold
-    assert(rep.contains((2L, 0L, 0L, 0L)))
+    assert(rep.contains(("2", 0L, 0L, 0L)))
+  }
+
+  test("state schema is label-type independent: string labels fold identically") {
+    val state = Files.createTempDirectory("graft-qms-str").toString
+    val ckpt = Files.createTempDirectory("graft-qms-str-ck").toString
+    val ms = MemoryStream[(String, String)]
+    val q = QualityMonitorStream.maintain(
+      ms.toDS().toDF("true_label", "pred_label"), state, ckpt)
+    try {
+      ms.addData(Seq("cat" -> "cat", "cat" -> "dog")); q.processAllAvailable()
+      ms.addData(Seq("dog" -> "dog")); q.processAllAvailable()
+    } finally q.stop()
+    val snap = QualityMonitorStream.snapshot(spark, state)
+    assert(snap.schema("label").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val got = snap.orderBy("label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("cat", 2L, 1L, 1L), ("dog", 1L, 1L, 2L)))
   }
 
   test("batchId guard: restart replay does not double-count") {

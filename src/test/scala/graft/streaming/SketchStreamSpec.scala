@@ -43,6 +43,26 @@ class SketchStreamSpec extends SparkSpec {
       }
   }
 
+  test("superseded generations are swept: state path stays bounded across batches") {
+    val state = Files.createTempDirectory("graft-cms-gc").toString
+    val ckpt = Files.createTempDirectory("graft-cms-gc-ck").toString
+    val ms = MemoryStream[String]
+    val q = SketchStream.maintain(ms.toDS().toDF("token"), state, ckpt)
+    try {
+      // six batches: without the sweep the state path would hold six
+      // full snapshots; with it, current + KeepPreviousGens survive
+      (1 to 6).foreach { i => ms.addData(Seq(s"tok$i", "common")); q.processAllAvailable() }
+    } finally q.stop()
+    val gens = new java.io.File(state).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-")).map(_.getName).sorted
+    assert(gens.length <= 1 + GenState.KeepPreviousGens,
+      s"expected bounded generations, got ${gens.mkString(",")}")
+    // the pointer's generation is among the survivors and still readable
+    val current = GenState.currentGen(state).get
+    assert(gens.contains(current))
+    assert(SketchStream.cellsSnapshot(spark, state).count() > 0)
+  }
+
   test("batchId guard: re-running the merge for an already-committed batch is skipped") {
     val state = Files.createTempDirectory("graft-cms-guard").toString
     val ckpt = Files.createTempDirectory("graft-cms-guard-ck").toString
