@@ -146,14 +146,24 @@ object Bench {
     // 7.9k ev/s right after the HDFS 10× run vs 24.9k in a clean session.
     safeThroughput(None, nTx = 1000)
     safeThroughput(Some(RocksProvider), nTx = 1000)
-    gcBetweenSections()
-    val evHdfs = safeThroughput(None, nTx = 10000).round
-    gcBetweenSections()
-    val evRocks = safeThroughput(Some(RocksProvider), nTx = 10000).round
-    gcBetweenSections()
-    val evHdfs10x = safeThroughput(None, nTx = 100000).round
-    gcBetweenSections()
-    val evRocks10x = safeThroughput(Some(RocksProvider), nTx = 100000).round
+    // best-of-2 per configuration: the same transient-interference
+    // reasoning as the queries' min-of-reps (this VM shows CPU-steal
+    // windows lasting seconds to minutes; the r5 driver artifact
+    // recorded the HDFS 1× rate at 13.9k ev/s where clean same-code
+    // sessions measure 16-22k) — max over reps is the robust estimator
+    // for a THROUGHPUT (higher = less interfered), and each rep starts
+    // GC'd so one rep's state can't poison the next
+    def bestOf2(provider: Option[String], nTx: Int): Long = {
+      val a = safeThroughput(provider, nTx)
+      gcBetweenSections()
+      val b = safeThroughput(provider, nTx)
+      gcBetweenSections()
+      math.max(a, b).round
+    }
+    val evHdfs = bestOf2(None, nTx = 10000)
+    val evRocks = bestOf2(Some(RocksProvider), nTx = 10000)
+    val evHdfs10x = bestOf2(None, nTx = 100000)
+    val evRocks10x = bestOf2(Some(RocksProvider), nTx = 100000)
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     diag("stream") = jvmDiag()
     gcBetweenSections()

@@ -103,6 +103,64 @@ class CdcDecodeSpec extends SparkSpec {
     assert(fallback.operationType == "insert", "snapshot read (r) maps to insert")
   }
 
+  test("debezium property: any op mix, within-batch disorder and at-least-once " +
+      "offset replay converge to the canonical view through the full CdcStream ladder (ScalaCheck)") {
+    import org.scalacheck.Prop.forAllNoShrink
+    import org.scalacheck.{Gen, Test => SCTest}
+    import graft.streaming.{CdcStream, ViewStore}
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // The delivery model this mirrors (q04's redelivery + the CDC wire
+    // contract): micro-batches are consecutive source-time slices (a
+    // change stream is offset-ordered between restarts); WITHIN a batch
+    // arrival order is arbitrary (the ladder sorts by (tsMs, id)); a
+    // restart REDELIVERS a suffix of the previous batch (at-least-once).
+    // Unbounded cross-batch disorder is deliberately out of scope — the
+    // reference's unconditional data handlers are arrival-order by
+    // design, so neither engine is order-invariant across batches.
+    val gen = for {
+      seed <- Gen.choose(1L, 50000L)
+      mixSeed <- Gen.choose(1L, 50000L)
+      nBatches <- Gen.choose(1, 3)
+    } yield (seed, mixSeed, nBatches)
+    val prop = forAllNoShrink(gen) { case (seed, mixSeed, nBatches) =>
+      val rnd = new scala.util.Random(mixSeed)
+      val events = EventGen.generate(nTx = 4, seed = seed, noise = false)
+        .distinctBy(_.id).sortBy(e => (e.tsMs, e.id))
+      val wire = CdcDecode.toJson(events.toDS()).collect().map(_.getString(0))
+      // one envelope per event with a random op ∈ c/r/u (+ its own clock)
+      val envelopes = wire.zipWithIndex.map { case (doc, i) =>
+        val op = Seq("c", "r", "u")(rnd.nextInt(3))
+        s"""{"payload":{"before":null,"after":"${esc(doc)}","op":"$op","ts_ms":${5000 + i}}}"""
+      }.toSeq
+      // wire noise: a delete (no document) and a corrupt line — both dropped
+      val noise = Seq(
+        """{"payload":{"before":null,"after":null,"op":"d","ts_ms":6001}}""",
+        "{ not an envelope")
+      // canonical: the ladder's own batch replay over ONE clean decode
+      val decodedAll = CdcDecode.fromDebeziumEnvelope(envelopes.toDF("json"))
+      val expected = ViewReplay.replay(decodedAll.toDF())
+        .as[TransactionView].collect().map(v => v.transactionId -> v).toMap
+      // the run: time-ordered slices, shuffled within, previous batch's
+      // tail replayed at each restart boundary, through the cogroup merge
+      val per = math.max(1, math.ceil(envelopes.size.toDouble / nBatches).toInt)
+      val slices = envelopes.grouped(per).toSeq
+      val viewPath = java.nio.file.Files.createTempDirectory("graft-dz-prop").toString
+      slices.zipWithIndex.foreach { case (s, i) =>
+        val replayedTail =
+          if (i == 0) Seq.empty
+          else slices(i - 1).takeRight(rnd.nextInt(slices(i - 1).size + 1))
+        val delivery = rnd.shuffle(s ++ replayedTail ++ (if (i == 0) noise else Nil))
+        CdcStream.mergeBatchIntoParquet(spark,
+          CdcDecode.fromDebeziumEnvelope(delivery.toDF("json")), viewPath, batchId = i.toLong)
+      }
+      val got = ViewStore.read(spark, viewPath).get.as[TransactionView]
+        .collect().map(v => v.transactionId -> v).toMap
+      got == expected
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("decode composes with the replay pipeline end-to-end") {
     val events = EventGen.generate(nTx = 8, seed = 41L)
     val viaWire = ViewReplay.replay(
