@@ -103,9 +103,10 @@ object Plans {
     "q189_spearman_rfm" -> "Spearman: ranks from two two-phase globalIndex passes, 1-row moment aggregate, no corpus window",
     "q190_phrase_search" -> "phrase search: probe-term postings filter before any shuffle, (doc,pos+i) equijoins, TakeOrdered cut",
     "q191_mmr_rerank" -> "MMR: TakeOrdered candidate cut, pairwise dots + greedy fold all inside the plan on MmrCand^2 rows",
-    "q192_bloom_decontam" -> "bloom decontam: eval bitset broadcasts, two left-semi broadcast probes map-side, only candidates shuffle to the exact join",
+    "q192_bloom_decontam" -> "bloom decontam: pinned shingle core + tracked gram cache, eval bitset broadcasts, two left-semi broadcast probes map-side, only candidates shuffle to the exact join",
     "q199_rag_context" -> "RAG capstone: TakeOrdered arms -> RRF -> in-plan MMR fold -> token packing, one lazy plan, bounded-row tail",
-    "q200_ppjoin_pairs" -> "PPJoin: rarity-ordered prefix postings equijoin, exact-Jaccard rerank on candidates only",
+    "q200_ppjoin_pairs" -> "PPJoin: pinned shingle core, prefix postings equijoin pruned by exact length+position filters, exact-Jaccard rerank on candidates only",
+    "q202_gini_features" -> "gini binning: two-phase global index over (dim,v,vec_id), 64-row broadcast offsets, ntile arithmetic - no per-dim single-task sort",
     "q204_average_precision" -> "AP: two-phase globalIndex + globalCumSum over the ranked corpus, no single-task window",
     "q205_cumulative_gains" -> "gains: explicit-floor decile bucketing on the two-phase index, 10-row cumulative tail",
     "q206_frequent_triples" -> "A-priori triples: frequent-pair candidate generation, basket re-scan counts candidates only",

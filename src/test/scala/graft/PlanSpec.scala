@@ -578,6 +578,29 @@ class PlanSpec extends SparkSpec {
       s"both bloom-bit probes must be broadcast left-semi hash joins, got ${semis.size}:\n$plan")
   }
 
+  test("q202 gini: no sort of corpus rows under a |dims|-partition window") {
+    // the round-5 weak plan: ntile(4) OVER (PARTITION BY dim ...) put ALL
+    // n rows of a dimension into ONE task's sort — a 64-way parallelism
+    // ceiling. The two-phase rework must leave every WindowExec running
+    // over a PRE-AGGREGATED input (per-partition counts, per-dim offsets,
+    // the |dims|-row rank table), never over the exploded cell rows.
+    val plan = executed(graft.queries.IndexQueries.q202_gini_features(spark, sfDir))
+    val windows = collectAll(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the tiny offset/rank windows:\n$plan")
+    windows.foreach { w =>
+      val aboveAgg = collectAll(w).drop(1).exists {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+        case _ => false
+      }
+      assert(aboveAgg,
+        s"window over un-aggregated (corpus-sized) input in q202:\n$w")
+    }
+  }
+
   test("q191 MMR: candidate cut is a TakeOrdered; the greedy fold adds no window") {
     val plan = executed(graft.queries.RetrievalQueries.q191_mmr_rerank(spark, sfDir))
     val nodes = collectAll(plan)
