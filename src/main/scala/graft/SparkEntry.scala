@@ -30,7 +30,8 @@ object SparkEntry {
       RetailQueries.defs ++ SeriesQueries.defs ++ LabelQueries.defs ++
       MonitorQueries.defs ++ ReshapeQueries.defs ++ ReconcileQueries.defs ++
       EvalQueries.defs ++ StatQueries.defs ++ RetrievalQueries.defs ++
-      FuzzyQueries.defs ++ OverlapQueries.defs ++ RagQueries.defs ++ IndexQueries.defs ++ CurveQueries.defs ++ StructureQueries.defs ++ TuneQueries.defs
+      FuzzyQueries.defs ++ OverlapQueries.defs ++ RagQueries.defs ++ IndexQueries.defs ++ CurveQueries.defs ++ StructureQueries.defs ++ TuneQueries.defs ++
+      TextOpsQueries.defs ++ ValueQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
@@ -45,5 +46,6 @@ object SparkEntry {
       RetailQueries.oracles ++ SeriesQueries.oracles ++ LabelQueries.oracles ++
       MonitorQueries.oracles ++ ReshapeQueries.oracles ++ ReconcileQueries.oracles ++
       EvalQueries.oracles ++ StatQueries.oracles ++ RetrievalQueries.oracles ++
-      FuzzyQueries.oracles ++ OverlapQueries.oracles ++ RagQueries.oracles ++ IndexQueries.oracles ++ CurveQueries.oracles ++ StructureQueries.oracles ++ TuneQueries.oracles
+      FuzzyQueries.oracles ++ OverlapQueries.oracles ++ RagQueries.oracles ++ IndexQueries.oracles ++ CurveQueries.oracles ++ StructureQueries.oracles ++ TuneQueries.oracles ++
+      TextOpsQueries.oracles ++ ValueQueries.oracles
 }

@@ -1,0 +1,412 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Round-6 wave-30 text-operations: winnowing fingerprint selection
+  * (the MOSS/local-minima alternative to MinHash — positional, so it
+  * also powers plagiarism-style overlap localization), block-similarity
+  * topic segmentation (TextTiling-lite), a sentence segmentation
+  * profile, and blocklist screening (the safety-filter stage every
+  * production corpus pipeline runs).
+  *
+  * Oracle conventions as the sibling modules: exact integers
+  * end-to-end, identical aliases both sides, ORDER BY a unique key.
+  */
+object TextOpsQueries {
+
+  // ------------------------------------------------------- X232 winnowing
+
+  /** Winnowing parameters: gram size (tokens), window w, df cap, pair
+    * floor and report depth. Positions are bounded per DOC (< 2²⁰ grams
+    * per doc for the packed key) — a per-document bound, not a corpus
+    * bound, same class as the reference's per-document size limits. */
+  val WinnowN = 3
+  val WinnowW = 4
+  val WinnowMaxDf = 1000
+  val WinnowMinShared = 3L
+  val WinnowTopK = 50
+
+  /** X232 — winnowing fingerprint near-dup pairs: each doc's positional
+    * token-3-gram hash sequence is WINNOWED (Schleimer/Wilkerson/Aiken:
+    * from every window of [[WinnowW]] consecutive grams keep the
+    * minimum hash, ties → rightmost), and docs are paired on shared
+    * selected fingerprints through a df-capped inverted index. Unlike
+    * MinHash (q17) the guarantee is positional: any shared run of
+    * ≥ w+n−1 tokens shares ≥1 fingerprint, which is why this is the
+    * plagiarism/exact-passage screen next to the probabilistic band
+    * screen.
+    *
+    * The winnow itself is windowed per doc: a gram at position p is
+    * selected iff it is the (hash, rightmost)-minimum of SOME full
+    * window containing it — expressed as [[WinnowW]] frame-minima over
+    * one per-doc ordered pass (short docs keep their global argmin).
+    * The packed key `hash·2²¹ + (2²⁰ − p)` makes "min hash, ties →
+    * rightmost" one BIGINT min.
+    *
+    * Scale: per-doc windows (corpus parallelism = docs), fingerprint
+    * index is df-capped like q16's, pairs shuffle on the fingerprint —
+    * never all-pairs. */
+  def q211_winnow_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFingerprints(graft.ops.Dedup.spread(Tables.documents(spark, dir)))
+    val capped = fps.join(
+      fps.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= WinnowMaxDf)
+        .select("h"), "h")
+    val shared = capped.select(col("h"), col("doc_id").as("id_a"))
+      .join(capped.select(col("h"), col("doc_id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val scored = shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("nfp").as("fp_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("nfp").as("fp_b")), "id_b")
+    scored.orderBy(col("n_shared").desc, col("id_a"), col("id_b")).limit(WinnowTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_shared").desc, col("id_a"), col("id_b"))).cast("long"))
+      .select("rank", "id_a", "id_b", "n_shared", "fp_a", "fp_b")
+      .orderBy("rank")
+  }
+
+  /** The winnowed fingerprint set `(doc_id, h)` of a (doc_id, text)
+    * frame — split out so WinnowSpec can pin the positional guarantee
+    * (any shared token run of length ≥ w+n−1 yields a shared
+    * fingerprint) against planted runs. */
+  private[queries] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val toksT = docs
+      .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
+    val gramExpr = expr(
+      s"""CASE WHEN size(t) < $WinnowN THEN CAST(array() AS array<string>)
+         |ELSE transform(sequence(1, size(t) - ${WinnowN - 1}),
+         |  i -> concat_ws(' ', ${(0 until WinnowN).map(j => s"element_at(t, i + $j)").mkString(", ")}))
+         |END""".stripMargin)
+    val grams = toksT
+      .select(col("doc_id"), size(col("t")).as("nt"), posexplode(gramExpr).as(Seq("p0", "gram")))
+      .select(col("doc_id"),
+        (col("p0") + 1L).cast("long").as("p"),
+        greatest(col("nt") - (WinnowN - 1), lit(0)).cast("long").as("gcnt"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+      .withColumn("k", col("h") * 2097152L + (lit(1048576L) - col("p")))
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val withMins = grams
+      .withColumn("mall", min(col("k")).over(Window.partitionBy("doc_id")))
+      .select(col("*") +: (0 until WinnowW).map(j =>
+        min(col("k")).over(w.rowsBetween(-j, WinnowW - 1 - j)).as(s"m$j")): _*)
+    val fullWindowHit = (0 until WinnowW).map { j =>
+      (col("p") - j >= 1) && (col("p") + (WinnowW - 1 - j) <= col("gcnt")) &&
+        (col(s"m$j") === col("k"))
+    }.reduce(_ || _)
+    withMins
+      .filter(when(col("gcnt") < WinnowW, col("k") === col("mall")).otherwise(fullWindowHit))
+      .select(col("doc_id"), col("h")).distinct()
+  }
+
+  // ------------------------------------------------ X233 topic segmentation
+
+  /** Tiling parameters: tokens per block and the boundary threshold. */
+  val TileBlock = 30
+  val TileTauX10k = 1500L
+
+  /** X233 — block-similarity topic segmentation (TextTiling-lite): each
+    * doc's token stream splits into fixed [[TileBlock]]-token blocks;
+    * adjacent blocks score their vocabulary Jaccard ×10⁴; a boundary is
+    * any adjacency below [[TileTauX10k]]. Per doc: block count,
+    * adjacency count, boundaries, mean and min similarity — the
+    * chunk-at-topic-shift signal a context-window splitter (X31) uses
+    * to cut at semantic seams instead of fixed offsets, and a
+    * topical-coherence quality score (many low-similarity seams in a
+    * short doc = concatenated boilerplate).
+    *
+    * Scale: one positional token pass, per-(doc, block) vocabulary
+    * aggregate, adjacency equijoin on (doc, block+1) — all doc-local,
+    * corpus parallelism = docs. */
+  def q212_text_tiling(spark: SparkSession, dir: String): DataFrame = {
+    val tk = graft.ops.Dedup.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), posexplode(wsTokens(normalizeText(col("text")))).as(Seq("p0", "token")))
+      .select(col("doc_id"), expr(s"CAST(p0 div $TileBlock AS BIGINT)").as("block"), col("token"))
+    val vocab = tk.distinct()
+    val sizes = vocab.groupBy("doc_id", "block").agg(count(lit(1)).as("sz"))
+    val inter = vocab.as("x")
+      .join(vocab.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.token") === col("y.token") &&
+          col("y.block") === col("x.block") + 1L)
+      .groupBy(col("x.doc_id").as("doc_id"), col("x.block").as("block"))
+      .agg(count(lit(1)).as("n_common"))
+    val adj = sizes.as("a")
+      .join(sizes.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.block") === col("a.block") + 1L)
+      .select(col("a.doc_id").as("doc_id"), col("a.block").as("block"),
+        col("a.sz").as("sa"), col("b.sz").as("sb"))
+      .join(inter, Seq("doc_id", "block"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("sim_x10k",
+        expr("(10000 * n_common) div (sa + sb - n_common)"))
+    val perDoc = adj.groupBy("doc_id").agg(
+      count(lit(1)).as("n_pairs"),
+      sum((col("sim_x10k") < TileTauX10k).cast("long")).as("n_boundaries"),
+      sum("sim_x10k").as("sim_sum"),
+      min("sim_x10k").as("min_sim_x10k"))
+    val blocks = sizes.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(blocks, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_boundaries"), lit(0L)).as("n_boundaries"),
+        expr("CASE WHEN n_pairs IS NULL OR n_pairs = 0 THEN 10000 ELSE sim_sum div n_pairs END")
+          .as("mean_sim_x10k"),
+        coalesce(col("min_sim_x10k"), lit(10000L)).as("min_sim_x10k"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------- X234 sentence segmentation
+
+  /** X234 — sentence segmentation profile: segments on terminal
+    * punctuation runs `[.!?]+`, keeps segments containing a letter, and
+    * reports per doc the sentence count, token stats per sentence,
+    * uppercase-start share and ALL-CAPS token share — the structural
+    * quality layer readability (q159: syllables) and the punct/stopword
+    * ratios (q13) don't see: fragment dumps segment into one huge
+    * "sentence", shouting and list boilerplate surface as caps share.
+    *
+    * Scale: one segment explode + one token pass, both doc-local. */
+  def q213_sentence_profile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.Dedup.spread(Tables.documents(spark, dir))
+    val segs = docs
+      .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("seg0"))
+      .select(col("doc_id"), trim(col("seg0")).as("seg"))
+      .filter(col("seg").rlike("[A-Za-z]"))
+      .select(col("doc_id"),
+        size(wsTokens(col("seg"))).cast("long").as("stok"),
+        substring(col("seg"), 1, 1).rlike("^[A-Z]").cast("long").as("up"))
+    val sent = segs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_sentences"),
+      sum("stok").as("tok_sum"),
+      max("stok").as("max_sent_tokens"),
+      sum("up").as("up_sum"))
+    val caps = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok0"))
+      .select(col("doc_id"), regexp_replace(col("tok0"), "[^A-Za-z0-9]", "").as("tok"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_raw_tokens"),
+        sum(col("tok").rlike("^[A-Z]{2,}$").cast("long")).as("caps_sum"))
+    docs.select(col("doc_id"))
+      .join(sent, Seq("doc_id"), "left")
+      .join(caps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+        expr("CASE WHEN n_sentences IS NULL OR n_sentences = 0 THEN 0 ELSE (100 * tok_sum) div n_sentences END")
+          .as("mean_sent_tokens_x100"),
+        coalesce(col("max_sent_tokens"), lit(0L)).as("max_sent_tokens"),
+        expr("CASE WHEN n_sentences IS NULL OR n_sentences = 0 THEN 0 ELSE (10000 * up_sum) div n_sentences END")
+          .as("upper_start_x10k"),
+        expr("CASE WHEN n_raw_tokens IS NULL OR n_raw_tokens = 0 THEN 0 ELSE (10000 * caps_sum) div n_raw_tokens END")
+          .as("caps_x10k"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- X235 blocklist screen
+
+  /** The screening lists: single terms and 2-token phrases per
+    * category, chosen from the corpus vocabulary so the screen
+    * exercises both match paths. Real deployments swap these for their
+    * policy lists — the PLAN is the operator (broadcast pattern table +
+    * positional phrase equijoin), not the words. */
+  val BlockTerms: Seq[(String, String)] = Seq(
+    "latency" -> "slow", "latency" -> "fast",
+    "engine" -> "spark", "engine" -> "scan",
+    "storage" -> "table")
+  val BlockPhrases: Seq[(String, String, String)] = Seq(
+    ("latency", "scan", "slow"), ("storage", "big", "table"))
+  val BlockFlagAt = 5L
+
+  /** X235 — blocklist screening: per (doc, category) the term-hit and
+    * phrase-hit counts against a BROADCAST policy list, plus the flag
+    * verdict at [[BlockFlagAt]] total hits — the safety/compliance
+    * filter stage of a corpus pipeline. Terms match map-side against
+    * the exploded normalized token stream; 2-token phrases ride the
+    * q190 positional discipline generalized to a PATTERN TABLE (the
+    * (p, p+1) self-equijoin joins the phrase list, so one pass screens
+    * every phrase at once).
+    *
+    * Scale: pattern lists broadcast; the token stream shuffles only for
+    * the per-doc rollup; phrase candidates are bounded by first-word
+    * matches. */
+  def q214_blocklist_screen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = BlockTerms.toDF("category", "term")
+    val phrases = BlockPhrases.toDF("category", "w1", "w2")
+    val tk = graft.ops.Dedup.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), posexplode(wsTokens(normalizeText(col("text")))).as(Seq("p", "token")))
+    val termHits = tk.join(broadcast(terms), col("token") === col("term"))
+      .groupBy("doc_id", "category").agg(count(lit(1)).as("n_term_hits"))
+    val phraseHits = tk.as("x")
+      .join(tk.as("y"), col("x.doc_id") === col("y.doc_id") && col("y.p") === col("x.p") + 1)
+      .join(broadcast(phrases), col("x.token") === col("w1") && col("y.token") === col("w2"))
+      .groupBy(col("x.doc_id").as("doc_id"), col("category"))
+      .agg(count(lit(1)).as("n_phrase_hits"))
+    termHits.join(phraseHits, Seq("doc_id", "category"), "full")
+      .select(col("doc_id"), col("category"),
+        coalesce(col("n_term_hits"), lit(0L)).as("n_term_hits"),
+        coalesce(col("n_phrase_hits"), lit(0L)).as("n_phrase_hits"))
+      .withColumn("n_hits", col("n_term_hits") + col("n_phrase_hits"))
+      .withColumn("flagged", (col("n_hits") >= BlockFlagAt).cast("int"))
+      .orderBy("doc_id", "category")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_winnow_pairs" -> q211_winnow_pairs,
+    "q212_text_tiling" -> q212_text_tiling,
+    "q213_sentence_profile" -> q213_sentence_profile,
+    "q214_blocklist_screen" -> q214_blocklist_screen
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  import DataPrepQueries.normToks
+
+  private def winnowGramSql: String = {
+    val gram = (0 until WinnowN).map(j => s"t[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    s"""CASE WHEN len(t) < $WinnowN THEN []
+       |     ELSE list_transform(generate_series(1, len(t) - ${WinnowN - 1}), i -> $gram) END"""
+      .stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q211_winnow_pairs" -> {
+      val winMins = (0 until WinnowW).map(j =>
+        s"min(k) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN $j PRECEDING AND ${WinnowW - 1 - j} FOLLOWING) AS m$j")
+        .mkString(",\n         ")
+      val hit = (0 until WinnowW).map(j =>
+        s"(p - $j >= 1 AND p + ${WinnowW - 1 - j} <= gcnt AND m$j = k)").mkString(" OR ")
+      s"""WITH d AS (SELECT doc_id, $normToks AS t FROM documents),
+         |g0 AS (SELECT doc_id, $winnowGramSql AS g FROM d),
+         |g AS (SELECT doc_id,
+         |             CAST(unnest(generate_series(1, len(g))) AS BIGINT) AS p,
+         |             CAST(len(g) AS BIGINT) AS gcnt,
+         |             unnest(g) AS gram
+         |      FROM g0),
+         |h AS (SELECT doc_id, p, gcnt,
+         |             CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS hh
+         |      FROM g),
+         |kk AS (SELECT doc_id, p, gcnt, hh, hh * 2097152 + (1048576 - p) AS k FROM h),
+         |m AS (SELECT doc_id, p, gcnt, hh, k,
+         |         min(k) OVER (PARTITION BY doc_id) AS mall,
+         |         $winMins
+         |      FROM kk),
+         |fp AS (SELECT DISTINCT doc_id, hh FROM m
+         |       WHERE CASE WHEN gcnt < $WinnowW THEN k = mall ELSE ($hit) END),
+         |cap AS (SELECT fp.* FROM fp JOIN (
+         |          SELECT hh FROM fp GROUP BY hh HAVING count(*) <= $WinnowMaxDf) ok
+         |        USING (hh)),
+         |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |              CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM cap a JOIN cap b ON a.hh = b.hh AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id
+         |       HAVING count(*) >= $WinnowMinShared),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp FROM fp GROUP BY doc_id),
+         |sc AS (SELECT sh.id_a, sh.id_b, sh.n_shared, sa.nfp AS fp_a, sb.nfp AS fp_b
+         |       FROM sh JOIN sz sa ON sa.doc_id = sh.id_a
+         |               JOIN sz sb ON sb.doc_id = sh.id_b),
+         |rk AS (SELECT *, CAST(row_number() OVER
+         |         (ORDER BY n_shared DESC, id_a, id_b) AS BIGINT) AS rank FROM sc)
+         |SELECT rank, id_a, id_b, n_shared, fp_a, fp_b
+         |FROM rk WHERE rank <= $WinnowTopK ORDER BY rank""".stripMargin
+    },
+    "q212_text_tiling" ->
+      s"""WITH d AS (SELECT doc_id, $normToks AS t FROM documents),
+         |tk AS (SELECT doc_id,
+         |              CAST((unnest(generate_series(1, len(t))) - 1) // $TileBlock AS BIGINT) AS block,
+         |              unnest(t) AS token
+         |       FROM d),
+         |v AS (SELECT DISTINCT doc_id, block, token FROM tk),
+         |sz AS (SELECT doc_id, block, CAST(count(*) AS BIGINT) AS sz
+         |       FROM v GROUP BY doc_id, block),
+         |ic AS (SELECT x.doc_id, x.block, CAST(count(*) AS BIGINT) AS n_common
+         |       FROM v x JOIN v y ON x.doc_id = y.doc_id AND x.token = y.token
+         |                        AND y.block = x.block + 1
+         |       GROUP BY x.doc_id, x.block),
+         |adj AS (SELECT a.doc_id, a.block, a.sz AS sa, b.sz AS sb,
+         |               coalesce(ic.n_common, 0) AS n_common
+         |        FROM sz a JOIN sz b ON a.doc_id = b.doc_id AND b.block = a.block + 1
+         |        LEFT JOIN ic ON ic.doc_id = a.doc_id AND ic.block = a.block),
+         |sim AS (SELECT doc_id, block,
+         |               CAST((10000 * n_common) // (sa + sb - n_common) AS BIGINT) AS sim_x10k
+         |        FROM adj),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |              CAST(sum(CASE WHEN sim_x10k < $TileTauX10k THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+         |              CAST(sum(sim_x10k) AS BIGINT) AS sim_sum,
+         |              CAST(min(sim_x10k) AS BIGINT) AS min_sim_x10k
+         |       FROM sim GROUP BY doc_id),
+         |bl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks FROM sz GROUP BY doc_id)
+         |SELECT dd.doc_id,
+         |       coalesce(bl.n_blocks, 0) AS n_blocks,
+         |       coalesce(pd.n_pairs, 0) AS n_pairs,
+         |       coalesce(pd.n_boundaries, 0) AS n_boundaries,
+         |       CAST(CASE WHEN pd.n_pairs IS NULL OR pd.n_pairs = 0 THEN 10000
+         |            ELSE pd.sim_sum // pd.n_pairs END AS BIGINT) AS mean_sim_x10k,
+         |       coalesce(pd.min_sim_x10k, 10000) AS min_sim_x10k
+         |FROM documents dd LEFT JOIN bl USING (doc_id) LEFT JOIN pd USING (doc_id)
+         |ORDER BY dd.doc_id""".stripMargin,
+    "q213_sentence_profile" ->
+      s"""WITH sg0 AS (SELECT doc_id, trim(unnest(regexp_split_to_array(text, '[.!?]+'))) AS seg
+         |             FROM documents),
+         |sg AS (SELECT doc_id,
+         |              CAST(len(CASE WHEN len(trim(seg)) = 0 THEN []
+         |                        ELSE regexp_split_to_array(trim(seg), '\\s+') END) AS BIGINT) AS stok,
+         |              CAST(regexp_matches(substr(seg, 1, 1), '^[A-Z]') AS BIGINT) AS up
+         |       FROM sg0 WHERE regexp_matches(seg, '[A-Za-z]')),
+         |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+         |              CAST(sum(stok) AS BIGINT) AS tok_sum,
+         |              CAST(max(stok) AS BIGINT) AS max_sent_tokens,
+         |              CAST(sum(up) AS BIGINT) AS up_sum
+         |       FROM sg GROUP BY doc_id),
+         |cp0 AS (SELECT doc_id,
+         |               regexp_replace(unnest(CASE WHEN len(trim(text)) = 0 THEN []
+         |                 ELSE regexp_split_to_array(trim(text), '\\s+') END),
+         |                 '[^A-Za-z0-9]', '', 'g') AS tok
+         |        FROM documents),
+         |cp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_raw_tokens,
+         |              CAST(sum(CASE WHEN regexp_matches(tok, '^[A-Z]{2,}$$') THEN 1 ELSE 0 END) AS BIGINT) AS caps_sum
+         |       FROM cp0 GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(st.n_sentences, 0) AS n_sentences,
+         |       CAST(CASE WHEN st.n_sentences IS NULL OR st.n_sentences = 0 THEN 0
+         |            ELSE (100 * st.tok_sum) // st.n_sentences END AS BIGINT) AS mean_sent_tokens_x100,
+         |       coalesce(st.max_sent_tokens, 0) AS max_sent_tokens,
+         |       CAST(CASE WHEN st.n_sentences IS NULL OR st.n_sentences = 0 THEN 0
+         |            ELSE (10000 * st.up_sum) // st.n_sentences END AS BIGINT) AS upper_start_x10k,
+         |       CAST(CASE WHEN cp.n_raw_tokens IS NULL OR cp.n_raw_tokens = 0 THEN 0
+         |            ELSE (10000 * cp.caps_sum) // cp.n_raw_tokens END AS BIGINT) AS caps_x10k
+         |FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN cp USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q214_blocklist_screen" -> {
+      val termVals = BlockTerms.map { case (c, t) => s"('$c', '$t')" }.mkString(", ")
+      val phraseVals = BlockPhrases.map { case (c, a, b) => s"('$c', '$a', '$b')" }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, $normToks AS t FROM documents),
+         |tk AS (SELECT doc_id, CAST(unnest(generate_series(1, len(t))) AS BIGINT) AS p,
+         |              unnest(t) AS token FROM d),
+         |bt(category, term) AS (VALUES $termVals),
+         |bp(category, w1, w2) AS (VALUES $phraseVals),
+         |th AS (SELECT tk.doc_id, bt.category, CAST(count(*) AS BIGINT) AS n_term_hits
+         |       FROM tk JOIN bt ON tk.token = bt.term GROUP BY tk.doc_id, bt.category),
+         |ph AS (SELECT x.doc_id, bp.category, CAST(count(*) AS BIGINT) AS n_phrase_hits
+         |       FROM tk x JOIN tk y ON x.doc_id = y.doc_id AND y.p = x.p + 1
+         |       JOIN bp ON x.token = bp.w1 AND y.token = bp.w2
+         |       GROUP BY x.doc_id, bp.category),
+         |u AS (SELECT coalesce(th.doc_id, ph.doc_id) AS doc_id,
+         |             coalesce(th.category, ph.category) AS category,
+         |             coalesce(th.n_term_hits, 0) AS n_term_hits,
+         |             coalesce(ph.n_phrase_hits, 0) AS n_phrase_hits
+         |      FROM th FULL JOIN ph ON th.doc_id = ph.doc_id AND th.category = ph.category)
+         |SELECT doc_id, category, n_term_hits, n_phrase_hits,
+         |       CAST(n_term_hits + n_phrase_hits AS BIGINT) AS n_hits,
+         |       CAST(CASE WHEN n_term_hits + n_phrase_hits >= $BlockFlagAt THEN 1 ELSE 0 END AS INT) AS flagged
+         |FROM u ORDER BY doc_id, category""".stripMargin
+    }
+  )
+}
