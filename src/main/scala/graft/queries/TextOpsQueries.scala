@@ -244,8 +244,16 @@ object TextOpsQueries {
       .select(col("doc_id"), posexplode(wsTokens(normalizeText(col("text")))).as(Seq("p", "token")))
     val termHits = tk.join(broadcast(terms), col("token") === col("term"))
       .groupBy("doc_id", "category").agg(count(lit(1)).as("n_term_hits"))
-    val phraseHits = tk.as("x")
-      .join(tk.as("y"), col("x.doc_id") === col("y.doc_id") && col("y.p") === col("x.p") + 1)
+    // prefilter BOTH sides of the positional join to phrase-word
+    // occurrences (broadcast left-semi) BEFORE joining on (doc, p+1):
+    // the full token stream never self-shuffles — only the (rare)
+    // pattern-word rows carry position keys to the equijoin
+    val starts = tk.join(broadcast(phrases.select(col("w1").as("token")).distinct()),
+      Seq("token"), "left_semi")
+    val nexts = tk.join(broadcast(phrases.select(col("w2").as("token")).distinct()),
+      Seq("token"), "left_semi")
+    val phraseHits = starts.as("x")
+      .join(nexts.as("y"), col("x.doc_id") === col("y.doc_id") && col("y.p") === col("x.p") + 1)
       .join(broadcast(phrases), col("x.token") === col("w1") && col("y.token") === col("w2"))
       .groupBy(col("x.doc_id").as("doc_id"), col("category"))
       .agg(count(lit(1)).as("n_phrase_hits"))

@@ -119,17 +119,23 @@ object TrainPrepQueries {
 
   /** q97's scoring chain (tokened docs only): hash tokens to weight
     * buckets, broadcast-join the frozen weights, one per-doc regroup. */
-  private[queries] def classifierScores(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(wsTokens(normalizeText(col("text")))).as("token"))
-      .select(col("doc_id"),
-        pmod(conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long"),
-          lit(ClsBuckets.toLong)).as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
-    buckets.join(broadcast(clsWeights(spark)), "bucket")
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_tokens"), sum(col("c") * col("w")).as("score"))
-  }
+  /** Session-pinned (PinnedCoreMemo): nine board queries across seven
+    * modules (q97/q110/q122/q141/q183/q203-q205/q209/q216) read the
+    * frozen classifier's per-doc scores — one token-hash pass per
+    * session instead of one per consumer. One row per doc. */
+  private val clsMemo = new graft.ops.PinnedCoreMemo[String]
+  private[queries] def classifierScores(spark: SparkSession, dir: String): DataFrame =
+    clsMemo.getOrBuild(spark, dir) {
+      val buckets = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(wsTokens(normalizeText(col("text")))).as("token"))
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long"),
+            lit(ClsBuckets.toLong)).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+      buckets.join(broadcast(clsWeights(spark)), "bucket")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), sum(col("c") * col("w")).as("score"))
+    }
 
   val HardK = 5
 
