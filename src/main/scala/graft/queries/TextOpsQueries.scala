@@ -236,11 +236,19 @@ object TextOpsQueries {
     * Scale: pattern lists broadcast; the token stream shuffles only for
     * the per-doc rollup; phrase candidates are bounded by first-word
     * matches. */
-  def q214_blocklist_screen(spark: SparkSession, dir: String): DataFrame = {
+  def q214_blocklist_screen(spark: SparkSession, dir: String): DataFrame =
+    screenDocs(graft.ops.Dedup.spread(Tables.documents(spark, dir)))
+      .orderBy("doc_id", "category")
+
+  /** Core of q214 over any (doc_id, text) frame — split out so the
+    * streaming twin ([[graft.streaming.BlocklistStream]]) screens each
+    * micro-batch through the identical plan. Unordered. */
+  private[graft] def screenDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val terms = BlockTerms.toDF("category", "term")
     val phrases = BlockPhrases.toDF("category", "w1", "w2")
-    val tk = graft.ops.Dedup.spread(Tables.documents(spark, dir))
+    val tk = docs
       .select(col("doc_id"), posexplode(wsTokens(normalizeText(col("text")))).as(Seq("p", "token")))
     val termHits = tk.join(broadcast(terms), col("token") === col("term"))
       .groupBy("doc_id", "category").agg(count(lit(1)).as("n_term_hits"))
@@ -263,7 +271,6 @@ object TextOpsQueries {
         coalesce(col("n_phrase_hits"), lit(0L)).as("n_phrase_hits"))
       .withColumn("n_hits", col("n_term_hits") + col("n_phrase_hits"))
       .withColumn("flagged", (col("n_hits") >= BlockFlagAt).cast("int"))
-      .orderBy("doc_id", "category")
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

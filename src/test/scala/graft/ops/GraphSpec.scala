@@ -128,11 +128,14 @@ class GraphSpec extends SparkSpec {
     // a 12-node chain peels one pendant pair per round under k=2 — many
     // rounds, so unreleased per-round checkpoints would pile up here
     val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    // delta-count: the suite session is shared across specs in a full
+    // test run, so only the RDDs these two loops ADD are in scope
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Graph.kCore(chain, k = 2).count()
     Graph.connectedComponents(chain).count()
-    val persisted = spark.sparkContext.getPersistentRDDs.size
+    val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before).size
     // kept: at most the final round of each loop (+ CC's symmetric edge
     // set, which backs the returned labels' lineage) — NOT one per round
-    assert(persisted <= 6, s"expected bounded persistent RDDs, got $persisted")
+    assert(added <= 6, s"expected bounded persistent RDDs, got $added new")
   }
 }
