@@ -37,7 +37,7 @@ object MiningQueries {
     * two slices + zip_with so each token array is evaluated once per row
     * (no per-element element_at re-evaluation), guarded to the empty array
     * when the doc is shorter than the gap. */
-  private def gapPairs(t: Column, d: Int): Column =
+  private[queries] def gapPairs(t: Column, d: Int): Column =
     when(size(t) <= d, array().cast("array<struct<a:string,b:string>>"))
       .otherwise(zip_with(
         slice(t, lit(1), size(t) - d),
@@ -205,7 +205,7 @@ object MiningQueries {
 
   /** Bigram/gap-pair rows (w1 = t[s], w2 = t[s+d]) for the token-list CTE
     * `d (…, t)`. */
-  private def gapSql(d: Int): String =
+  private[queries] def gapSql(d: Int): String =
     s"""SELECT t[s] AS a, t[s + $d] AS b
        |FROM (SELECT t, unnest(CASE WHEN len(t) - $d <= 0 THEN []
        |              ELSE generate_series(1, len(t) - $d) END) AS s FROM d)""".stripMargin
