@@ -110,7 +110,18 @@ object Plans {
     "q204_average_precision" -> "AP: two-phase globalIndex + globalCumSum over the ranked corpus, no single-task window",
     "q205_cumulative_gains" -> "gains: explicit-floor decile bucketing on the two-phase index, 10-row cumulative tail",
     "q206_frequent_triples" -> "A-priori triples: frequent-pair candidate generation, basket re-scan counts candidates only",
-    "q208_bfs_layers" -> "BFS layers: bounded frontier-expand/anti-join rounds off the pinned edge core, localCheckpoint per round"
+    "q208_bfs_layers" -> "BFS layers: bounded frontier-expand/anti-join rounds off the pinned edge core, localCheckpoint per round",
+    "q211_winnow_pairs" -> "winnowing: per-doc windowed frame-minima (one WindowExec pass), df-capped fingerprint equijoin, never all-pairs",
+    "q214_blocklist_screen" -> "blocklist: broadcast pattern tables; phrase sides broadcast-semi prefiltered BEFORE the positional equijoin",
+    "q215_contrastive_triplets" -> "triplets: pinned kNN artifact + <=k-row rank windows per (anchor, side), two bounded joins",
+    "q216_brier_reliability" -> "brier: pinned classifier core, 1-row + |bins|-row aggregates, everything else broadcast",
+    "q217_removal_effect" -> "removal effect: q118-shape distributed transition aggregate; iteration on the collected |types|^2 matrix (bounded)",
+    "q220_quota_topk" -> "quota top-k: bounded-heap per-source cap map-side, TakeOrdered over <=|sources|*cap rows",
+    "q222_blocking_linkage" -> "linkage: capped blocking-key equijoin candidates, exact confirm via pinned-core arrays on candidates only, CC on edges",
+    "q224_holt_forecast" -> "holt: distributed daily aggregate; calendar-bounded driver fold; oracle replays recurrence via recursive CTE",
+    "q226_dedup_provenance" -> "provenance: four loser sets off pinned cores, four left joins on the doc spine",
+    "q227_concept_clusters" -> "concepts: vocabulary-sized lift graph, two-phase index ids, CC iterates the edge list",
+    "q228_mrr_at_k" -> "MRR: pinned kNN + per-query min-rank aggregate, |labels|-row rollup"
   )
 
   def main(args: Array[String]): Unit = {
