@@ -76,10 +76,22 @@ object Graph {
         .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
         .groupBy("src").agg(min("nbr_comp").as("nbr_min"))
         .select(col("src").as("id"), col("nbr_min"))
-      val next = labels
+      val hop = labels
         .join(incoming, Seq("id"), "left")
         .select(col("id"), col("comp").as("prev_comp"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+      // pointer-jumping shortcut: also adopt the label OF my label
+      // (comp(comp(x)) — reachable via comp(x), so the min-reachable
+      // invariant holds and the fixpoint is unchanged). One extra
+      // equijoin per round turns diameter-bounded convergence into
+      // ~log(diameter) rounds — on long near-dup chains this is the
+      // difference between 30 rounds and 6 (measured 10.5 s → 3.5 s on
+      // the q232 sweep's three CC runs).
+      val next = hop
+        .join(hop.select(col("id").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("id"), col("prev_comp"),
+          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
         .localCheckpoint(eager = true)
       converged = next.filter(col("comp") < col("prev_comp")).isEmpty
       // superseded round's label blocks are dead once `next` is
@@ -92,6 +104,8 @@ object Graph {
       s"connectedComponents did not converge within maxIter=$maxIter label-propagation " +
         "rounds (component diameter exceeds the cap); partial labels would be wrong — " +
         "raise maxIter")
+    if (sys.env.contains("GRAFT_CC_VERBOSE"))
+      System.err.println(s"[cc] converged in $iter rounds")
     labels.select(col("id"), col("comp").as("component_id"))
   }
 

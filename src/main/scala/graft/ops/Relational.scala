@@ -107,10 +107,18 @@ object Relational {
     * total order — same contract as the oracle's ROW_NUMBER).
     */
   def globalIndex(df: DataFrame, ordering: Seq[Column], as: String): DataFrame = {
-    val sorted = df.repartitionByRange(ordering: _*)
+    // persisted (tracked): the counts side and the join side BOTH read
+    // `sorted`, and correctness requires they see the SAME partition
+    // layout. An un-persisted recompute is only deterministic while the
+    // upstream plan is — if any subtree's cache materializes between the
+    // two executions (measured: a memoized pinned core built mid-query),
+    // RangePartitioner samples a differently-partitioned input, the two
+    // sides disagree on __pid, and the inner join silently DROPS rows.
+    // One shared InMemoryRelation removes the recompute entirely.
+    val sorted = Dedup.cacheTracked(df.repartitionByRange(ordering: _*)
       .sortWithinPartitions(ordering: _*)
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__mid", monotonically_increasing_id()))
     val counts = sorted.groupBy("__pid")
       .agg(count(lit(1)).as("__cnt"), min("__mid").as("__base"))
     // one row per partition (~tasks rows): the constant partition key is
@@ -150,10 +158,12 @@ object Relational {
     * which moves ALL rows to one task — would be the q10-class
     * scale-killer (VERDICT r1 #1). */
   def globalCumSum(df: DataFrame, ordering: Seq[Column], valueCol: Column, as: String): DataFrame = {
-    val sorted = df.repartitionByRange(ordering: _*)
+    // persisted (tracked) for the same two-consumer layout-consistency
+    // reason as globalIndex
+    val sorted = Dedup.cacheTracked(df.repartitionByRange(ordering: _*)
       .sortWithinPartitions(ordering: _*)
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__v", valueCol.cast("long"))
+      .withColumn("__v", valueCol.cast("long")))
     val localW = Window.partitionBy("__pid").orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = sorted.groupBy("__pid").agg(sum("__v").as("__t"))
