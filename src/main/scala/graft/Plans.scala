@@ -121,7 +121,9 @@ object Plans {
     "q224_holt_forecast" -> "holt: distributed daily aggregate; calendar-bounded driver fold; oracle replays recurrence via recursive CTE",
     "q226_dedup_provenance" -> "provenance: four loser sets off pinned cores, four left joins on the doc spine",
     "q227_concept_clusters" -> "concepts: vocabulary-sized lift graph, two-phase index ids, CC iterates the edge list",
-    "q228_mrr_at_k" -> "MRR: pinned kNN + per-query min-rank aggregate, |labels|-row rollup"
+    "q228_mrr_at_k" -> "MRR: pinned kNN + per-query min-rank aggregate, |labels|-row rollup",
+    "q229_stratified_folds" -> "folds: two-phase global index over (source, md5, id), broadcast per-source offsets, no per-stratum single-task window",
+    "q231_contamination_sweep" -> "length sweep: per-n distinct-gram equijoin (eval set vs train stream), n=3 arm on the pinned shingle core"
   )
 
   def main(args: Array[String]): Unit = {
