@@ -51,13 +51,16 @@ object LinkageQueries {
         expr(s"CAST(ntok div $BlockBucket AS STRING)"), col("ft")).as("bkey"))
       .union(heads.select(col("doc_id"), concat_ws(":", lit("L"),
         expr(s"CAST(ntok div $BlockBucket AS STRING)"), col("lt")).as("bkey")))
-    val cool = keys.join(
-      keys.groupBy("bkey").agg(count(lit(1)).as("n")).filter(col("n") <= BlockKeyCap)
-        .select("bkey"), "bkey")
-    val cand = cool.select(col("bkey"), col("doc_id").as("id_a"))
-      .join(cool.select(col("bkey"), col("doc_id").as("id_b")), "bkey")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // in-row pair generation off the capped block posting lists (the
+    // Dedup.interFrom discipline); distinct dedups the two key passes
+    val cand = keys.groupBy("bkey").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) <= BlockKeyCap && size(col("ids")) >= 2)
+      .withColumn("sids", array_sort(col("ids")))
+      .select(explode(expr(
+        "flatten(transform(sids, (x, i) -> " +
+          "transform(slice(sids, i + 2, size(sids)), y -> struct(x AS id_a, y AS id_b))))"))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
     val arrays = graft.ops.Dedup.pinnedShingles(spark, dir, DataPrepQueries.ShingleN)
       .groupBy("id").agg(collect_set("shingle").as("sh"))
     val sizes = graft.ops.Dedup.pinnedSetSizes(spark, dir, DataPrepQueries.ShingleN)

@@ -52,12 +52,18 @@ object TextOpsQueries {
     * never all-pairs. */
   def q211_winnow_pairs(spark: SparkSession, dir: String): DataFrame = {
     val fps = winnowFingerprints(graft.ops.Dedup.spread(Tables.documents(spark, dir)))
-    val capped = fps.join(
-      fps.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= WinnowMaxDf)
-        .select("h"), "h")
-    val shared = capped.select(col("h"), col("doc_id").as("id_a"))
-      .join(capped.select(col("h"), col("doc_id").as("id_b")), "h")
-      .filter(col("id_a") < col("id_b"))
+    // in-row pair generation off the df-capped posting lists (the
+    // Dedup.interFrom discipline): one shuffle on the fingerprint,
+    // bounded sorted lists, pairs explode codegen'd with id_a < id_b
+    // by construction
+    val shared = fps.groupBy("h").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) <= WinnowMaxDf && size(col("ids")) >= 2)
+      .withColumn("sids", array_sort(col("ids")))
+      .select(explode(expr(
+        "flatten(transform(sids, (x, i) -> " +
+          "transform(slice(sids, i + 2, size(sids)), y -> struct(x AS id_a, y AS id_b))))"))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
