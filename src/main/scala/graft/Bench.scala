@@ -153,17 +153,37 @@ object Bench {
     // sessions measure 16-22k) — max over reps is the robust estimator
     // for a THROUGHPUT (higher = less interfered), and each rep starts
     // GC'd so one rep's state can't poison the next
-    def bestOf2(provider: Option[String], nTx: Int): Long = {
+    // raw reps are kept and emitted (round-6 VERDICT: close the RocksDB
+    // 1× loop IN-ARTIFACT — a best-of hides how far apart the reps were,
+    // which is exactly the cross-VM-variance question)
+    val streamReps = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
+    def bestOf2(label: String, provider: Option[String], nTx: Int): Long = {
       val a = safeThroughput(provider, nTx)
       gcBetweenSections()
       val b = safeThroughput(provider, nTx)
       gcBetweenSections()
+      streamReps(label) = Vector(a.round, b.round)
       math.max(a, b).round
     }
-    val evHdfs = bestOf2(None, nTx = 10000)
-    val evRocks = bestOf2(Some(RocksProvider), nTx = 10000)
-    val evHdfs10x = bestOf2(None, nTx = 100000)
-    val evRocks10x = bestOf2(Some(RocksProvider), nTx = 100000)
+    val evHdfs = bestOf2("hdfs_1x", None, nTx = 10000)
+    val evRocks = bestOf2("rocksdb_1x", Some(RocksProvider), nTx = 10000)
+    val evHdfs10x = bestOf2("hdfs_10x", None, nTx = 100000)
+    val evRocks10x = bestOf2("rocksdb_10x", Some(RocksProvider), nTx = 100000)
+    // attribution: each run drives 8 micro-batches, so t(N) = 8c + N·v —
+    // the 1×/10× best reps solve for c (per-micro-batch fixed cost:
+    // state-store open/commit + batch planning) and v (per-event merge
+    // cost). A RocksDB c ≫ HDFS c with comparable v says the 1× gap is
+    // store open/commit amortization, not the merge ladder.
+    def attrib(rate1x: Long, rate10x: Long): (Double, Double) = {
+      if (rate1x <= 0 || rate10x <= 0) return (-1.0, -1.0)
+      val t1 = 10000.0 / rate1x
+      val t10 = 100000.0 / rate10x
+      val v = (t10 - t1) / 90000.0
+      val c = (t1 - 10000.0 * v) / 8.0
+      (c * 1000.0, v * 1e6) // (ms per micro-batch, us per event)
+    }
+    val (hdfsBatchMs, hdfsEvUs) = attrib(evHdfs, evHdfs10x)
+    val (rocksBatchMs, rocksEvUs) = attrib(evRocks, evRocks10x)
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     diag("stream") = jvmDiag()
     gcBetweenSections()
@@ -199,7 +219,18 @@ object Bench {
     }
     val byName = scala.collection.mutable.Map(
       names.map(n => n -> Vector.empty[Double]): _*)
+    // per-core build seconds, measured as their own line items (round-6
+    // VERDICT): each pass PREWARMS the pinned cores before any query is
+    // timed, so q114/q196/the q91 family time pure consumption and a
+    // regression in a core shows up under the core's own name
+    val coreTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    def prewarmCores(): Unit =
+      try PinnedCores.prewarm(spark, sfDir).foreach { case (n, s) =>
+        coreTimes(n) = coreTimes.getOrElse(n, Vector.empty) :+ s
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] core prewarm failed: ${t.getMessage}") }
     (1 to reps).foreach { pass =>
+      prewarmCores()
       names.foreach { name => byName(name) :+= timeOne(name) }
       diag(s"pass$pass") = jvmDiag()
       System.err.println(s"[bench] pass $pass done ${jvmDiag()}")
@@ -215,6 +246,10 @@ object Bench {
     // every pass clipped by an interference window — one more rep each is
     // bounded extra wall time and recovers the true cost
     val RetryAboveSec = 3.0
+    // cores were released at the end of the last pass — rebuild (timed
+    // into cores_detail as another rep) so a retried query doesn't pay
+    // a core build that per-pass timing just factored out
+    prewarmCores()
     names.foreach { name =>
       val ts = byName(name)
       if (ts.forall(_ < 0) || ts.filter(_ >= 0).min > RetryAboveSec)
@@ -233,13 +268,55 @@ object Bench {
       .mkString("{", ",", "}")
     val failedReps = results.collect { case (k, (_, f)) if f > 0 => "\"" + k + "\":" + f }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
+    // headline total stays comparable with rounds ≤6 (where core builds
+    // hid inside first-consumer queries): per-query mins + per-core mins
+    val coreMins = coreTimes.toSeq.sortBy(_._1).map { case (k, v) => k -> v.min }
+    val coresTotal = coreMins.map(_._2).sum
+    val coresJson = coreMins.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val queriesTotal = results.map(_._2._1).filter(_ >= 0).sum
+    val total = queriesTotal + coresTotal
     diag("end") = jvmDiag()
     val diagJson = diag.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val streamRepsJson = streamReps.map { case (k, v) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val streamAttribJson =
+      f"""{"hdfs_batch_overhead_ms":$hdfsBatchMs%.1f,"hdfs_per_event_us":$hdfsEvUs%.2f,""" +
+      f""""rocksdb_batch_overhead_ms":$rocksBatchMs%.1f,"rocksdb_per_event_us":$rocksEvUs%.2f,""" +
+      s""""model":"t(N)=8c+Nv over the 1x/10x best reps; c=per-micro-batch fixed cost (state-store open/commit + batch planning), v=per-event merge cost"}"""
+    // fresh DuckDB pairing (round-6 VERDICT #1): tools/pair_duckdb.py
+    // writes DUCK_PAIRING.json (per-query DuckDB seconds on the same
+    // oracle SQL/parquet/SF); the ratio below pairs THIS run's spark
+    // times — cores are charged to the spark side, since DuckDB pays
+    // every query's full cost with no staged tables
+    val duckJson: String = try {
+      val p = Paths.get("DUCK_PAIRING.json")
+      if (!Files.exists(p)) "null" else {
+        val txt = Files.readString(p)
+        val re = """"(q[0-9][^"]*)":\s*([0-9.eE+]+)""".r
+        val duck = re.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val resMap = results.toMap
+        val paired = duck.keys.filter(k => resMap.get(k).exists(_._1 >= 0)).toSeq.sorted
+        val sparkSum = paired.map(k => resMap(k)._1).sum + coresTotal
+        val duckSum = paired.map(duck).sum
+        val over = paired.filter(k => resMap(k)._1 > 2.0 * duck(k))
+          .sortBy(k => -resMap(k)._1 / duck(k))
+        val overJson = over.map(k =>
+          "\"" + k + "\":" + f"${resMap(k)._1 / duck(k)}%.2f").mkString("{", ",", "}")
+        f"""{"n_paired":${paired.size},"spark_total_s":$sparkSum%.2f,""" +
+        f""""spark_cores_s":$coresTotal%.2f,"duck_total_s":$duckSum%.2f,""" +
+        f""""ratio":${sparkSum / duckSum}%.3f,"n_over_2x":${over.size},"over_2x":$overJson}"""
+      }
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] duck pairing failed: ${t.getMessage}"); "null" }
     val streamJson =
       s""""stream_hdfs_events_per_sec":$evHdfs,"stream_rocksdb_events_per_sec":$evRocks,""" +
-      s""""stream_hdfs_events_per_sec_10x":$evHdfs10x,"stream_rocksdb_events_per_sec_10x":$evRocks10x"""
+      s""""stream_hdfs_events_per_sec_10x":$evHdfs10x,"stream_rocksdb_events_per_sec_10x":$evRocks10x,""" +
+      s""""stream_reps":$streamRepsJson,"stream_attrib":$streamAttribJson,""" +
+      s""""cores_detail":$coresJson,"cores_total_s":${f"$coresTotal%.2f"},""" +
+      s""""duck_pairing":$duckJson"""
     // the ten slowest queries inline in the COMPACT line, so even a
     // tail-truncated capture still attributes where the time went
     val slowest = results.sortBy(-_._2._1).take(10)

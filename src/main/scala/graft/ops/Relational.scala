@@ -105,6 +105,15 @@ object Relational {
     * sorted lineage for the counts side (deterministic: RangePartitioner's
     * sampling is seeded per input partition, and `ordering` must be a
     * total order — same contract as the oracle's ROW_NUMBER).
+    *
+    * CALLER OBLIGATION (applies to [[globalCumSum]] too): the sorted
+    * frame is persisted via [[Dedup.cacheTracked]] — load-bearing for
+    * correctness, see the comment in the body — and the entry lives
+    * until `Dedup.unpersistIntermediates(spark)` runs. Bench/Verify/
+    * TimeQ/Plans call it after every query action; a long-lived session
+    * embedding these operators as a library must do the same after each
+    * consuming action, or MEMORY_AND_DISK entries accumulate without
+    * bound (round-6 ADVICE).
     */
   def globalIndex(df: DataFrame, ordering: Seq[Column], as: String): DataFrame = {
     // persisted (tracked): the counts side and the join side BOTH read

@@ -46,21 +46,20 @@ object LinkageQueries {
       .filter(size(col("t")) >= 1)
       .select(col("doc_id"), size(col("t")).cast("long").as("ntok"),
         element_at(col("t"), 1).as("ft"), element_at(col("t"), -1).as("lt"))
-    val keys = heads
+    // tracked: the key table feeds the two-pass df cap (count + semi
+    // join) and the posting collect — one tokenize pass, not three
+    val keys = graft.ops.Dedup.cacheTracked(heads
       .select(col("doc_id"), concat_ws(":", lit("F"),
         expr(s"CAST(ntok div $BlockBucket AS STRING)"), col("ft")).as("bkey"))
       .union(heads.select(col("doc_id"), concat_ws(":", lit("L"),
-        expr(s"CAST(ntok div $BlockBucket AS STRING)"), col("lt")).as("bkey")))
-    // in-row pair generation off the capped block posting lists (the
-    // Dedup.interFrom discipline); distinct dedups the two key passes
-    val cand = keys.groupBy("bkey").agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) <= BlockKeyCap && size(col("ids")) >= 2)
-      .withColumn("sids", array_sort(col("ids")))
-      .select(explode(expr(
-        "flatten(transform(sids, (x, i) -> " +
-          "transform(slice(sids, i + 2, size(sids)), y -> struct(x AS id_a, y AS id_b))))"))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+        expr(s"CAST(ntok div $BlockBucket AS STRING)"), col("lt")).as("bkey"))))
+    // in-row pair generation off the capped block posting lists
+    // (Dedup.cappedPostingPairs — two-pass cap: a hot blocking key is
+    // pruned by the df count + semi join BEFORE its posting list would
+    // be collected); distinct dedups the two key passes
+    val cand = graft.ops.Dedup
+      .cappedPostingPairs(keys, "bkey", "doc_id", BlockKeyCap)
+      .distinct()
     val arrays = graft.ops.Dedup.pinnedShingles(spark, dir, DataPrepQueries.ShingleN)
       .groupBy("id").agg(collect_set("shingle").as("sh"))
     val sizes = graft.ops.Dedup.pinnedSetSizes(spark, dir, DataPrepQueries.ShingleN)
@@ -124,33 +123,38 @@ object LinkageQueries {
     * bit-exactly.
     *
     * Scale split: the daily aggregate is the distributed pass; the
-    * recurrence folds over ONE ROW PER CALENDAR DAY — bounded by the
-    * time range, not the data (the q217 bounded-collect class), then
-    * returns as a local frame. */
+    * recurrence folds IN-PLAN (the q169/q174 `aggregate`-fold
+    * machinery — no driver collect, round-6 VERDICT #6) over ONE array
+    * of per-calendar-day entries — bounded by the time range, not the
+    * data. The (level, trend) two-variable state threads through the
+    * fold as the previous output struct; the nested `transform` over a
+    * one-element array is the let-binding that names the intermediate
+    * new-level before the new-trend reuses it. */
   def q224_holt_forecast(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val daily = Tables.events(spark, dir)
+    val (a, b4) = (HoltAlphaX10k, HoltBetaX10k)
+    Tables.events(spark, dir)
       .groupBy(expr(s"ts_ms div $DayMs").as("day"))
       .agg(count(lit(1)).as("x"))
-      .orderBy("day")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val (a, b4) = (HoltAlphaX10k, HoltBetaX10k)
-    val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
-    var l = 0L; var b = 0L
-    daily.zipWithIndex.foreach { case ((day, x), i) =>
-      if (i == 0) {
-        l = x * 10000L; b = 0L
-        out += ((day, x, l, b, l, 0L))
-      } else {
-        val f = l + b
-        val nl = (a * (x * 10000L) + (10000L - a) * (l + b)) / 10000L
-        val nb = (b4 * (nl - l) + (10000L - b4) * b) / 10000L
-        l = nl; b = nb
-        out += ((day, x, l, b, f, math.abs(x * 10000L - f)))
-      }
-    }
-    out.result().toDF("day", "n_events", "level_x10k", "trend_x10k",
-        "forecast_x10k", "abs_err_x10k")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("dx"))
+      .withColumn("st", expr(
+        s"""aggregate(dx,
+           |  CAST(array() AS ARRAY<STRUCT<day: BIGINT, x: BIGINT, l: BIGINT,
+           |                               b: BIGINT, f: BIGINT, e: BIGINT>>),
+           |  (acc, r) -> CASE WHEN size(acc) = 0 THEN array(named_struct(
+           |      'day', r.day, 'x', r.x, 'l', r.x * 10000, 'b', CAST(0 AS BIGINT),
+           |      'f', r.x * 10000, 'e', CAST(0 AS BIGINT)))
+           |    ELSE concat(acc, transform(
+           |      transform(array(element_at(acc, -1)), p -> named_struct(
+           |        'pl', p.l, 'pb', p.b,
+           |        'nl', ($a * (r.x * 10000) + ${10000L - a} * (p.l + p.b)) div 10000)),
+           |      t -> named_struct('day', r.day, 'x', r.x, 'l', t.nl,
+           |        'b', ($b4 * (t.nl - t.pl) + ${10000L - b4} * t.pb) div 10000,
+           |        'f', t.pl + t.pb,
+           |        'e', abs(r.x * 10000 - (t.pl + t.pb))))) END)""".stripMargin))
+      .select(posexplode(col("st")).as(Seq("pos", "r")))
+      .select(col("r.day").as("day"), col("r.x").as("n_events"),
+        col("r.l").as("level_x10k"), col("r.b").as("trend_x10k"),
+        col("r.f").as("forecast_x10k"), col("r.e").as("abs_err_x10k"))
       .orderBy("day")
   }
 

@@ -362,7 +362,7 @@ object OlapQueries {
     * memo returns the SAME DataFrame instance, so every consumer's
     * plan shares Spark's CacheManager entry by construction. */
   private val knnPinned = new graft.ops.PinnedCoreMemo[String]
-  private[queries] def knnGraphPinned(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def knnGraphPinned(spark: SparkSession, dir: String): DataFrame =
     knnPinned.getOrBuild(spark, dir) {
       val emb = Tables.embeddings(spark, dir)
       graft.ops.Ann.ivfTopK(emb, emb, k = KnnK, nCentroids = 16, nProbe = 4)
@@ -374,7 +374,7 @@ object OlapQueries {
   /** The canonical UNDIRECTED edge set of [[knnGraphPinned]] (u < v,
     * deduped) — q145/q178/q196 all start here, so it is pinned too. */
   private val undPinned = new graft.ops.PinnedCoreMemo[String]
-  private[queries] def knnUndirectedPinned(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def knnUndirectedPinned(spark: SparkSession, dir: String): DataFrame =
     undPinned.getOrBuild(spark, dir)(
       knnGraphPinned(spark, dir)
         .select(least(col("query_id"), col("neighbor_id")).as("u"),

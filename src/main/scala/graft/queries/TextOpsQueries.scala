@@ -51,19 +51,16 @@ object TextOpsQueries {
     * index is df-capped like q16's, pairs shuffle on the fingerprint —
     * never all-pairs. */
   def q211_winnow_pairs(spark: SparkSession, dir: String): DataFrame = {
-    val fps = winnowFingerprints(graft.ops.Dedup.spread(Tables.documents(spark, dir)))
-    // in-row pair generation off the df-capped posting lists (the
-    // Dedup.interFrom discipline): one shuffle on the fingerprint,
-    // bounded sorted lists, pairs explode codegen'd with id_a < id_b
-    // by construction
-    val shared = fps.groupBy("h").agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) <= WinnowMaxDf && size(col("ids")) >= 2)
-      .withColumn("sids", array_sort(col("ids")))
-      .select(explode(expr(
-        "flatten(transform(sids, (x, i) -> " +
-          "transform(slice(sids, i + 2, size(sids)), y -> struct(x AS id_a, y AS id_b))))"))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    // tracked: the fingerprint table feeds the two-pass df cap (count +
+    // semi join), the posting collect AND the per-doc sizes — one winnow
+    // pass, three consumers
+    val fps = graft.ops.Dedup.cacheTracked(
+      winnowFingerprints(graft.ops.Dedup.spread(Tables.documents(spark, dir))))
+    // in-row pair generation off the df-capped posting lists
+    // (Dedup.cappedPostingPairs): two-pass cap prunes hot fingerprints
+    // BEFORE any list is collected, bounded sorted lists, pairs explode
+    // codegen'd with id_a < id_b by construction
+    val shared = graft.ops.Dedup.cappedPostingPairs(fps, "h", "doc_id", WinnowMaxDf)
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))

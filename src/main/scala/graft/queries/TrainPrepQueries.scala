@@ -124,7 +124,7 @@ object TrainPrepQueries {
     * frozen classifier's per-doc scores — one token-hash pass per
     * session instead of one per consumer. One row per doc. */
   private val clsMemo = new graft.ops.PinnedCoreMemo[String]
-  private[queries] def classifierScores(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def classifierScores(spark: SparkSession, dir: String): DataFrame =
     clsMemo.getOrBuild(spark, dir) {
       val buckets = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(wsTokens(normalizeText(col("text")))).as("token"))

@@ -57,11 +57,19 @@ object PartitionMigration {
     * it idempotent), restoring the complete-view contract. */
   def migrateDays(spark: SparkSession, oldDir: String, newDir: String,
       days: Seq[Long], subCol: String = "source", force: Boolean = false): Unit = {
-    // metadata-only: `day` is a partition column, so distinct() resolves
-    // from directory listing, never a data scan (cast: partition
-    // discovery may infer int)
-    val present = spark.read.parquet(oldDir).select(col("day").cast("long"))
-      .distinct().collect().map(_.getLong(0)).toSet
+    // present days come from a FILESYSTEM LISTING of oldDir's `day=*`
+    // partition directories, not `distinct()` over the partition
+    // column: Spark 3 removed OptimizeMetadataOnlyQuery (SPARK-26709 —
+    // it returned wrong results), so the distinct ran a real scan job
+    // over the whole old layout on every call, and a day present only
+    // as an empty directory (e.g. a reland target created before its
+    // files commit) was invisible to it (round-6 ADVICE). The listing
+    // is one directory read — the same source partition discovery uses.
+    val present = Option(new java.io.File(oldDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("day=").toLong).toOption)
+      .toSet
     val requested = if (force) days else days.filterNot(migratedDays(newDir))
     val toDo = requested.filter(present)
     if (toDo.isEmpty) return

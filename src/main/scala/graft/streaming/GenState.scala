@@ -48,25 +48,49 @@ private[streaming] object GenState {
     * then sweep superseded generation dirs. Call AFTER `gen`'s data is
     * fully written. */
   def flip(statePath: String, batchId: Long, gen: String): Unit = {
+    // resolve the flipped-FROM gen BEFORE overwriting the pointer: the
+    // sweep's orphan/retention boundary is the previous current, not
+    // the new one (see sweep)
+    val prevGen = currentGen(statePath)
     val tmp = new java.io.File(statePath, s".$Pointer.tmp")
     java.nio.file.Files.writeString(tmp.toPath, s"$batchId:$gen")
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(statePath, Pointer).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    sweep(statePath, gen)
+    sweep(statePath, gen, prevGen)
   }
 
   /** Delete generation dirs other than `current` and the
-    * [[KeepPreviousGens]] most recent others. `gen-<millis>-<batchId>`
-    * names sort chronologically (fixed-width epoch millis), so the
-    * lexicographic order IS the write order. */
-  private def sweep(statePath: String, current: String): Unit = {
+    * [[KeepPreviousGens]] most recent ones a reader could genuinely
+    * have been pointed at. `gen-<millis>-<batchId>` names sort
+    * chronologically (fixed-width epoch millis), so the lexicographic
+    * order IS the write order.
+    *
+    * The orphan/retention boundary is `prevGen` — the gen the pointer
+    * was flipped FROM — not the new current: a gen written after
+    * prevGen but never flipped to (a crash between snapshot write and
+    * flip) is an orphan NO reader can hold, yet it sorts after prevGen
+    * and before the new current. Partitioning on the new current would
+    * retain that orphan as the "previous" generation and evict prevGen
+    * itself — the one gen a reader who resolved the pointer just
+    * before this flip is still scanning (round-6 ADVICE). So: gens
+    * newer than prevGen are deleted unconditionally; KeepPreviousGens
+    * retention applies only to prevGen and older. Before any flip ever
+    * happened (prevGen = None) every non-current gen is a crashed
+    * first-write orphan. */
+  private def sweep(
+      statePath: String, current: String, prevGen: Option[String]): Unit = {
     val root = new java.io.File(statePath)
     val gens = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("gen-") && f.getName != current)
       .sortBy(_.getName)
-    gens.dropRight(KeepPreviousGens).foreach(deleteRecursively)
+    val (pointed, orphans) = prevGen match {
+      case Some(p) => gens.partition(_.getName <= p)
+      case None => (Array.empty[java.io.File], gens)
+    }
+    orphans.foreach(deleteRecursively)
+    pointed.dropRight(KeepPreviousGens).foreach(deleteRecursively)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -43,7 +43,12 @@ object KMeansStream {
     * (floor mean per dimension — [[graft.ops.KMeans]]'s update rule). */
   def centroids(spark: SparkSession, statePath: String): DataFrame =
     accSnapshot(spark, statePath)
-      .withColumn("cv", expr("s div n"))
+      // floor division, NOT `div`: quantize() emits negatives, and
+      // integral `div` truncates toward zero where
+      // [[graft.ops.KMeans]].lloydCentroids floors toward -inf — for a
+      // negative per-dim sum the two differ by 1 (round-6 ADVICE). Same
+      // double-division-of-exact-longs form as lloydCentroids.
+      .withColumn("cv", floor(col("s").cast("double") / col("n")).cast("long"))
       .groupBy("cluster")
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
       .select(col("cluster"), expr("transform(pc, x -> x.cv)").as("cvq"))

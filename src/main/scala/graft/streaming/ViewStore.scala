@@ -311,16 +311,28 @@ object ViewStore {
     * `MANIFEST-<seq>` does not already exist. Two writers that both read
     * seq N and try to publish N+1 cannot both win — the loser gets a
     * [[java.util.ConcurrentModificationException]] instead of silently
-    * shadowing (dropping) the winner's generation. On HDFS/ABFS the
-    * `rename` itself refuses an existing destination atomically; the
-    * `exists` probe in front covers local filesystems whose rename
-    * overwrites. (The same rename-if-absent protocol table formats use for
-    * their commit logs on non-S3 stores.) */
+    * shadowing (dropping) the winner's generation.
+    *
+    * On HDFS/ABFS the `rename` itself refuses an existing destination
+    * atomically (the rename-if-absent protocol table formats use for
+    * their commit logs on non-S3 stores). On a LOCAL filesystem rename
+    * is POSIX rename(2) — it silently REPLACES an existing destination,
+    * so rename-if-absent is only check-then-act there; the local path
+    * publishes with `Files.createLink` instead (link(2) — atomic
+    * fail-if-exists, and the target carries the full body the instant
+    * it appears). The two-writer race is therefore atomic on every
+    * supported store, not just probabilistically narrow — pinned by
+    * ViewStoreSpec's many-thread CAS case. Readers never see a torn
+    * manifest either way: the body is fully written to the tmp name
+    * first, and link/rename are both all-or-nothing. */
   private[streaming] def writeManifest(f: FileSystem, root: Path, m: Manifest): Unit = {
     val body = (s"batchId=${m.lastBatchId}" +:
       m.buckets.toSeq.sortBy(_._1).map { case (b, rel) => s"$b=$rel" })
       .mkString("", "\n", "\n")
-    val tmp = new Path(root, f".MANIFEST-${m.seq}%020d.tmp")
+    // per-writer tmp name: concurrent losers must not truncate the tmp
+    // a racing writer is about to link/rename from
+    val tmp = new Path(root,
+      f".MANIFEST-${m.seq}%020d.${java.util.UUID.randomUUID().toString}%s.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val target = new Path(root, f"MANIFEST-${m.seq}%020d")
@@ -331,7 +343,17 @@ object ViewStore {
           "a concurrent writer won the flip; re-read and retry")
     }
     if (f.exists(target)) lose()
-    if (!f.rename(tmp, target)) lose()
+    val isLocal = "file" == Option(f.getUri).map(_.getScheme).orNull
+    if (isLocal) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => lose()
+      }
+    } else if (!f.rename(tmp, target)) lose()
   }
 
   /** Purge-recovery truncation: delete every manifest except the newest,

@@ -38,7 +38,10 @@ class KMeansStreamSpec extends SparkSpec {
     val batch = data.toDF("vec_id", "embedding")
     val cents = KMeans.lloydCentroids(batch, k = 2, rounds = 1)
     val want = KMeansStream.assignDelta(batch, cents)
-      .withColumn("cv", expr("s div n"))
+      // the BATCH update rule verbatim (floor toward -inf), not the
+      // served-path formula — so a truncating-division regression in
+      // centroids() shows up here instead of being mirrored
+      .withColumn("cv", floor(col("s").cast("double") / col("n")).cast("long"))
       .groupBy("cluster")
       .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
       .select(col("cluster"), expr("transform(pc, x -> x.cv)").as("cvq"))
@@ -77,5 +80,32 @@ class KMeansStreamSpec extends SparkSpec {
       out
     }
     assert(run() == run(), "identical stream + split must be bit-deterministic")
+  }
+
+  test("negative per-dim sums floor toward -inf (batch rule), not toward zero") {
+    // all-negative vectors make every accumulator sum negative with a
+    // non-exact mean — `s div n` (truncate) would serve -1 where the
+    // batch rule floor(-5/4) = -2 (round-6 ADVICE divergence)
+    val state = Files.createTempDirectory("graft-kms-neg").toString
+    val ckpt = Files.createTempDirectory("graft-kms-neg-ck").toString
+    val data = (0L until 4L).map(i =>
+      (i, Array.fill(2)(-0.00125f * (i + 1))))  // quantized: -1,-2,-3,-4 → s=-10,n=4
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = KMeansStream.maintain(
+      ms.toDS().toDF("vec_id", "embedding"), state, ckpt, k = 1)
+    try { ms.addData(data); q.processAllAvailable() } finally q.stop()
+    val acc = KMeansStream.accSnapshot(spark, state)
+      .select("pos", "s", "n").as[(Int, Long, Long)].collect()
+      .map { case (pos, s, n) => pos -> ((s, n)) }.toMap
+    val served = KMeansStream.centroids(spark, state)
+      .select("cvq").as[Seq[Long]].head()
+    acc.foreach { case (pos, (s, n)) =>
+      assert(s < 0, s"test premise: pos=$pos sum must be negative (got $s)")
+      assert(served(pos) == math.floor(s.toDouble / n).toLong,
+        s"pos=$pos: served ${served(pos)} != floor($s/$n)")
+    }
+    assert(acc.exists { case (_, (s, n)) => s % n != 0 },
+      "test premise: at least one dim must have a non-exact mean, " +
+        "else floor and truncate agree and the test is vacuous")
   }
 }

@@ -253,6 +253,61 @@ class ViewStoreSpec extends SparkSpec {
       "the winning writer's manifest must be untouched")
   }
 
+  test("manifest CAS under true concurrency: one winner per seq, never a torn read") {
+    // round-6 VERDICT #8: extends the sequential stale-flip case to real
+    // threads. 8 writers release on a latch and race the SAME seq; the
+    // local-FS publish is link(2)-atomic, so exactly one must win, and a
+    // reader polling throughout must always parse a complete manifest.
+    val path = tmp()
+    commitBatch(path, 0L, Seq((1L, 10L)))
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val tornReads = new java.util.concurrent.atomic.AtomicInteger
+    val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stopReader.get()) {
+        try {
+          ViewStore.readManifest(spark, path).foreach { m =>
+            if (m.buckets.isEmpty && m.seq > 0L) tornReads.incrementAndGet()
+          }
+        } catch { case _: Throwable => tornReads.incrementAndGet() }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 10).foreach { round =>
+        val m = ViewStore.readManifest(spark, path).get
+        val latch = new java.util.concurrent.CountDownLatch(1)
+        val wins = new java.util.concurrent.atomic.AtomicInteger
+        val losers = new java.util.concurrent.atomic.AtomicInteger
+        val threads = (0 until 8).map { i =>
+          new Thread(() => {
+            latch.await()
+            try {
+              ViewStore.writeManifest(
+                f, root, m.copy(seq = m.seq + 1, lastBatchId = 1000L * round + i))
+              wins.incrementAndGet(); ()
+            } catch {
+              case _: java.util.ConcurrentModificationException =>
+                losers.incrementAndGet(); ()
+            }
+          })
+        }
+        threads.foreach(_.start()); latch.countDown(); threads.foreach(_.join())
+        assert(wins.get() == 1,
+          s"round $round: exactly one flip must win (got ${wins.get()} winners, " +
+            s"${losers.get()} losers) — two winners means a generation was silently shadowed")
+        assert(losers.get() == 7, s"round $round: the other 7 must lose loudly")
+        val after = ViewStore.readManifest(spark, path).get
+        assert(after.seq == m.seq + 1)
+        assert(after.lastBatchId >= 1000L * round && after.lastBatchId < 1000L * round + 8,
+          "the surviving manifest must be one racer's complete write")
+      }
+    } finally { stopReader.set(true); reader.join() }
+    assert(tornReads.get() == 0, s"reader observed ${tornReads.get()} torn/invalid manifests")
+  }
+
   test("purgeKeys: purging a whole bucket drops it from the manifest; no-ops are safe") {
     val path = tmp()
     assert(ViewStore.purgeKeys(spark, path, "k", Seq(1L)) == 0L) // no store yet
