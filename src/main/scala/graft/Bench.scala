@@ -294,6 +294,13 @@ object Bench {
       val p = Paths.get("DUCK_PAIRING.json")
       if (!Files.exists(p)) "null" else {
         val txt = Files.readString(p)
+        // the pairing is only meaningful at the SAME scale factor: a
+        // sf0.1 DuckDB artifact paired against a sf0.01 spark run
+        // produces a nonsense ratio (measured: 0.40 with 94 fake
+        // over-2x rows) — require the recorded sf_dir to match
+        val sfRe = """"sf_dir":\s*"([^"]+)"""".r
+        val sfOk = sfRe.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+        if (!sfOk) "null" else {
         val re = """"(q[0-9][^"]*)":\s*([0-9.eE+]+)""".r
         val duck = re.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -308,7 +315,7 @@ object Bench {
         f"""{"n_paired":${paired.size},"spark_total_s":$sparkSum%.2f,""" +
         f""""spark_cores_s":$coresTotal%.2f,"duck_total_s":$duckSum%.2f,""" +
         f""""ratio":${sparkSum / duckSum}%.3f,"n_over_2x":${over.size},"over_2x":$overJson}"""
-      }
+      } }
     } catch { case t: Throwable =>
       System.err.println(s"[bench] duck pairing failed: ${t.getMessage}"); "null" }
     val streamJson =

@@ -31,7 +31,8 @@ object SparkEntry {
       MonitorQueries.defs ++ ReshapeQueries.defs ++ ReconcileQueries.defs ++
       EvalQueries.defs ++ StatQueries.defs ++ RetrievalQueries.defs ++
       FuzzyQueries.defs ++ OverlapQueries.defs ++ RagQueries.defs ++ IndexQueries.defs ++ CurveQueries.defs ++ StructureQueries.defs ++ TuneQueries.defs ++
-      TextOpsQueries.defs ++ ValueQueries.defs ++ GovernQueries.defs ++ LinkageQueries.defs ++ ProvenanceQueries.defs ++ SweepQueries.defs ++ AgreeQueries.defs
+      TextOpsQueries.defs ++ ValueQueries.defs ++ GovernQueries.defs ++ LinkageQueries.defs ++ ProvenanceQueries.defs ++ SweepQueries.defs ++ AgreeQueries.defs ++
+      SmoothQueries.defs ++ GuardQueries.defs ++ CalibQueries.defs ++ ShapeQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
@@ -47,5 +48,6 @@ object SparkEntry {
       MonitorQueries.oracles ++ ReshapeQueries.oracles ++ ReconcileQueries.oracles ++
       EvalQueries.oracles ++ StatQueries.oracles ++ RetrievalQueries.oracles ++
       FuzzyQueries.oracles ++ OverlapQueries.oracles ++ RagQueries.oracles ++ IndexQueries.oracles ++ CurveQueries.oracles ++ StructureQueries.oracles ++ TuneQueries.oracles ++
-      TextOpsQueries.oracles ++ ValueQueries.oracles ++ GovernQueries.oracles ++ LinkageQueries.oracles ++ ProvenanceQueries.oracles ++ SweepQueries.oracles ++ AgreeQueries.oracles
+      TextOpsQueries.oracles ++ ValueQueries.oracles ++ GovernQueries.oracles ++ LinkageQueries.oracles ++ ProvenanceQueries.oracles ++ SweepQueries.oracles ++ AgreeQueries.oracles ++
+      SmoothQueries.oracles ++ GuardQueries.oracles ++ CalibQueries.oracles ++ ShapeQueries.oracles
 }

@@ -146,4 +146,95 @@ object AnnIndex {
       .select("query_id", "neighbor_id", "dot")
     Ann.rankTopK(scored, k)
   }
+
+  // ----------------------------------------- Matryoshka (prefix-dim) layout
+
+  /** Prefix-dimension (Matryoshka) index: inverted lists partitioned by
+    * a coarse quantizer trained in PREFIX space, each row storing both
+    * the prefix slice `cp` (the coarse-scoring column) and the full
+    * vector `cv` (the rerank column). This is q153's two-stage
+    * discipline given the q92-style physical layout the round-6 VERDICT
+    * asked for (#7): at production query volume the coarse stage stops
+    * being a broadcast×corpus scan — probes prune list partitions at
+    * file listing, and parquet column pruning means the coarse pass
+    * streams ONLY the prefix bytes of the probed lists (1/4 of the
+    * vector bytes at 4× truncation), full vectors are read candidate-
+    * side only. `prefixDims` is recoverable from the stored centroid
+    * width, so readers need no side-channel metadata. */
+  def buildPrefix(
+      embeddings: DataFrame,
+      path: String,
+      prefixDims: Int,
+      nCentroids: Int = 16,
+      trainRounds: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val pre = embeddings.withColumn("__pvec", slice(col(vecCol), 1, prefixDims))
+    val cent = Ann.coarseQuantizer(pre, nCentroids, trainRounds, idCol, "__pvec")
+    pre.select(col(idCol).as("neighbor_id"),
+        quantize(col("__pvec")).as("cp"), quantize(col(vecCol)).as("cv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cdot",
+        call_function(GraftFunctions.DotLong, col("cp"), col("centv")))
+      .groupBy("neighbor_id")
+      .agg(max(struct(col("cdot").as("d"), (-col("cent_id")).as("nc"))).as("m"),
+        first(col("cp")).as("cp"), first(col("cv")).as("cv"))
+      .select(col("neighbor_id"), (-col("m.nc")).as("bucket"),
+        col("cp"), col("cv"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$ListsDir")
+    cent.write.mode("overwrite").parquet(s"$path/$CentroidsDir")
+  }
+
+  /** Two-stage search against a [[buildPrefix]] index: probe selection
+    * and coarse scoring in prefix space over the PRUNED lists (cp
+    * column only), `candK` survivors per query, exact rerank on the
+    * full vectors (cv column, candidates only). With
+    * `nProbe = nCentroids` the result is IDENTICAL to the brute-force
+    * prefix two-stage (q153's shape) — spec-pinned; with fewer probes
+    * it is the approximate scale path. */
+  def queryPrefix(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      candK: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(spark)
+    val cent = spark.read.parquet(s"$path/$CentroidsDir")
+    val pdims = cent.select(size(col("centv"))).first().getInt(0)
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("qp", slice(col("qv"), 1, pdims))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cdot",
+        call_function(GraftFunctions.DotLong, col("qp"), col("centv")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qp"), col("cent_id").as("bucket"))
+    val probeBuckets = probes.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val lists = spark.read.parquet(s"$path/$ListsDir")
+      .filter(col("bucket").isin(probeBuckets: _*))
+    val coarse = lists.select("bucket", "neighbor_id", "cp")
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cdot",
+        call_function(GraftFunctions.DotLong, col("qp"), col("cp")))
+      .select("query_id", "neighbor_id", "cdot")
+    val cands = Relational.topKPerGroup(
+        coarse, Seq("query_id"), "cdot", "neighbor_id", candK)
+      .select("query_id", "neighbor_id")
+    val rerank = cands
+      .join(lists.select("neighbor_id", "cv"), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("dot",
+        call_function(GraftFunctions.DotLong, col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "dot")
+    Ann.rankTopK(rerank, k)
+  }
 }

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Round-7 wave-37 shape operators: Fellegi–Sunter-style weighted
+  * record-linkage scoring (the probabilistic layer on top of q222's
+  * blocking), the TPC-H Q16 shape (grouped DISTINCT supplier counts
+  * behind an anti-join exclusion list), and the TPC-H Q15 shape (a
+  * revenue view joined back on equality with its own maximum) —
+  * completing the reference-relational coverage next to q42 (Q1),
+  * q43/q44 (Q3/Q5), q50 (Q14), q152 (Q8), q167 (Q2), q71/q90
+  * (correlated/EXISTS).
+  *
+  * Oracle conventions as the sibling modules: exact integers (money in
+  * cents, the q42 discipline), identical aliases, ORDER BY a unique key.
+  */
+object ShapeQueries {
+
+  /** Fellegi–Sunter integer agreement/disagreement weights (log-odds
+    * stand-ins, scaled to integers — the repo's no-floats convention)
+    * and the match-classification threshold. */
+  val WFtAgree = 8L;     val WFtDis = -4L
+  val WLtAgree = 8L;     val WLtDis = -4L
+  val WLangAgree = 3L;   val WLangDis = -5L
+  val WSourceAgree = 2L; val WSourceDis = -2L
+  val LinkScoreTau = 10L
+
+  /** X269 — weighted record-linkage scoring: q222's blocked candidate
+    * pairs scored with a Fellegi–Sunter-style comparison vector
+    * (first token, last token, lang, source — integer agreement /
+    * disagreement weights), reported as the score distribution with
+    * each score's candidate share and the match-region flag
+    * (score ≥ [[LinkScoreTau]]). This is the layer that turns a
+    * blocking pass into a calibrated linkage decision — and the
+    * distribution IS the calibration artifact (you move the
+    * threshold by looking at exactly this table).
+    *
+    * Scale: candidates are block-bounded ([[graft.ops.Dedup.cappedPostingPairs]]
+    * two-pass df cap); attributes join by id; the output aggregate is
+    * |distinct scores| ≤ 2⁴ rows. */
+  def q245_linkage_score(spark: SparkSession, dir: String): DataFrame = {
+    import LinkageQueries.{BlockBucket, BlockKeyCap}
+    val docs = Tables.documents(spark, dir)
+    // tracked: heads feeds the key build AND both attribute sides of
+    // the scored join — one tokenize pass, not three
+    val heads = graft.ops.Dedup.cacheTracked(graft.ops.Dedup.spread(docs)
+      .select(col("doc_id"), col("lang"), col("source"),
+        wsTokens(normalizeText(col("text"))).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("t")).cast("long").as("ntok"),
+        element_at(col("t"), 1).as("ft"), element_at(col("t"), -1).as("lt")))
+    val keys = graft.ops.Dedup.cacheTracked(heads
+      .select(col("doc_id"), concat_ws(":", lit("F"),
+        expr(s"CAST(ntok div $BlockBucket AS STRING)"), col("ft")).as("bkey"))
+      .union(heads.select(col("doc_id"), concat_ws(":", lit("L"),
+        expr(s"CAST(ntok div $BlockBucket AS STRING)"), col("lt")).as("bkey"))))
+    val cand = graft.ops.Dedup
+      .cappedPostingPairs(keys, "bkey", "doc_id", BlockKeyCap)
+      .distinct()
+    def attrs(side: String) = heads.select(
+      col("doc_id").as(s"id_$side"), col("lang").as(s"lang_$side"),
+      col("source").as(s"source_$side"), col("ft").as(s"ft_$side"),
+      col("lt").as(s"lt_$side"))
+    val scored = cand.join(attrs("a"), "id_a").join(attrs("b"), "id_b")
+      .withColumn("score",
+        when(col("ft_a") === col("ft_b"), WFtAgree).otherwise(WFtDis) +
+        when(col("lt_a") === col("lt_b"), WLtAgree).otherwise(WLtDis) +
+        when(col("lang_a") === col("lang_b"), WLangAgree).otherwise(WLangDis) +
+        when(col("source_a") === col("source_b"), WSourceAgree)
+          .otherwise(WSourceDis))
+    val tot = scored.agg(count(lit(1)).as("n_cand"))
+    scored.groupBy("score").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("score"), col("n_pairs"),
+        expr("(10000 * n_pairs) div n_cand").as("share_x10k"),
+        (col("score") >= LinkScoreTau).cast("int").as("is_match_region"))
+      .orderBy("score")
+  }
+
+  /** X270 — TPC-H Q16 shape: per (brand, type, size), the DISTINCT
+    * count of suppliers able to supply it, EXCLUDING a complaint list
+    * (negative account balance, the fixture's stand-in) — the
+    * anti-join + grouped count-distinct pattern: exclusion must be
+    * applied to the fact rows BEFORE the distinct count, which is
+    * what makes it a shape of its own (a post-aggregate filter gets
+    * it wrong).
+    *
+    * Scale: broadcast anti-join (exclusion list is dimension-sized),
+    * broadcast part join, then partial_count(distinct) — Spark plans
+    * the distinct as a two-level aggregate, no row ever leaves its
+    * (brand,type,size,supp) group early. */
+  def q246_supplier_counts(spark: SparkSession, dir: String): DataFrame = {
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pt = Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").cast("long").as("supplier_cnt"))
+      .orderBy("p_brand", "p_type", "p_size")
+  }
+
+  /** Q15 revenue window (calendar year). */
+  val Q15From = "1996-01-01 00:00:00"
+  val Q15To = "1997-01-01 00:00:00"
+
+  /** X271 — TPC-H Q15 shape: per-supplier discounted revenue over a
+    * shipping window, then the top supplier(s) selected by EQUALITY
+    * WITH THE VIEW'S OWN MAXIMUM (not top-1 — ties must all surface,
+    * which is why the reference query is a view + scalar subquery,
+    * not ORDER BY/LIMIT). Money in integer cents (q42's discipline).
+    *
+    * Scale: one fact aggregate to |suppliers| rows; the max is a
+    * 1-row broadcast back onto that aggregate — the fact table is
+    * never re-read for the subquery. */
+  def q247_top_supplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(Q15From).cast("timestamp") &&
+        col("l_shipdate") < lit(Q15To).cast("timestamp"))
+      .withColumn("disc_price_c",
+        floor(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(10000L) - expr("CAST(round(l_discount * 10000) AS BIGINT)")) /
+          lit(10000L)).cast("long"))
+      .groupBy("l_suppkey")
+      .agg(sum("disc_price_c").as("total_rev_c"))
+    val mx = rev.agg(max("total_rev_c").as("max_rev_c"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev_c") === col("max_rev_c"))
+      .join(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("total_rev_c"))
+      .orderBy("s_suppkey")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_linkage_score" -> q245_linkage_score,
+    "q246_supplier_counts" -> q246_supplier_counts,
+    "q247_top_supplier" -> q247_top_supplier
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  import DataPrepQueries.normToks
+  import LinkageQueries.{BlockBucket, BlockKeyCap}
+
+  val oracles: Map[String, String] = Map(
+    "q245_linkage_score" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, $normToks AS t FROM documents),
+         |hd AS (SELECT doc_id, lang, source, CAST(len(t) AS BIGINT) AS ntok,
+         |              t[1] AS ft, t[len(t)] AS lt
+         |       FROM d WHERE len(t) >= 1),
+         |ky AS (SELECT doc_id, concat('F:', CAST(ntok // $BlockBucket AS VARCHAR), ':', ft) AS bkey FROM hd
+         |       UNION ALL
+         |       SELECT doc_id, concat('L:', CAST(ntok // $BlockBucket AS VARCHAR), ':', lt) AS bkey FROM hd),
+         |cool AS (SELECT ky.* FROM ky JOIN (
+         |           SELECT bkey FROM ky GROUP BY bkey HAVING count(*) <= $BlockKeyCap) ok
+         |         USING (bkey)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM cool a JOIN cool b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sc AS (SELECT c.id_a, c.id_b,
+         |              CAST((CASE WHEN x.ft = y.ft THEN $WFtAgree ELSE $WFtDis END)
+         |                 + (CASE WHEN x.lt = y.lt THEN $WLtAgree ELSE $WLtDis END)
+         |                 + (CASE WHEN x.lang = y.lang THEN $WLangAgree ELSE $WLangDis END)
+         |                 + (CASE WHEN x.source = y.source THEN $WSourceAgree ELSE $WSourceDis END)
+         |                 AS BIGINT) AS score
+         |       FROM cand c JOIN hd x ON x.doc_id = c.id_a
+         |            JOIN hd y ON y.doc_id = c.id_b),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM sc)
+         |SELECT sc.score, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST((10000 * count(*)) // tot.n_cand AS BIGINT) AS share_x10k,
+         |       CAST(CASE WHEN sc.score >= $LinkScoreTau THEN 1 ELSE 0 END AS INT)
+         |         AS is_match_region
+         |FROM sc, tot GROUP BY sc.score, tot.n_cand ORDER BY sc.score""".stripMargin,
+    "q246_supplier_counts" ->
+      s"""SELECT p.p_brand, p.p_type, p.p_size,
+         |       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM lineitem l
+         |JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY p.p_brand, p.p_type, p.p_size
+         |ORDER BY p.p_brand, p.p_type, p.p_size""".stripMargin,
+    "q247_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |         CAST(sum(CAST(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |              * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) / 10000)
+         |              AS BIGINT)) AS BIGINT) AS total_rev_c
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '$Q15From' AND l_shipdate < TIMESTAMP '$Q15To'
+         |  GROUP BY l_suppkey)
+         |SELECT s.s_suppkey, s.s_name, s.s_nationkey, rev.total_rev_c
+         |FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+         |WHERE rev.total_rev_c = (SELECT max(total_rev_c) FROM rev)
+         |ORDER BY s.s_suppkey""".stripMargin
+  )
+}

@@ -104,4 +104,53 @@ class AnnIndexSpec extends SparkSpec {
     // 2 queries × 2 probes = at most 4 of the 16 lists opened
     assert(selected <= 4, s"expected ≤4 list partitions scanned, got $selected")
   }
+
+  test("prefix index with exhaustive probes ≡ q153's brute-force two-stage") {
+    // round-6 VERDICT #7: the Matryoshka layout must reproduce q153's
+    // exact result when nothing is pruned (nProbe = nCentroids), so the
+    // approximate scale path differs from the bench query ONLY by which
+    // lists it opens
+    import graft.queries.TuningQueries
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val path = tmp()
+    val nCent = 8
+    AnnIndex.buildPrefix(emb, path,
+      prefixDims = TuningQueries.PrefixDims, nCentroids = nCent)
+    val qs = emb.filter(col("vec_id") % TuningQueries.PrefixQueryMod === 0)
+    val got = AnnIndex.queryPrefix(spark, path, qs,
+        k = TuningQueries.PrefixK, candK = TuningQueries.CandK, nProbe = nCent)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = TuningQueries.q153_prefix_ann(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want,
+      s"exhaustive-probe prefix index must equal the brute two-stage; " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("prefix query prunes partitions AND reads only prefix bytes in the coarse scan") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val path = tmp()
+    AnnIndex.buildPrefix(emb, path, prefixDims = 16, nCentroids = 16)
+    val result = AnnIndex.queryPrefix(spark, path, queries(2),
+      k = 3, candK = 10, nProbe = 2)
+    val scans = collectAllPlans(executedPlan(result))
+      .collect { case s: FileSourceScanExec => s }
+      .filter(_.output.exists(_.name == "neighbor_id"))
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+        s"every lists scan must partition-prune on bucket: ${s.partitionFilters}")
+      assert(s.selectedPartitions.partitionCount <= 4,
+        s"≤4 of 16 lists opened, got ${s.selectedPartitions.partitionCount}")
+    }
+    // column pruning: the coarse scan streams cp WITHOUT the full
+    // vector column — the 1/4-of-the-bytes contract
+    val coarseScan = scans.find(s =>
+      s.output.exists(_.name == "cp") && !s.output.exists(_.name == "cv"))
+    assert(coarseScan.isDefined,
+      s"coarse stage must read only prefix bytes; scans read " +
+        s"${scans.map(_.output.map(_.name).mkString("[", ",", "]"))}")
+  }
 }
