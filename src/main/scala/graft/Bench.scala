@@ -308,13 +308,34 @@ object Bench {
         val paired = duck.keys.filter(k => resMap.get(k).exists(_._1 >= 0)).toSeq.sorted
         val sparkSum = paired.map(k => resMap(k)._1).sum + coresTotal
         val duckSum = paired.map(duck).sum
-        val over = paired.filter(k => resMap(k)._1 > 2.0 * duck(k))
+        // Per-query ratios on sub-100ms DuckDB queries measure Spark's
+        // fixed per-query scheduling overhead (~0.2 s in local mode, an
+        // embedded engine has none), not plan quality — so decompose:
+        // estimate the overhead as the median spark−duck gap on the 50
+        // smallest-duck queries, and report the PLAN-DOMINATED subset
+        // (duck ≥ 0.5 s) separately; its over-2x list is the actionable
+        // one. The board ratio stays the headline (the driver bar).
+        val overheadS = {
+          val small = paired.sortBy(duck).take(50)
+            .map(k => resMap(k)._1 - duck(k)).sorted
+          if (small.isEmpty) 0.0 else small(small.size / 2)
+        }
+        val heavy = paired.filter(k => duck(k) >= 0.5)
+        val heavySpark = heavy.map(k => resMap(k)._1).sum
+        val heavyDuck = heavy.map(duck).sum
+        val overH = heavy.filter(k => resMap(k)._1 > 2.0 * duck(k))
           .sortBy(k => -resMap(k)._1 / duck(k))
-        val overJson = over.map(k =>
+        val overHJson = overH.map(k =>
           "\"" + k + "\":" + f"${resMap(k)._1 / duck(k)}%.2f").mkString("{", ",", "}")
+        val nOverAll = paired.count(k => resMap(k)._1 > 2.0 * duck(k))
         f"""{"n_paired":${paired.size},"spark_total_s":$sparkSum%.2f,""" +
         f""""spark_cores_s":$coresTotal%.2f,"duck_total_s":$duckSum%.2f,""" +
-        f""""ratio":${sparkSum / duckSum}%.3f,"n_over_2x":${over.size},"over_2x":$overJson}"""
+        f""""ratio":${sparkSum / duckSum}%.3f,""" +
+        f""""fixed_overhead_s":$overheadS%.3f,"n_over_2x_raw":$nOverAll,""" +
+        f""""heavy":{"min_duck_s":0.5,"n":${heavy.size},""" +
+        f""""spark_s":$heavySpark%.2f,"duck_s":$heavyDuck%.2f,""" +
+        (if (heavyDuck > 0) f""""ratio":${heavySpark / heavyDuck}%.3f,""" else "") +
+        f""""n_over_2x":${overH.size},"over_2x":$overHJson}}"""
       } }
     } catch { case t: Throwable =>
       System.err.println(s"[bench] duck pairing failed: ${t.getMessage}"); "null" }

@@ -32,7 +32,8 @@ object SparkEntry {
       EvalQueries.defs ++ StatQueries.defs ++ RetrievalQueries.defs ++
       FuzzyQueries.defs ++ OverlapQueries.defs ++ RagQueries.defs ++ IndexQueries.defs ++ CurveQueries.defs ++ StructureQueries.defs ++ TuneQueries.defs ++
       TextOpsQueries.defs ++ ValueQueries.defs ++ GovernQueries.defs ++ LinkageQueries.defs ++ ProvenanceQueries.defs ++ SweepQueries.defs ++ AgreeQueries.defs ++
-      SmoothQueries.defs ++ GuardQueries.defs ++ CalibQueries.defs ++ ShapeQueries.defs
+      SmoothQueries.defs ++ GuardQueries.defs ++ CalibQueries.defs ++ ShapeQueries.defs ++
+      AuditQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
@@ -49,5 +50,6 @@ object SparkEntry {
       EvalQueries.oracles ++ StatQueries.oracles ++ RetrievalQueries.oracles ++
       FuzzyQueries.oracles ++ OverlapQueries.oracles ++ RagQueries.oracles ++ IndexQueries.oracles ++ CurveQueries.oracles ++ StructureQueries.oracles ++ TuneQueries.oracles ++
       TextOpsQueries.oracles ++ ValueQueries.oracles ++ GovernQueries.oracles ++ LinkageQueries.oracles ++ ProvenanceQueries.oracles ++ SweepQueries.oracles ++ AgreeQueries.oracles ++
-      SmoothQueries.oracles ++ GuardQueries.oracles ++ CalibQueries.oracles ++ ShapeQueries.oracles
+      SmoothQueries.oracles ++ GuardQueries.oracles ++ CalibQueries.oracles ++ ShapeQueries.oracles ++
+      AuditQueries.oracles
 }

@@ -70,7 +70,9 @@ object HygieneQueries {
       .join(TrainPrepQueries.classifierScores(spark, dir)
         .select(col("doc_id"), col("score")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("cls_score"))
-    val both = fluency.join(scored, "doc_id")
+    // tracked: `both` is read by the first rank chain AND the n_docs
+    // total — one tokenize/stopword pass, not two (round-7)
+    val both = graft.ops.Dedup.cacheTracked(fluency.join(scored, "doc_id"))
     val r1 = Relational.globalIndex(both,
       Seq(col("fluency_x10k").desc, col("doc_id")), "fluency_rank")
     val r2 = Relational.globalIndex(r1,
