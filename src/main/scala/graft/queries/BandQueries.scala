@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Round-7 wave-41 band/integrity operators: the cross-table
+  * referential-integrity audit (every FK edge of the star schema plus
+  * the doc↔vector alignment, one orphan report row each — the
+  * relational completion of q89's single-table constraints),
+  * embedding top-m sparsification recall (the third compression axis
+  * next to q250's int8 and q153's prefix dims), and exact per-day
+  * value percentile bands (the p50/p90/p99 time series every ops
+  * dashboard draws).
+  *
+  * Oracle conventions as the sibling modules: exact integers,
+  * identical aliases both sides, ORDER BY a unique key.
+  */
+object BandQueries {
+
+  /** X284 — referential-integrity audit: for every foreign-key edge of
+    * the schema, the child row count, orphan row count (no matching
+    * parent) and distinct orphan keys — the cross-TABLE data-quality
+    * gate q89's per-table nulls/ranges cannot see. A publish gate at
+    * 100 TB runs exactly this before flipping a snapshot pointer.
+    *
+    * Scale: one anti-join per edge (parents broadcast when
+    * dimension-sized, AQE plans the fact-fact edge), unioned into a
+    * |edges|-row report. */
+  def q257_fk_integrity(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(key).as("k"))
+      val orphans = c.join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+      c.agg(count(lit(1)).as("child_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("orphan_rows"),
+          countDistinct("k").cast("long").as("orphan_keys")))
+        .select(lit(name).as("fk_edge"), col("child_rows"),
+          col("orphan_rows"), col("orphan_keys"))
+    }
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    Seq(
+      edge("orders.o_custkey->customer", ord, "o_custkey", cust, "c_custkey"),
+      edge("lineitem.l_orderkey->orders",
+        Tables.lineitem(spark, dir), "l_orderkey", ord, "o_orderkey"),
+      edge("lineitem.l_partkey->part",
+        Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier",
+        Tables.lineitem(spark, dir), "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      edge("customer.c_nationkey->nation", cust, "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      edge("supplier.s_nationkey->nation",
+        Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      edge("nation.n_regionkey->region",
+        Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey"),
+      edge("embeddings.vec_id->documents",
+        Tables.embeddings(spark, dir), "vec_id",
+        Tables.documents(spark, dir), "doc_id"))
+      .reduce(_.unionByName(_))
+      .orderBy("fk_edge")
+  }
+
+  /** Sparsification arms (top-m dims kept by |value|) and the recall
+    * depth. */
+  val SparseMs = Seq(8, 16, 32, 64)
+  val SparseK = 5
+
+  /** X285 — top-m sparsification recall: corpus vectors keep only
+    * their m largest-|value| dimensions (ties at the cutoff keep all —
+    * deterministic both engines), queries stay dense, and each arm's
+    * brute top-k is scored against the DENSE top-k — recall@k per m is
+    * the size-vs-fidelity curve for the third embedding-compression
+    * axis (next to q250's int8 quantization and q153's prefix dims).
+    * m=64 is the built-in sanity arm (recall ≡ 10⁴).
+    *
+    * Scale: per arm the q20 discipline — broadcast query side,
+    * map-side bounded-heap top-k, ≤k rows per (query, task) shuffle;
+    * masking is per-row lambda arithmetic. At corpus scale the masked
+    * table is a written artifact and the arm rides [[graft.ops.AnnIndex]]. */
+  def q258_sparse_recall(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val queries = emb.filter(pmod(col("vec_id"), lit(DataPrepQueries.AnnQueryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
+    def bruteTopK(corpus: DataFrame): DataFrame = {
+      val scored = corpus.select(col("vec_id").as("neighbor_id"), col("cv"))
+        .crossJoin(broadcast(queries))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          call_function(graft.expressions.GraftFunctions.DotLong,
+            col("quv"), col("cv")).as("dot"))
+      graft.ops.Relational.topKPerGroup(
+        scored, Seq("query_id"), "dot", "neighbor_id", SparseK)
+    }
+    val dense = graft.ops.Dedup.cacheTracked(
+      bruteTopK(emb.select(col("vec_id"), col("qv").as("cv"))))
+    val arms = SparseMs.map { m =>
+      // cutoff materialized in its own projection: inlined into the mask
+      // lambda it would re-sort the row's |v| array once PER DIMENSION
+      // (the q55 HOF-inlining trap)
+      val masked = emb
+        .withColumn("__cut",
+          expr(s"element_at(array_sort(transform(qv, y -> abs(y))), -$m)"))
+        .select(col("vec_id"), expr(
+          "transform(qv, x -> CASE WHEN abs(x) >= __cut THEN x ELSE 0L END)")
+          .as("cv"))
+      val hits = bruteTopK(masked)
+        .join(dense.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      val nq = queries.agg(count(lit(1)).as("n_queries"))
+      hits.agg(coalesce(sum("n_hit"), lit(0L)).as("sum_hit"))
+        .crossJoin(broadcast(nq))
+        .select(lit(m.toLong).as("m"), col("n_queries"),
+          expr(s"(10000 * sum_hit) div ($SparseK * n_queries)").as("recall_x10k"))
+    }
+    arms.reduce(_.unionByName(_)).orderBy("m")
+  }
+
+  /** Percentile bands served per day. */
+  val BandPs = Seq(50, 90, 99)
+
+  /** X286 — exact per-day value percentile bands: for each (event
+    * type, day), the nearest-rank p50/p90/p99 of the engagement value
+    * in cents — exact via cumulative counts over the day's DISTINCT
+    * values (never a per-row sort window): pX = the smallest value
+    * whose cumulative count reaches ceil(p·n/100). The ops time series
+    * q72's anomaly windows and q252's shape profile summarize away.
+    *
+    * Scale: one (type, day, value) aggregate; the cumulative window
+    * runs over distinct values per (type, day) — bounded by the value
+    * domain, never event rows. */
+  def q259_percentile_bands(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.eventsCents(spark, dir)
+      .select(col("event_type"), expr("ts_ms div 86400000").as("day"),
+        col("value_c"))
+      .groupBy("event_type", "day", "value_c")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type", "day").orderBy("value_c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = g.groupBy("event_type", "day").agg(sum("c").as("n"))
+    val cum = g.withColumn("cum", sum("c").over(w)).join(tot, Seq("event_type", "day"))
+    val bands = BandPs.map { p =>
+      min(when(col("cum") >= expr(s"($p * n + 99) div 100"), col("value_c")))
+        .as(s"p${p}_c")
+    }
+    val aggs = max("n").as("n") +: bands
+    cum.groupBy("event_type", "day")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("event_type", "day")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_fk_integrity" -> q257_fk_integrity,
+    "q258_sparse_recall" -> q258_sparse_recall,
+    "q259_percentile_bands" -> q259_percentile_bands
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  import DataPrepQueries.quantVec
+
+  private def fkEdgeSql(name: String, child: String, key: String,
+      parent: String, pkey: String): String =
+    s"""SELECT '$name' AS fk_edge,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM $child) AS child_rows,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM $child c
+       |        WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key))
+       |         AS orphan_rows,
+       |       (SELECT CAST(count(DISTINCT c.$key) AS BIGINT) FROM $child c
+       |        WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key))
+       |         AS orphan_keys""".stripMargin
+
+  private def sparseArmSql(m: Int): String =
+    s"""SELECT CAST($m AS BIGINT) AS m, nq.n_queries,
+       |       CAST((10000 * coalesce(h.sum_hit, 0)) // ($SparseK * nq.n_queries)
+       |         AS BIGINT) AS recall_x10k
+       |FROM (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM v
+       |      WHERE vec_id % ${DataPrepQueries.AnnQueryMod} = 0) nq,
+       |     (SELECT CAST(count(*) AS BIGINT) AS sum_hit FROM (
+       |        SELECT s.query_id, s.neighbor_id FROM (
+       |          SELECT query_id, neighbor_id, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rk
+       |          FROM (
+       |            SELECT q.vec_id AS query_id, mm.vec_id AS neighbor_id,
+       |                   CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+       |                     i -> q.qv[i] * mm.cv[i])) AS BIGINT) AS dot
+       |            FROM v q, (
+       |              SELECT vec_id,
+       |                     list_transform(qv, x -> CASE WHEN abs(x) >= cut
+       |                       THEN x ELSE 0 END) AS cv
+       |              FROM (SELECT vec_id, qv,
+       |                      list_sort(list_transform(qv, y -> abs(y)))[len(qv) - $m + 1]
+       |                        AS cut
+       |                    FROM v)) mm
+       |            WHERE q.vec_id % ${DataPrepQueries.AnnQueryMod} = 0
+       |              AND q.vec_id <> mm.vec_id)) s
+       |        JOIN dense d ON d.query_id = s.query_id
+       |          AND d.neighbor_id = s.neighbor_id
+       |        WHERE s.rk <= $SparseK)) h""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q257_fk_integrity" -> (Seq(
+      fkEdgeSql("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      fkEdgeSql("embeddings.vec_id->documents", "embeddings", "vec_id", "documents", "doc_id"),
+      fkEdgeSql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      fkEdgeSql("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      fkEdgeSql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      fkEdgeSql("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      fkEdgeSql("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      fkEdgeSql("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")),
+    "q258_sparse_recall" ->
+      s"""WITH v AS (SELECT vec_id, $quantVec AS qv FROM embeddings),
+         |dense AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+         |             i -> q.qv[i] * c.qv[i])) AS BIGINT) AS dot,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+         |               i -> q.qv[i] * c.qv[i])) AS BIGINT) DESC, c.vec_id ASC) AS rk
+         |    FROM v q, v c
+         |    WHERE q.vec_id % ${DataPrepQueries.AnnQueryMod} = 0
+         |      AND q.vec_id <> c.vec_id)
+         |  WHERE rk <= $SparseK)
+         |${SparseMs.map(sparseArmSql).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY m")}""".stripMargin,
+    "q259_percentile_bands" ->
+      s"""WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |                  CAST(round(value * 100) AS BIGINT) AS value_c
+         |           FROM events),
+         |g AS (SELECT event_type, day, value_c, CAST(count(*) AS BIGINT) AS c
+         |      FROM e GROUP BY event_type, day, value_c),
+         |t AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS n
+         |      FROM g GROUP BY event_type, day),
+         |cum AS (SELECT g.event_type, g.day, g.value_c, t.n,
+         |               CAST(sum(g.c) OVER (PARTITION BY g.event_type, g.day
+         |                 ORDER BY g.value_c
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |                 AS cum
+         |        FROM g JOIN t USING (event_type, day))
+         |SELECT event_type, CAST(day AS BIGINT) AS day, CAST(max(n) AS BIGINT) AS n,
+         |${BandPs.map(p =>
+           s"       CAST(min(CASE WHEN cum >= (($p * n + 99) // 100) THEN value_c END) AS BIGINT) AS p${p}_c")
+           .mkString(",\n")}
+         |FROM cum GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
+  )
+}
