@@ -33,7 +33,8 @@ object SparkEntry {
       FuzzyQueries.defs ++ OverlapQueries.defs ++ RagQueries.defs ++ IndexQueries.defs ++ CurveQueries.defs ++ StructureQueries.defs ++ TuneQueries.defs ++
       TextOpsQueries.defs ++ ValueQueries.defs ++ GovernQueries.defs ++ LinkageQueries.defs ++ ProvenanceQueries.defs ++ SweepQueries.defs ++ AgreeQueries.defs ++
       SmoothQueries.defs ++ GuardQueries.defs ++ CalibQueries.defs ++ ShapeQueries.defs ++
-      AuditQueries.defs ++ MomentQueries.defs ++ GateQueries.defs ++ BandQueries.defs
+      AuditQueries.defs ++ MomentQueries.defs ++ GateQueries.defs ++ BandQueries.defs ++
+      ClusterSweepQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
@@ -51,5 +52,6 @@ object SparkEntry {
       FuzzyQueries.oracles ++ OverlapQueries.oracles ++ RagQueries.oracles ++ IndexQueries.oracles ++ CurveQueries.oracles ++ StructureQueries.oracles ++ TuneQueries.oracles ++
       TextOpsQueries.oracles ++ ValueQueries.oracles ++ GovernQueries.oracles ++ LinkageQueries.oracles ++ ProvenanceQueries.oracles ++ SweepQueries.oracles ++ AgreeQueries.oracles ++
       SmoothQueries.oracles ++ GuardQueries.oracles ++ CalibQueries.oracles ++ ShapeQueries.oracles ++
-      AuditQueries.oracles ++ MomentQueries.oracles ++ GateQueries.oracles ++ BandQueries.oracles
+      AuditQueries.oracles ++ MomentQueries.oracles ++ GateQueries.oracles ++ BandQueries.oracles ++
+      ClusterSweepQueries.oracles
 }

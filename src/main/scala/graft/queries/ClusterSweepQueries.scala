@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.ops.{Dedup, Graph}
+
+/** Round-7 wave-42 sweep operators: duplicate-cluster threshold
+  * sensitivity (how the dedup τ knob changes what you delete — the
+  * dendrogram-lite read behind every "we dedup at 0.8 Jaccard" choice)
+  * and the positional token heatmap (where in documents the head
+  * tokens live — positional boilerplate that global frequency can't
+  * see).
+  *
+  * Oracle conventions as the sibling modules: exact integers,
+  * identical aliases both sides, ORDER BY a unique key.
+  */
+object ClusterSweepQueries {
+
+  /** Jaccard thresholds swept (×10⁴). */
+  val SweepTaus = Seq(5000L, 7000L, 9000L)
+
+  /** X287 — duplicate-cluster threshold sensitivity: the near-dup pair
+    * set at each τ ∈ [[SweepTaus]] resolved to connected components,
+    * reported as pairs / dup docs / clusters / largest cluster — the
+    * table that shows where clusters start chaining into monsters
+    * (the known failure of transitive dedup at loose thresholds), so
+    * the τ choice is a measurement instead of folklore. All three
+    * arms ride the session-pinned intersection core; each CC runs on
+    * the edge list only.
+    *
+    * Scale: the pair table is df-capped sub-quadratic; CC is
+    * log-diameter rounds over edges; per-arm output is one row. */
+  def q260_cluster_sweep(spark: SparkSession, dir: String): DataFrame = {
+    import DataPrepQueries.{ShingleN, JaccardMaxDf}
+    val arms = SweepTaus.map { tau =>
+      val pairs = Dedup.jaccardPairsPinned(spark, dir, ShingleN, tau, JaccardMaxDf)
+        .select("id_a", "id_b")
+      val comp = Graph.connectedComponents(pairs)
+      val pc = pairs.agg(count(lit(1)).as("n_pairs"))
+      comp.groupBy("component_id").agg(count(lit(1)).as("sz"))
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
+          coalesce(sum("sz"), lit(0L)).as("n_dup_docs"),
+          coalesce(max("sz"), lit(0L)).as("max_cluster"))
+        .crossJoin(broadcast(pc))
+        .select(lit(tau).as("tau_x10k"), col("n_pairs"), col("n_dup_docs"),
+          col("n_clusters"), col("max_cluster"))
+    }
+    arms.reduce(_.unionByName(_)).orderBy("tau_x10k")
+  }
+
+  /** Head tokens profiled and the position grain. */
+  val HeatTopT = 10
+
+  /** X288 — positional token heatmap: the corpus's [[HeatTopT]] head
+    * tokens broken down by WHERE they occur (position decile within
+    * each document) — share per decile ×10⁴ against the uniform 1000
+    * baseline. Headers, footers and templated openings concentrate
+    * mass at decile 0/9 while content words sit flat; this is the
+    * positional boilerplate read global tf (q24) and line-df (q86)
+    * both miss.
+    *
+    * Scale: one posexplode pass, a (top-T × 10)-bounded aggregate; the
+    * top-T cut is a vocabulary-sized sort + limit broadcast back. */
+  def q262_position_heatmap(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("nt"),
+        posexplode(col("t")).as(Seq("i", "token")))
+      .select(col("token"), expr("(i * 10) div nt").as("decile"))
+    val tf = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val top = tf.orderBy(col("tf").desc, col("token")).limit(HeatTopT)
+    toks.join(broadcast(top), "token")
+      .groupBy("token", "decile")
+      .agg(count(lit(1)).as("cnt"), max("tf").as("tf"))
+      .select(col("token"), col("decile"), col("cnt"), col("tf"),
+        expr("(10000 * cnt) div tf").as("share_x10k"))
+      .orderBy("token", "decile")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_cluster_sweep" -> q260_cluster_sweep,
+    "q262_position_heatmap" -> q262_position_heatmap
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  import DataPrepQueries.{shingleCte, normToks, JaccardMaxDf}
+
+  /** One τ arm: the q16 capped-inverted-index pair chain at `tau`, the
+    * recursive-CTE component closure seeded from the pair nodes, one
+    * summary row. */
+  private def sweepArm(tau: Long): String =
+    s"""SELECT CAST($tau AS BIGINT) AS tau_x10k, n_pairs, n_dup_docs,
+       |       n_clusters, max_cluster FROM (
+       |  WITH RECURSIVE $shingleCte,
+       |  sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id),
+       |  capped AS (
+       |    SELECT sh.* FROM sh
+       |    JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $JaccardMaxDf) ok
+       |      USING (shingle)),
+       |  inter AS (
+       |    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+       |    FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+       |    GROUP BY a.id, b.id),
+       |  pairs AS (
+       |    SELECT i.id_a, i.id_b FROM inter i
+       |    JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+       |    WHERE floor(10000 * i.n_common / (sa.set_size + sb.set_size - i.n_common))
+       |          >= $tau),
+       |  edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |            UNION ALL SELECT id_b, id_a FROM pairs),
+       |  nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+       |  reach AS (SELECT id, id AS comp FROM nodes
+       |            UNION
+       |            SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |  lab AS (SELECT id, min(comp) AS component_id FROM reach GROUP BY id),
+       |  cs AS (SELECT component_id, CAST(count(*) AS BIGINT) AS sz
+       |         FROM lab GROUP BY component_id)
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+       |         CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_dup_docs,
+       |         CAST(coalesce(count(*), 0) AS BIGINT) AS n_clusters,
+       |         CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster
+       |  FROM cs)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q260_cluster_sweep" ->
+      SweepTaus.map(sweepArm).mkString("", "\nUNION ALL\n", "\nORDER BY tau_x10k"),
+    "q262_position_heatmap" ->
+      s"""WITH d AS (SELECT doc_id, $normToks AS t FROM documents),
+         |u AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
+         |             unnest(generate_series(1, len(t))) AS i, t
+         |      FROM d WHERE len(t) > 0),
+         |tk AS (SELECT t[i] AS token, ((i - 1) * 10) // nt AS decile FROM u),
+         |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY token),
+         |top AS (SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT $HeatTopT)
+         |SELECT tk.token, CAST(tk.decile AS BIGINT) AS decile,
+         |       CAST(count(*) AS BIGINT) AS cnt, CAST(max(top.tf) AS BIGINT) AS tf,
+         |       CAST((10000 * count(*)) // max(top.tf) AS BIGINT) AS share_x10k
+         |FROM tk JOIN top USING (token)
+         |GROUP BY tk.token, tk.decile ORDER BY tk.token, tk.decile""".stripMargin
+  )
+}
