@@ -40,7 +40,9 @@ object PinnedCores {
       "knn_undirected" ->
         (() => OlapQueries.knnUndirectedPinned(spark, dir).count()),
       "classifier_scores" ->
-        (() => TrainPrepQueries.classifierScores(spark, dir).count()))
+        (() => TrainPrepQueries.classifierScores(spark, dir).count()),
+      "bm25_docs" ->
+        (() => graft.queries.SearchQueries.bm25Docs(spark, dir).count()))
   }
 
   /** Build + materialize every pinned core for (spark, dir), returning

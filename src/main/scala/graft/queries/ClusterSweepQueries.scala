@@ -79,8 +79,42 @@ object ClusterSweepQueries {
       .orderBy("token", "decile")
   }
 
+  /** Per-source weighting-scheme cap (weights live in [1, 100]). */
+  val EssCap = 2000L
+
+  /** X290 — mixture effective sample size (design effect): for each
+    * weighting scheme a trainer actually uses — uniform, q56-style
+    * cap-downsampling, inverse-frequency balancing — the Kish ESS
+    * `(Σw)² div Σw²` over per-doc weights (constant within source) and
+    * its per-doc share ×10⁴. Weighting always trades nominal corpus
+    * size for variance; this is the number that says how much corpus
+    * the scheme effectively threw away (the statistical bill for
+    * q56/q107/q113's rebalancing).
+    *
+    * Scale: one |sources|-row aggregate per scheme, integer-exact
+    * (weights scaled to ≤100 so (Σw)² holds in BIGINT through sf100). */
+  def q261_mixture_ess(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val schemes = Seq(
+      ("capped", expr(s"(100 * least(n_docs, $EssCap)) div n_docs")),
+      ("inverse", expr("least(100L, greatest(1L, 1000000 div n_docs))")),
+      ("uniform", lit(100L)))
+    schemes.map { case (name, w) =>
+      src.withColumn("w", w)
+        .agg(sum("n_docs").as("n_total"),
+          sum(col("n_docs") * col("w")).as("sum_w"),
+          sum(col("n_docs") * col("w") * col("w")).as("sum_w2"))
+        .select(lit(name).as("scheme"), col("n_total"),
+          expr("(sum_w * sum_w) div sum_w2").as("ess"),
+          expr("(10000 * ((sum_w * sum_w) div sum_w2)) div n_total")
+            .as("ess_per_doc_x10k"))
+    }.reduce(_.unionByName(_)).orderBy("scheme")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q260_cluster_sweep" -> q260_cluster_sweep,
+    "q261_mixture_ess" -> q261_mixture_ess,
     "q262_position_heatmap" -> q262_position_heatmap
   )
 
@@ -124,9 +158,25 @@ object ClusterSweepQueries {
        |         CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster
        |  FROM cs)""".stripMargin
 
+  private def essArmSql(name: String, wSql: String): String =
+    s"""SELECT '$name' AS scheme, n_total,
+       |       (sum_w * sum_w) // sum_w2 AS ess,
+       |       (10000 * ((sum_w * sum_w) // sum_w2)) // n_total AS ess_per_doc_x10k
+       |FROM (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+       |             CAST(sum(n_docs * w) AS BIGINT) AS sum_w,
+       |             CAST(sum(n_docs * w * w) AS BIGINT) AS sum_w2
+       |      FROM (SELECT n_docs, $wSql AS w
+       |            FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |                  FROM documents GROUP BY source)))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q260_cluster_sweep" ->
       SweepTaus.map(sweepArm).mkString("", "\nUNION ALL\n", "\nORDER BY tau_x10k"),
+    "q261_mixture_ess" -> Seq(
+      essArmSql("capped", s"(100 * least(n_docs, $EssCap)) // n_docs"),
+      essArmSql("inverse", "least(100, greatest(1, 1000000 // n_docs))"),
+      essArmSql("uniform", "100"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY scheme"),
     "q262_position_heatmap" ->
       s"""WITH d AS (SELECT doc_id, $normToks AS t FROM documents),
          |u AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,

@@ -55,24 +55,34 @@ object SearchQueries {
     * TakeOrderedAndProject. */
   /** The probe-term tf frame `(doc_id, dl, term, tf)` — the shared front
     * of BM25 scoring, also reused by q181's query-likelihood ranker. */
-  private[queries] def bm25Tf(spark: SparkSession, dir: String): DataFrame = {
-    // spread: the token pass must not run single-task on an under-split
-    // local file (no-op when the input has >= cores splits)
-    graft.ops.Dedup.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), normTokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
+  /** Session-pinned (doc_id, toks, dl) token-array table — the shared
+    * substrate of the retrieval family: q142's scoring, q181's two
+    * fusion arms and q230's feedback/df passes all tokenize the SAME
+    * corpus, so the normalize+tokenize pass runs once per session
+    * instead of twice per query (round-7; Bench prewarms and
+    * attributes it like the other cores). At corpus scale this is a
+    * staged table next to the shingle core. */
+  private val bm25DocsMemo = new graft.ops.PinnedCoreMemo[String]
+  private[graft] def bm25Docs(spark: SparkSession, dir: String): DataFrame =
+    bm25DocsMemo.getOrBuild(spark, dir) {
+      // spread: the token pass must not run single-task on an
+      // under-split local file (no-op with >= cores splits)
+      graft.ops.Dedup.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), normTokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    }
+
+  private[queries] def bm25Tf(spark: SparkSession, dir: String): DataFrame =
+    bm25Docs(spark, dir)
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(Bm25Terms: _*))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
-  }
 
   /** Per-doc BM25 score `(doc_id, score, n_terms_hit)` over the probe
     * terms — q142's scoring chain, shared with q181's fusion. */
   private[queries] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.ops.Dedup.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), normTokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val docs = bm25Docs(spark, dir)
     val totals = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
     val tf = bm25Tf(spark, dir)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))

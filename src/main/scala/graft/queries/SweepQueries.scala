@@ -77,9 +77,10 @@ object SweepQueries {
     // candidate-term–semi-filtered stream instead of a corpus-wide
     // (doc, term) distinct — the semi join's build side is the ≤(10-doc
     // vocabulary) candidate set, broadcast. Measured 1.6 s → ~0.9 s.
-    val toks = graft.ops.Dedup.cacheTracked(
-      graft.ops.Dedup.spread(Tables.documents(spark, dir))
-        .select(col("doc_id"), explode(wsTokens(normalizeText(col("text")))).as("term")))
+    // the pinned retrieval token core: explode off cached arrays, no
+    // re-tokenize for either consumer below
+    val toks = SearchQueries.bm25Docs(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val fbTf = toks.join(broadcast(topR), "doc_id")
       .groupBy("term").agg(count(lit(1)).as("sum_tf"))
