@@ -123,7 +123,16 @@ object Plans {
     "q227_concept_clusters" -> "concepts: vocabulary-sized lift graph, two-phase index ids, CC iterates the edge list",
     "q228_mrr_at_k" -> "MRR: pinned kNN + per-query min-rank aggregate, |labels|-row rollup",
     "q229_stratified_folds" -> "folds: two-phase global index over (source, md5, id), broadcast per-source offsets, no per-stratum single-task window",
-    "q231_contamination_sweep" -> "length sweep: per-n distinct-gram equijoin (eval set vs train stream), n=3 arm on the pinned shingle core"
+    "q231_contamination_sweep" -> "length sweep: per-n distinct-gram equijoin on 60-bit hashed keys (eval set vs train stream), one tokenize across arms, n=3 arm on the pinned shingle core",
+    "q237_score_smoothing" -> "score smoothing: two pinned cores + one neighbor-id equijoin + per-doc <=k-row aggregate",
+    "q242_item_item_cf" -> "item CF: distinct user-item edges, vocabulary-bounded pair aggregate, bounded-heap top-k per item",
+    "q243_minhash_calibration" -> "minhash calibration: band-survivor pairs + 16 narrow signature columns by id + pinned exact-jaccard core; no new quadratic stage",
+    "q245_linkage_score" -> "FS linkage: two-pass capped blocking candidates, attribute equijoins by id, <=2^4-row score distribution",
+    "q248_revenue_gini" -> "gini: fact aggregate to |customers|, two-phase global rank, 10-row decile window",
+    "q254_weighted_negatives" -> "weighted negatives: cumulative ranges explode to spanned bins, points equijoin their bin - no point x item nested loop",
+    "q258_sparse_recall" -> "sparse recall: per-arm masked corpus (cutoff in its own projection), broadcast queries, map-side bounded-heap top-k",
+    "q260_cluster_sweep" -> "tau sweep: pinned intersection core, per-arm threshold filter, CC on edge lists only",
+    "q263_neardup_evidence" -> "evidence: pinned pair core top-k cut, shingle joins bounded by the cut, windows over <=20 pairs"
   )
 
   def main(args: Array[String]): Unit = {

@@ -69,11 +69,15 @@ object RagQueries {
       emb.crossJoin(broadcast(qvec))
         .select(col("doc_id"), qdot(col("qv"), col("qarr")).as("vrel")),
       "vrel", "ann_rank")
-    val fused = bm.join(ann, Seq("doc_id"), "full")
+    // tracked: the fused pool (≤ RagCand rows) feeds the candidate
+    // arrays, the pairwise sim map AND the final rank join — without the
+    // cache all four consumers re-run BOTH retrieval arms (round-7: the
+    // pinned bm25 core stopped exchange reuse from deduping the copies)
+    val fused = graft.ops.Dedup.cacheTracked(bm.join(ann, Seq("doc_id"), "full")
       .withColumn("rrf_x1e6",
         coalesce(expr("1000000 div (60 + bm25_rank)"), lit(0L)) +
           coalesce(expr("1000000 div (60 + ann_rank)"), lit(0L)))
-      .orderBy(col("rrf_x1e6").desc, col("doc_id")).limit(RagCand)
+      .orderBy(col("rrf_x1e6").desc, col("doc_id")).limit(RagCand))
     val cand = fused.join(emb.select("doc_id", "qv"), "doc_id")
     val packed = cand
       .agg(sort_array(collect_list(struct((-col("rrf_x1e6")).as("nr"),

@@ -615,7 +615,25 @@ class PlanSpec extends SparkSpec {
 
   test("q199 RAG capstone: both retrieval arms are TakeOrdered; no corpus-wide window anywhere") {
     val plan = executed(graft.queries.RagQueries.q199_rag_context(spark, sfDir))
-    val nodes = collectAll(plan)
+    // the fused pool is cacheTracked (round-7), so the retrieval arms
+    // live inside the InMemoryRelation's cached plan — descend into it
+    // (and through any adaptive wrapper) so the arm shape stays pinned
+    val seen = scala.collection.mutable.Set[AnyRef]()
+    def deep(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      collectAll(p).flatMap {
+        // each distinct cached relation descends ONCE (the fused pool is
+        // scanned by four consumers — re-counting its arms per scan would
+        // multiply the window count)
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+            if seen.add(s.relation.cacheBuilder) =>
+          val inner = s.relation.cachedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+            case q => q
+          }
+          s +: deep(inner)
+        case n => Seq(n)
+      }
+    val nodes = deep(plan)
     val takes = nodes.collect {
       case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
     }
@@ -625,8 +643,8 @@ class PlanSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     // every window here runs on TakeOrdered/fold output (≤RagDepth rows):
-    // two arm rank stamps, the fused stamp, the packing cumsum — never a
-    // corpus-fed window (the arms' cuts above are what guarantee that)
+    // two arm rank stamps inside the cached fused pool, the packing
+    // cumsum — never a corpus-fed window (the arms' cuts guarantee that)
     assert(windows.size <= 6, s"unexpected windows in the capstone:\n$plan")
   }
 
