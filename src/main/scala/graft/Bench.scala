@@ -348,22 +348,57 @@ object Bench {
     // the ten slowest queries inline in the COMPACT line, so even a
     // tail-truncated capture still attributes where the time went
     val slowest = results.sortBy(-_._2._1).take(10)
-      .map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed_reps":$failedReps,$streamJson,"diag":$diagJson,"sf":"$sfDir"}"""
-    val compactLine = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_queries":${names.size},$streamJson,"slowest":$slowest,""" +
-      s""""failed_reps":$failedReps,"diag":$diagJson,""" +
+    // COMPACT line: scalar summaries ONLY. The driver's tail capture is
+    // 2000 bytes (measured from BENCH_r07.json, whose parsed:null was this
+    // line outgrowing the window once duck_pairing/cores/diag moved in) —
+    // everything verbose lives in the full line / BENCH_LATEST.json, and a
+    // hard length guard trims the slowest map before ever exceeding 1500.
+    val duckCompact: String = {
+      // extract the handful of headline numbers back out of duckJson
+      def grab(key: String): String = {
+        val re = ("\"" + key + "\":([0-9.eE+-]+)").r
+        re.findFirstMatchIn(duckJson).map(_.group(1)).getOrElse("null")
+      }
+      if (duckJson == "null") "null"
+      else {
+        val heavyRatio = {
+          val re = """"heavy":\{[^}]*"ratio":([0-9.eE+-]+)""".r
+          re.findFirstMatchIn(duckJson).map(_.group(1)).getOrElse("null")
+        }
+        val heavyOver = {
+          val re = """"n_over_2x":([0-9]+)""".r
+          re.findFirstMatchIn(duckJson).map(_.group(1)).getOrElse("null")
+        }
+        s"""{"n_paired":${grab("n_paired")},"ratio":${grab("ratio")},""" +
+        s""""heavy_ratio":$heavyRatio,"heavy_n_over_2x":$heavyOver}"""
+      }
+    }
+    def compactWith(slow: String): String =
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
+      s""""n_queries":${names.size},""" +
+      s""""stream_hdfs_events_per_sec":$evHdfs,"stream_rocksdb_events_per_sec":$evRocks,""" +
+      s""""stream_hdfs_events_per_sec_10x":$evHdfs10x,"stream_rocksdb_events_per_sec_10x":$evRocks10x,""" +
+      s""""cores_total_s":${f"$coresTotal%.2f"},"duck_pairing":$duckCompact,""" +
+      s""""slowest":$slow,"failed_reps":$failedReps,""" +
       s""""queries_detail":"BENCH_LATEST.json","sf":"$sfDir"}"""
+    val compactLine = {
+      val c = compactWith(slowest)
+      if (c.length <= 1500) c
+      else compactWith(results.sortBy(-_._2._1).take(4)
+        .map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}"))
+    }
     // Belt-and-braces for the driver's parse: the FULL JSON at a well-known
     // path first (immune to any log prefixing/truncation of stdout) …
     try Files.writeString(Paths.get("BENCH_LATEST.json"), fullLine + "\n")
     catch { case t: Throwable => System.err.println(s"[bench] write BENCH_LATEST.json failed: $t") }
     // … then to stdout after spark.stop()'s shutdown noise: the full
     // per-query line first, and the COMPACT line as the very last write —
-    // rounds 3 and 4 recorded parsed:null because a byte-bounded tail
+    // rounds 3, 4 and 7 recorded parsed:null because a byte-bounded tail
     // capture began mid-way through the single long line; the last line is
-    // now short enough (<1 KB) that any tail window contains it whole.
+    // guarded to < 1.5 KB so any 2 KB tail window contains it whole.
     spark.stop()
     println(fullLine)
     println(compactLine)

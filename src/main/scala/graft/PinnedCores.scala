@@ -42,7 +42,11 @@ object PinnedCores {
       "classifier_scores" ->
         (() => TrainPrepQueries.classifierScores(spark, dir).count()),
       "bm25_docs" ->
-        (() => graft.queries.SearchQueries.bm25Docs(spark, dir).count()))
+        (() => graft.queries.SearchQueries.bm25Docs(spark, dir).count()),
+      "bm25_scored" ->
+        (() => graft.queries.SearchQueries.bm25Scored(spark, dir).count()),
+      "block_candidates" ->
+        (() => graft.queries.LinkageQueries.blockingCandidates(spark, dir).count()))
   }
 
   /** Build + materialize every pinned core for (spark, dir), returning

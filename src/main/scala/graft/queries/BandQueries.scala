@@ -102,27 +102,49 @@ object BandQueries {
     }
     val dense = graft.ops.Dedup.cacheTracked(
       bruteTopK(emb.select(col("vec_id"), col("qv").as("cv"))))
-    val arms = SparseMs.map { m =>
-      // cutoff materialized in its own projection: inlined into the mask
-      // lambda it would re-sort the row's |v| array once PER DIMENSION
-      // (the q55 HOF-inlining trap)
-      val masked = emb
-        .withColumn("__cut",
-          expr(s"element_at(array_sort(transform(qv, y -> abs(y))), -$m)"))
-        .select(col("vec_id"), expr(
-          "transform(qv, x -> CASE WHEN abs(x) >= __cut THEN x ELSE 0L END)")
-          .as("cv"))
-      val hits = bruteTopK(masked)
-        .join(dense.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-      val nq = queries.agg(count(lit(1)).as("n_queries"))
-      hits.agg(coalesce(sum("n_hit"), lit(0L)).as("sum_hit"))
-        .crossJoin(broadcast(nq))
-        .select(lit(m.toLong).as("m"), col("n_queries"),
-          expr(s"(10000 * sum_hit) div ($SparseK * n_queries)").as("recall_x10k"))
-    }
-    arms.reduce(_.unionByName(_)).orderBy("m")
+    // ONE scored pass for all four arms (round-8): the per-m masked
+    // corpora union into a single (m, vec_id, cv) side — the sorted-|v|
+    // array is computed once per vector and each arm's cutoff reads it by
+    // index (the m-th from the end), so masking adds one transform per
+    // arm, not one sort per arm. topKPerGroup then ranks by (m, query_id)
+    // in one bounded-heap shuffle instead of four sequential
+    // crossJoin→shuffle rounds (the round-7 board's #2 slowest at 3.7 s).
+    // Same total dot-product work — the arms were always independent;
+    // this just pipelines them through one exchange.
+    val msArr = s"array(${SparseMs.mkString(",")})"
+    val maskedAll = emb
+      .withColumn("__sorted", expr("array_sort(transform(qv, y -> abs(y)))"))
+      .select(col("vec_id"), col("qv"),
+        explode(expr(
+          s"transform($msArr, m -> struct(CAST(m AS BIGINT) AS m, " +
+            "element_at(__sorted, -m) AS cut))")).as("mc"))
+      .select(col("mc.m").as("m"), col("vec_id"), expr(
+        "transform(qv, x -> CASE WHEN abs(x) >= mc.cut THEN x ELSE 0L END)")
+        .as("cv"))
+    val scoredAll = maskedAll
+      .select(col("m"), col("vec_id").as("neighbor_id"), col("cv"))
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("m"), col("query_id"), col("neighbor_id"),
+        call_function(graft.expressions.GraftFunctions.DotLong,
+          col("quv"), col("cv")).as("dot"))
+    val topAll = graft.ops.Relational.topKPerGroup(
+      scoredAll, Seq("m", "query_id"), "dot", "neighbor_id", SparseK)
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val hitSums = topAll
+      .join(dense.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("m").agg(count(lit(1)).as("sum_hit"))
+    // spine: every arm emits a row even with zero hits (m=64 never does,
+    // but the contract shouldn't depend on the data)
+    import spark.implicits._
+    SparseMs.map(_.toLong).toDF("m")
+      .join(hitSums, Seq("m"), "left")
+      .crossJoin(broadcast(nq))
+      .select(col("m"), col("n_queries"),
+        expr(s"(10000 * coalesce(sum_hit, 0)) div ($SparseK * n_queries)")
+          .as("recall_x10k"))
+      .orderBy("m")
   }
 
   /** Percentile bands served per day. */

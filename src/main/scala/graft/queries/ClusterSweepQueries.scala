@@ -33,21 +33,44 @@ object ClusterSweepQueries {
     * Scale: the pair table is df-capped sub-quadratic; CC is
     * log-diameter rounds over edges; per-arm output is one row. */
   def q260_cluster_sweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     import DataPrepQueries.{ShingleN, JaccardMaxDf}
-    val arms = SweepTaus.map { tau =>
-      val pairs = Dedup.jaccardPairsPinned(spark, dir, ShingleN, tau, JaccardMaxDf)
-        .select("id_a", "id_b")
-      val comp = Graph.connectedComponents(pairs)
-      val pc = pairs.agg(count(lit(1)).as("n_pairs"))
-      comp.groupBy("component_id").agg(count(lit(1)).as("sz"))
-        .agg(coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
-          coalesce(sum("sz"), lit(0L)).as("n_dup_docs"),
-          coalesce(max("sz"), lit(0L)).as("max_cluster"))
-        .crossJoin(broadcast(pc))
-        .select(lit(tau).as("tau_x10k"), col("n_pairs"), col("n_dup_docs"),
-          col("n_clusters"), col("max_cluster"))
-    }
-    arms.reduce(_.unionByName(_)).orderBy("tau_x10k")
+    // ONE label-propagation loop for all three arms (round-8): the arm
+    // edge sets are nested (τ=9000 ⊆ 7000 ⊆ 5000), so compute the pair
+    // table once at the loosest τ, explode each pair into the arm indices
+    // whose threshold it clears, and PACK (arm, node) into a single long —
+    // node·4 + armIdx (ids < 2⁶¹ hold through any corpus; arms never
+    // connect because packed ids differ mod 4). The min-label fixpoint on
+    // packed ids decodes back per arm: min(id·4 + t over component) =
+    // (min id)·4 + t. Replaces three sequential CC loops (~3× the
+    // iteration jobs — the round-7 board's slowest query at 4.9 s) with
+    // one loop whose round count is the worst arm's.
+    val nArms = SweepTaus.size
+    val tauArr = s"array(${SweepTaus.mkString("L,")}L)"
+    val base = Dedup.jaccardPairsPinned(spark, dir, ShingleN, SweepTaus.min, JaccardMaxDf)
+      .select(col("id_a"), col("id_b"), col("jaccard_x10k"))
+    val tagged = Dedup.cacheTracked(base
+      .select(col("id_a"), col("id_b"),
+        explode(expr(s"filter(sequence(0, ${nArms - 1}), " +
+          s"i -> jaccard_x10k >= element_at($tauArr, i + 1))")).as("arm")))
+    val comp = Graph.connectedComponents(
+      tagged.select((col("id_a") * nArms + col("arm")).as("id_a"),
+        (col("id_b") * nArms + col("arm")).as("id_b")))
+      .select(pmod(col("id"), lit(nArms.toLong)).as("arm"),
+        col("component_id"))
+    val pc = tagged.groupBy("arm").agg(count(lit(1)).as("n_pairs"))
+    val cl = comp.groupBy("arm", "component_id").agg(count(lit(1)).as("sz"))
+      .groupBy("arm").agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_dup_docs"), max("sz").as("max_cluster"))
+    // spine keeps an empty arm (no pairs at its τ) in the output with zeros
+    val spine = SweepTaus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("arm", "tau_x10k")
+    spine.join(pc, Seq("arm"), "left").join(cl, Seq("arm"), "left")
+      .select(col("tau_x10k"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+        coalesce(col("max_cluster"), lit(0L)).as("max_cluster"))
+      .orderBy("tau_x10k")
   }
 
   /** Head tokens profiled and the position grain. */

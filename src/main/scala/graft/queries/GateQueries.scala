@@ -67,12 +67,15 @@ object GateQueries {
       .withColumn("ca", sum("lc_a").over(w))
       .withColumn("cb", sum("lc_b").over(w))
       .join(broadcast(counts.select("source", "n_a", "n_b")), "source")
-      .withColumn("dev", abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+      // DECIMAL(38,0) like q236/KsDriftStream: dev ≤ n_a·n_b overflows
+      // BIGINT past ~9.2e12 doc-pairs (round-7 ADVICE); exact to 1e38
+      .withColumn("dev", abs(col("ca").cast("decimal(38,0)") * col("n_b") -
+        col("cb").cast("decimal(38,0)") * col("n_a")))
       .groupBy("source")
       .agg(max("dev").as("ks_num"), max("n_a").as("kn_a"), max("n_b").as("kn_b"))
       .select(col("source"),
-        expr("CASE WHEN kn_a * kn_b = 0 THEN 0L " +
-          "ELSE (ks_num * 1000000) div (kn_a * kn_b) END").as("ks_x1m"))
+        expr("CASE WHEN kn_a * kn_b = 0 THEN 0L ELSE CAST((ks_num * 1000000) div " +
+          "(CAST(kn_a AS DECIMAL(38,0)) * kn_b) AS BIGINT) END").as("ks_x1m"))
     counts.join(lex, "source").join(vocab.select("source", "new_vocab_x10k"), "source")
       .join(ks, "source")
       .withColumn("flag_count",

@@ -73,12 +73,29 @@ object HygieneQueries {
     // tracked: `both` is read by the first rank chain AND the n_docs
     // total — one tokenize/stopword pass, not two (round-7)
     val both = graft.ops.Dedup.cacheTracked(fluency.join(scored, "doc_id"))
-    val r1 = Relational.globalIndex(both,
-      Seq(col("fluency_x10k").desc, col("doc_id")), "fluency_rank")
-    val r2 = Relational.globalIndex(r1,
-      Seq(col("cls_score").desc, col("doc_id")), "cls_rank")
-      .withColumn("rank_sum", col("fluency_rank") + col("cls_rank"))
     val tot = both.agg(count(lit(1)).as("n_docs"))
+    // ONE range shuffle for the two independent signal ranks (round-8):
+    // stack each doc twice — (sig=0, fluency) and (sig=1, cls) — and
+    // global-index the stack ordered by (sig, value DESC, doc_id). Every
+    // doc contributes exactly one row per signal, so signal s occupies
+    // global positions (s·N, (s+1)·N] and rank-within-signal is just
+    // __gidx − s·N — no per-signal offsets table, no second sort chain.
+    // A doc_id-keyed pivot then reunites the two ranks per doc; the
+    // blend rank still needs its own sort (it depends on both), so the
+    // query runs two range shuffles total where round-7 ran three.
+    val stacked = both.select(col("doc_id"), explode(array(
+        struct(lit(0L).as("sig"), col("fluency_x10k").as("v")),
+        struct(lit(1L).as("sig"), col("cls_score").as("v")))).as("sv"))
+      .select(col("sv.sig").as("sig"), col("sv.v").as("v"), col("doc_id"))
+    val idx = Relational.globalIndex(stacked,
+      Seq(col("sig"), col("v").desc, col("doc_id")), "__gidx")
+      .crossJoin(broadcast(tot))
+      .withColumn("__srank", col("__gidx") - col("sig") * col("n_docs"))
+    val r2 = idx.groupBy("doc_id")
+      .agg(max(when(col("sig") === 0L, col("__srank"))).as("fluency_rank"),
+        max(when(col("sig") === 1L, col("__srank"))).as("cls_rank"))
+      .withColumn("rank_sum", col("fluency_rank") + col("cls_rank"))
+      .join(both, "doc_id")
     Relational.globalIndex(r2, Seq(col("rank_sum"), col("doc_id")), "blend_rank")
       .crossJoin(broadcast(tot))
       .withColumn("keep",

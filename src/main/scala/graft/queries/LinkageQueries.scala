@@ -39,7 +39,18 @@ object LinkageQueries {
     * Scale: blocking keys are one scalar pass + a |keys|-bounded
     * self-join (cap guards hot keys); the expensive exact compare runs
     * on candidates only; CC iterates the confirmed EDGE list. */
-  def q222_blocking_linkage(spark: SparkSession, dir: String): DataFrame = {
+  private val blockCandMemo = new graft.ops.PinnedCoreMemo[String]
+
+  /** The multi-key blocking CANDIDATE pairs (distinct, id_a < id_b) —
+    * q222's cheap first stage, shared with q245's Fellegi–Sunter scoring
+    * and q270's blocking-quality audit. Session-pinned (round-8): three
+    * consumers each re-ran the key build + capped posting self-join;
+    * prewarmed as core `block_candidates` (at corpus scale this is a
+    * staged table next to the shingle core). */
+  private[graft] def blockingCandidates(spark: SparkSession, dir: String): DataFrame =
+    blockCandMemo.getOrBuild(spark, dir) { blockingCandidatesBuild(spark, dir) }
+
+  private def blockingCandidatesBuild(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val heads = graft.ops.Dedup.spread(docs)
       .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
@@ -57,9 +68,14 @@ object LinkageQueries {
     // (Dedup.cappedPostingPairs — two-pass cap: a hot blocking key is
     // pruned by the df count + semi join BEFORE its posting list would
     // be collected); distinct dedups the two key passes
-    val cand = graft.ops.Dedup
+    graft.ops.Dedup
       .cappedPostingPairs(keys, "bkey", "doc_id", BlockKeyCap)
       .distinct()
+  }
+
+  def q222_blocking_linkage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = blockingCandidates(spark, dir)
     val arrays = graft.ops.Dedup.pinnedShingles(spark, dir, DataPrepQueries.ShingleN)
       .groupBy("id").agg(collect_set("shingle").as("sh"))
     val sizes = graft.ops.Dedup.pinnedSetSizes(spark, dir, DataPrepQueries.ShingleN)

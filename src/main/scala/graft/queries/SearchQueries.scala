@@ -79,9 +79,18 @@ object SearchQueries {
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
 
+  private val bm25ScoredMemo = new graft.ops.PinnedCoreMemo[String]
+
   /** Per-doc BM25 score `(doc_id, score, n_terms_hit)` over the probe
-    * terms — q142's scoring chain, shared with q181's fusion. */
-  private[queries] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+    * terms — q142's scoring chain, shared with q181's fusion, q191's
+    * rerank pool and q230's feedback loop. Session-pinned (round-8):
+    * four consumers each re-ran the tf/df/totals aggregation chain —
+    * the scored table is |matching docs| rows, the canonical staged
+    * artifact next to [[bm25Docs]]; prewarmed as core `bm25_scored`. */
+  private[graft] def bm25Scored(spark: SparkSession, dir: String): DataFrame =
+    bm25ScoredMemo.getOrBuild(spark, dir) { bm25ScoredBuild(spark, dir) }
+
+  private def bm25ScoredBuild(spark: SparkSession, dir: String): DataFrame = {
     val docs = bm25Docs(spark, dir)
     val totals = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
     val tf = bm25Tf(spark, dir)

@@ -53,14 +53,9 @@ object ShapeQueries {
       .select(col("doc_id"), col("lang"), col("source"),
         size(col("t")).cast("long").as("ntok"),
         element_at(col("t"), 1).as("ft"), element_at(col("t"), -1).as("lt")))
-    val keys = graft.ops.Dedup.cacheTracked(heads
-      .select(col("doc_id"), concat_ws(":", lit("F"),
-        expr(s"CAST(ntok div $BlockBucket AS STRING)"), col("ft")).as("bkey"))
-      .union(heads.select(col("doc_id"), concat_ws(":", lit("L"),
-        expr(s"CAST(ntok div $BlockBucket AS STRING)"), col("lt")).as("bkey"))))
-    val cand = graft.ops.Dedup
-      .cappedPostingPairs(keys, "bkey", "doc_id", BlockKeyCap)
-      .distinct()
+    // round-8: the candidate table is the session-pinned block_candidates
+    // core (identical key construction — shared with q222/q270)
+    val cand = LinkageQueries.blockingCandidates(spark, dir)
     def attrs(side: String) = heads.select(
       col("doc_id").as(s"id_$side"), col("lang").as(s"lang_$side"),
       col("source").as(s"source_$side"), col("ft").as(s"ft_$side"),

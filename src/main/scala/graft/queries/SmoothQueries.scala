@@ -73,17 +73,23 @@ object SmoothQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = d.groupBy("source")
       .agg(sum("even").as("n_a"), sum(lit(1L) - col("even")).as("n_b"))
+    // DECIMAL(38,0) arithmetic for the cross-multiplied deviation and the
+    // ×10⁶ statistic: dev ≤ n_a·n_b, so the BIGINT form overflows once
+    // n_a·n_b > ~9.2e12 (~3M docs a side; round-7 ADVICE). Exact to
+    // n_a·n_b·10⁶ < 1e38; outputs cast back to BIGINT (ks_num ≤ n_a·n_b
+    // by |ECDF dev| ≤ 1, ks_x1m ≤ 10⁶). Same fix in KsDriftStream.ks.
     g.withColumn("ca", sum("c_a").over(w))
       .withColumn("cb", sum("c_b").over(w))
       .join(broadcast(tot), "source")
-      .withColumn("dev", abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+      .withColumn("dev", abs(col("ca").cast("decimal(38,0)") * col("n_b") -
+        col("cb").cast("decimal(38,0)") * col("n_a")))
       .groupBy("source")
       .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
         max(struct(col("dev"), (-col("n_chars")).as("neg"))).as("m"))
       .select(col("source"), col("n_a"), col("n_b"),
-        col("m.dev").as("ks_num"), (-col("m.neg")).as("ks_at"),
-        expr("CASE WHEN n_a * n_b = 0 THEN 0L " +
-          "ELSE (m.dev * 1000000) div (n_a * n_b) END").as("ks_x1m"))
+        col("m.dev").cast("long").as("ks_num"), (-col("m.neg")).as("ks_at"),
+        expr("CASE WHEN n_a * n_b = 0 THEN 0L ELSE CAST((m.dev * 1000000) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END").as("ks_x1m"))
       .orderBy("source")
   }
 

@@ -119,30 +119,42 @@ object SweepQueries {
     val toks = graft.ops.Dedup.cacheTracked(
       graft.ops.Dedup.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t")))
-    val arms = SweepNs.map { n =>
-      val grams =
-        if (n == DataPrepQueries.ShingleN)
-          graft.ops.Dedup.pinnedShingles(spark, dir, n)
-            .select(col("id").as("doc_id"), col("shingle").as("gram"))
-        else toks.select(col("doc_id"),
-          explode(shinglesFromTokens(col("t"), n)).as("gram"))
-      // the keyed table feeds the eval-distinct AND the train join —
-      // cache the narrow (id, 8-byte key) form, not the gram text
-      val keyed = graft.ops.Dedup.cacheTracked(grams.select(col("doc_id"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("g")))
-      val tagged = keyed.withColumn("is_eval",
-        pmod(col("doc_id"), lit(CurationQueries.EvalMod)) === 0L)
-      val evalGrams = tagged.filter(col("is_eval")).select("g").distinct()
-      val train = tagged.filter(!col("is_eval"))
-      val trainDocs = train.agg(countDistinct("doc_id").as("n_train_docs"))
-      val hits = train.join(evalGrams, "g")
-      val agg = hits.groupBy("doc_id").agg(count(lit(1)).as("h")).agg(
-        count(lit(1)).as("n_contam_docs"), coalesce(sum("h"), lit(0L)).as("n_gram_hits"))
-      agg.crossJoin(broadcast(trainDocs))
-        .select(lit(n.toLong).as("n"), col("n_train_docs"),
-          col("n_contam_docs"), col("n_gram_hits"))
+    // round-8: the non-pinned arms (n ≠ ShingleN) fuse into ONE tagged
+    // stream — each doc's per-n gram arrays concat into (n, key) rows in
+    // a single explode, and every downstream step (eval-distinct, train
+    // join, per-doc rollup) keys by (n, g) — one shuffle chain for all
+    // arms instead of one sequential chain per arm. The pinned-shingle
+    // arm stays on its session core.
+    val nonPinned = SweepNs.filterNot(_ == DataPrepQueries.ShingleN)
+    val perN = nonPinned.map { n =>
+      transform(shinglesFromTokens(col("t"), n),
+        g => struct(lit(n.toLong).as("n"), g.as("gram")))
     }
-    arms.reduce(_.unionByName(_))
+    val fusedKeyed = toks
+      .select(col("doc_id"), explode(concat(perN: _*)).as("ng"))
+      .select(col("ng.n").as("n"), col("doc_id"),
+        conv(substring(md5(col("ng.gram")), 1, 15), 16, 10).cast("long").as("g"))
+    val pinnedKeyed = graft.ops.Dedup.pinnedShingles(spark, dir, DataPrepQueries.ShingleN)
+      .select(lit(DataPrepQueries.ShingleN.toLong).as("n"), col("id").as("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("g"))
+    // the keyed table feeds the eval-distinct AND the train join —
+    // cache the narrow (n, id, 8-byte key) form, not the gram text
+    val keyed = graft.ops.Dedup.cacheTracked(fusedKeyed.unionByName(pinnedKeyed))
+    val tagged = keyed.withColumn("is_eval",
+      pmod(col("doc_id"), lit(CurationQueries.EvalMod)) === 0L)
+    val evalGrams = tagged.filter(col("is_eval")).select("n", "g").distinct()
+    val train = tagged.filter(!col("is_eval"))
+    val trainDocs = train.groupBy("n").agg(countDistinct("doc_id").as("n_train_docs"))
+    val hits = train.join(evalGrams, Seq("n", "g"))
+    val agg = hits.groupBy("n", "doc_id").agg(count(lit(1)).as("h"))
+      .groupBy("n").agg(count(lit(1)).as("n_contam_docs"), sum("h").as("n_gram_hits"))
+    // spine: an arm with no grams at all (ultra-short corpus) must still
+    // emit its zero row, as each per-arm global aggregate used to
+    val spine = { import spark.implicits._; SweepNs.map(_.toLong).toDF("n") }
+    spine.join(trainDocs, Seq("n"), "left").join(agg, Seq("n"), "left")
+      .select(col("n"), coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_contam_docs"), lit(0L)).as("n_contam_docs"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"))
       .withColumn("contam_doc_x10k",
         expr("CASE WHEN n_train_docs = 0 THEN 0 ELSE (10000 * n_contam_docs) div n_train_docs END"))
       .select("n", "n_train_docs", "n_contam_docs", "contam_doc_x10k", "n_gram_hits")

@@ -90,11 +90,20 @@ object TextOpsQueries {
     val toksT = docs
       .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
     val gram = (0 until WinnowN).map(j => s"element_at(t, i + $j)").mkString(", ")
+    // Packed key = h·2²¹ + position, position ∈ [0, 2²¹): h dominates the
+    // min only while the position component can't borrow — the round-7
+    // form's (2²⁰ − i) went NEGATIVE past i = 2²⁰, so `k div 2²¹` decoded
+    // h−1 for grams beyond ~1M tokens (round-7 ADVICE). least(i−1, 2²¹−1)
+    // caps the component instead; the decoded h is invariant to WHICH
+    // equal-h gram a window's min lands on, so the fingerprint set is
+    // bit-identical for short docs and now correct for arbitrarily long
+    // ones (ties now resolve to the leftmost gram rather than rightmost —
+    // both decode to the same h).
     val karr = expr(
       s"""CASE WHEN size(t) < $WinnowN THEN CAST(array() AS array<bigint>)
          |ELSE transform(sequence(1, size(t) - ${WinnowN - 1}),
          |  i -> CAST(conv(substring(md5(concat_ws(' ', $gram)), 1, 8), 16, 10) AS BIGINT)
-         |       * 2097152L + (1048576L - i))
+         |       * 2097152L + least(CAST(i AS BIGINT) - 1L, 2097151L))
          |END""".stripMargin)
     toksT.select(col("doc_id"), karr.as("ka"))
       .withColumn("gcnt", size(col("ka")))
@@ -311,7 +320,8 @@ object TextOpsQueries {
          |h AS (SELECT doc_id, p, gcnt,
          |             CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS hh
          |      FROM g),
-         |kk AS (SELECT doc_id, p, gcnt, hh, hh * 2097152 + (1048576 - p) AS k FROM h),
+         |kk AS (SELECT doc_id, p, gcnt, hh,
+         |              hh * 2097152 + least(p - 1, 2097151) AS k FROM h),
          |m AS (SELECT doc_id, p, gcnt, hh, k,
          |         min(k) OVER (PARTITION BY doc_id) AS mall,
          |         $winMins

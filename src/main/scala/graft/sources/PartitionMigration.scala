@@ -65,11 +65,18 @@ object PartitionMigration {
     // as an empty directory (e.g. a reland target created before its
     // files commit) was invisible to it (round-6 ADVICE). The listing
     // is one directory read — the same source partition discovery uses.
-    val present = Option(new java.io.File(oldDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("day="))
-      .flatMap(f => scala.util.Try(f.getName.stripPrefix("day=").toLong).toOption)
-      .toSet
+    // …via the Hadoop FileSystem API, not java.io.File: File.listFiles()
+    // returns null for any non-local URI (hdfs://, s3a://, even file:),
+    // which silently turned migrateDays into a no-op off the local disk
+    // (round-7 ADVICE). getFileSystem resolves the scheme's store and
+    // listStatus is still the same single directory read.
+    val oldPath = new org.apache.hadoop.fs.Path(oldDir)
+    val fs = oldPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present: Set[Long] =
+      (if (fs.exists(oldPath)) fs.listStatus(oldPath) else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+        .flatMap(st => scala.util.Try(st.getPath.getName.stripPrefix("day=").toLong).toOption)
+        .toSet
     val requested = if (force) days else days.filterNot(migratedDays(newDir))
     val toDo = requested.filter(present)
     if (toDo.isEmpty) return

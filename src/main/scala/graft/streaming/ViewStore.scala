@@ -375,6 +375,20 @@ object ViewStore {
     * file. Bucket dirs are `__bucket=N` under a generation parent — NOT
     * generic "_" metadata like _SUCCESS, so they're matched explicitly. */
   private def gc(f: FileSystem, root: Path): Unit = {
+    // sweep orphaned manifest tmps: lose() deletes its own tmp, but a
+    // writer that CRASHES between create(tmp) and the link/rename leaves
+    // one behind forever (round-7 ADVICE) — any .MANIFEST-*.tmp whose seq
+    // is already published (or below the newest) is dead by the CAS
+    // contract and safe to remove here
+    val newest = manifestSeqs(f, root).lastOption.map(_._1).getOrElse(-1L)
+    f.listStatus(root)
+      .filter { st =>
+        val n = st.getPath.getName
+        !st.isDirectory && n.startsWith(".MANIFEST-") && n.endsWith(".tmp") &&
+          scala.util.Try(n.stripPrefix(".MANIFEST-").takeWhile(_.isDigit).toLong)
+            .toOption.exists(_ <= newest)
+      }
+      .foreach(st => f.delete(st.getPath, false))
     val all = manifestSeqs(f, root)
     val (expired, retained) = all.splitAt(math.max(all.size - RetainManifests, 0))
     expired.foreach { case (_, name) => f.delete(new Path(root, name), false) }
