@@ -79,6 +79,8 @@ object GraftFunctions {
   val MinHashSigName = "graft_minhash_sig"
   val SimHash64Name = "graft_simhash64"
   val Int8QuantizeName = "graft_int8_quantize"
+  val SlidingMinName = "graft_sliding_min_distinct"
+  val CappedCollectName = "graft_capped_collect"
 
   /** Literal-int extraction for builder lambdas (k arguments must be
     * foldable — a non-literal k is a registration-time error, not a
@@ -112,5 +114,11 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(Int8QuantizeName)))
       reg.createOrReplaceTempFunction(
         Int8QuantizeName, exprs => Int8QuantizeVec(exprs.head), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(SlidingMinName)))
+      reg.createOrReplaceTempFunction(
+        SlidingMinName, exprs => SlidingMinDistinct(exprs.head, litInt(exprs(1))), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CappedCollectName)))
+      reg.createOrReplaceTempFunction(
+        CappedCollectName, exprs => CappedCollectLongs(exprs.head, exprs(1)), "scala_udf")
   }
 }

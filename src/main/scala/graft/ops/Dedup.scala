@@ -295,11 +295,21 @@ object Dedup {
     * join build for rows the codegen'd transform emits directly). */
   def cappedPostingPairs(
       keyed: DataFrame, keyCol: String, idCol: String, maxDf: Long): DataFrame = {
-    val kept = keyed.groupBy(keyCol).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf && col("__df") >= 2)
-      .select(keyCol)
-    keyed.join(kept, Seq(keyCol), "left_semi")
-      .groupBy(keyCol).agg(array_sort(collect_list(idCol)).as("sids"))
+    // ONE aggregation (round-8): the former two-pass cap (exact df count +
+    // semi join, then collect_list — two shuffles of the keyed table)
+    // existed so a hot key's posting list is never materialized; the
+    // CappedCollectLongs aggregate keeps exactly that bound IN the
+    // collector (at most maxDf+1 ids buffered per group, the (maxDf+1)-th
+    // arrival proves the key hot and the group emits empty), so the count
+    // pass and the semi join disappear. Output is unchanged: sorted
+    // id lists for keys with 2 ≤ df ≤ maxDf, in-row pair explode,
+    // id_a < id_b by construction.
+    graft.expressions.GraftFunctions.register(keyed.sparkSession)
+    keyed
+      .groupBy(keyCol).agg(call_function(
+        graft.expressions.GraftFunctions.CappedCollectName,
+        col(idCol), lit(maxDf.toInt)).as("sids"))
+      .filter(size(col("sids")) >= 2)
       .select(explode(expr(
         "flatten(transform(sids, (x, i) -> " +
           "transform(slice(sids, i + 2, size(sids)), y -> struct(x AS id_a, y AS id_b))))"))

@@ -170,22 +170,29 @@ object CanonQueries {
           explode(shinglesFromTokens(wsTokens(normalizeText(col("text"))), 2))
             .as("token"))
         .distinct())
+    // each round's pick and covered set are CACHED (tracked): round r's
+    // plan references round r−1's pick, so un-cached frames would nest —
+    // round 3 re-executing rounds 1-2's whole chains (measured 7.4 s on
+    // the first bench; ~1.5 s cached). The frames are 1-row picks and a
+    // vocabulary-bounded covered set — cache cost is nil.
     var covered: Option[DataFrame] = None
     var pickedIds: Option[DataFrame] = None
     val rounds = (1 to CoverRounds).map { r =>
       val remaining = covered match {
         case None => toks
-        case Some(cov) => toks.join(cov, Seq("token"), "left_anti")
+        // covered ≤ (picked docs)' type sets — always broadcast-size
+        case Some(cov) => toks.join(broadcast(cov), Seq("token"), "left_anti")
       }
       val eligible = pickedIds match {
         case None => remaining
-        case Some(p) => remaining.join(p, Seq("doc_id"), "left_anti")
+        case Some(p) => remaining.join(broadcast(p), Seq("doc_id"), "left_anti")
       }
-      val pick = eligible.groupBy("doc_id").agg(count(lit(1)).as("gain"))
-        .orderBy(col("gain").desc, col("doc_id")).limit(1)
-        .select(col("doc_id"), col("gain"))
+      val pick = Dedup.cacheTracked(
+        eligible.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .select(col("doc_id"), col("gain")))
       val pickB = broadcast(pick)
-      covered = Some((covered match {
+      covered = Some(Dedup.cacheTracked(covered match {
         case None => toks.join(pickB.select("doc_id"), "doc_id").select("token")
         case Some(cov) =>
           cov.union(toks.join(pickB.select("doc_id"), "doc_id").select("token"))

@@ -105,15 +105,22 @@ object TextOpsQueries {
          |  i -> CAST(conv(substring(md5(concat_ws(' ', $gram)), 1, 8), 16, 10) AS BIGINT)
          |       * 2097152L + least(CAST(i AS BIGINT) - 1L, 2097151L))
          |END""".stripMargin)
+    // selection via the O(n) monotonic-deque expression (round-8): the
+    // HOF form (array_min over a slice PER WINDOW START) was O(n·W)
+    // copying and the board's last >2× query vs the oracle — same value
+    // set (empty / global-argmin / distinct window minima), WinnowSpec
+    // pins the A/B
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    // h-dedup stays IN-ROW (array_distinct over the per-doc minima after
+    // decoding) — the expression already dedups packed keys per doc, so
+    // the only residual dupes are same-h-different-position picks within
+    // ONE doc's array; deduping there makes the whole fingerprint pass
+    // map-only, no distinct() exchange
     toksT.select(col("doc_id"), karr.as("ka"))
-      .withColumn("gcnt", size(col("ka")))
       .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN gcnt = 0 THEN CAST(array() AS array<bigint>)
-           |WHEN gcnt < $WinnowW THEN array(array_min(ka))
-           |ELSE array_distinct(transform(sequence(1, gcnt - $WinnowW + 1),
-           |  s -> array_min(slice(ka, s, $WinnowW))))
-           |END""".stripMargin)).as("k"))
-      .select(col("doc_id"), expr("k div 2097152").as("h")).distinct()
+        s"""array_distinct(transform(
+           |  ${graft.expressions.GraftFunctions.SlidingMinName}(ka, $WinnowW),
+           |  k -> k div 2097152))""".stripMargin)).as("h"))
   }
 
   // ------------------------------------------------ X233 topic segmentation

@@ -28,34 +28,42 @@ class SkewCapSpec extends SparkSpec {
 
   test("cappedPostingPairs: a key at exactly maxDf pairs fully; one past the cap contributes nothing") {
     val maxDf = 4
-    val hot = (0 to maxDf).map(i => (s"h$i", "hotkey")) // df = maxDf+1 → pruned
-    val warm = (0 until maxDf).map(i => (s"w$i", "warmkey")) // df = maxDf → kept
-    val solo = Seq(("s0", "solokey")) // df = 1 → below the pairing floor
+    val hot = (0 to maxDf).map(i => (100L + i, "hotkey")) // df = maxDf+1 → pruned
+    val warm = (0 until maxDf).map(i => (200L + i, "warmkey")) // df = maxDf → kept
+    val solo = Seq((300L, "solokey")) // df = 1 → below the pairing floor
     val keyed = (hot ++ warm ++ solo).toDF("id", "k")
     val pairs = Dedup.cappedPostingPairs(keyed, "k", "id", maxDf)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(pairs.nonEmpty && pairs.forall { case (a, b) =>
-      a.startsWith("w") && b.startsWith("w") && a < b },
+      a >= 200L && a < 300L && b >= 200L && b < 300L && a < b },
       s"only warm-key pairs, ordered id_a < id_b, expected: $pairs")
     assert(pairs.distinct.size == maxDf * (maxDf - 1) / 2,
       s"the at-cap key must pair completely: $pairs")
   }
 
-  test("cappedPostingPairs: the hot-key prune sits BELOW list collection in the optimized plan") {
-    val keyed = (0 until 12).map(i => (s"d$i", s"k${i % 3}")).toDF("id", "k")
+  test("cappedPostingPairs: the cap lives IN the collector — one aggregate, no two-pass count+semi") {
+    // round-8: the df cap moved from a count + LEFT SEMI prune into the
+    // CappedCollectLongs aggregate (bounded buffer: a hot key saturates
+    // at maxDf+1 buffered ids and emits empty). The pin flips with it:
+    // the plan must have NO semi join and NO unbounded CollectList — the
+    // single aggregate IS the bound.
+    val keyed = (0 until 12).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "k")
     val optimized = Dedup.cappedPostingPairs(keyed, "k", "id", 4)
       .queryExecution.optimizedPlan
-    val collectAggs = optimized.collect {
+    val semis = optimized.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.isEmpty,
+      s"the two-pass df prune should be fused into the capped collector:\n$optimized")
+    val unboundedCollects = optimized.collect {
       case a: Aggregate if a.aggregateExpressions.exists(
         _.find(_.isInstanceOf[CollectList]).isDefined) => a
     }
-    assert(collectAggs.nonEmpty, s"expected a collect_list aggregate:\n$optimized")
-    collectAggs.foreach { a =>
-      val semiBelow = a.child.collect { case j: Join if j.joinType == LeftSemi => j }
-      assert(semiBelow.nonEmpty,
-        "every posting-list collection must sit ABOVE the df-cap left-semi prune " +
-          s"(a hot key must never materialize its id array only to be discarded):\n$optimized")
+    assert(unboundedCollects.isEmpty,
+      s"no unbounded collect_list may materialize a posting list:\n$optimized")
+    val capped = optimized.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.find(_.isInstanceOf[graft.expressions.CappedCollectLongs]).isDefined) => a
     }
+    assert(capped.nonEmpty, s"expected the CappedCollectLongs aggregate:\n$optimized")
   }
 
   test("q200 discipline: a corpus-hot token never enters the PPJoin prefix key table") {
