@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.ops.Dedup
+
+/** Round-8 wave-46 reporting capstone: the per-source data card — the
+  * one-table answer to "what is actually IN this corpus, per source",
+  * composing the board's curation signals (quality gate, exact dup,
+  * near dup, language purity, classifier score) into the summary every
+  * dataset release ships. The composition proof for the curation
+  * family, the way q199 is for retrieval.
+  *
+  * Oracle conventions as the sibling modules: exact integers
+  * end-to-end, identical aliases both sides, ORDER BY a unique key.
+  */
+object CardQueries {
+
+  /** X304 — per-source data card: docs, chars, tokens, q26 quality
+    * keep-rate ×10⁴, exact-duplicate share ×10⁴ (fingerprint group
+    * size > 1), near-duplicate share ×10⁴ (member of any pinned
+    * Jaccard ≥ q16-τ pair), language purity ×10⁴ (share in the
+    * source's majority language, ties → lexicographic min), and mean
+    * classifier score ×10³ (floor) — ONE text pass feeds the metric /
+    * fingerprint columns, every other signal is a per-source aggregate
+    * over an already-staged core.
+    *
+    * Scale: the text pass is map-only into |sources|-row aggregates;
+    * the dup joins shuffle fingerprints and pair ids (≪ corpus); the
+    * score join rides the pinned core. */
+  def q276_source_data_card(spark: SparkSession, dir: String): DataFrame = {
+    import DataPrepQueries.{ShingleN, JaccardMinX10k, JaccardMaxDf}
+    // qualityMetrics emits its own n_chars (text length) — the table's
+    // n_chars column is the one the card reports, so drop the metric twin
+    val metrics = qualityMetrics(col("text"))
+      .filter(_._1 != "n_chars").map { case (n, c) => c.as(n) }
+    val base = Dedup.cacheTracked(Dedup.spread(Tables.documents(spark, dir))
+      .select(Seq(col("doc_id"), col("source"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        fingerprint(col("text")).as("fp")) ++ metrics: _*)
+      .withColumn("keep",
+        (col("n_tokens") >= 10 && col("n_tokens") <= 500 &&
+          col("stop_per_10k") <= 3000 &&
+          col("mean_tok_len_x100") >= 200 && col("mean_tok_len_x100") <= 800)
+          .cast("long")))
+    val core = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+      sum("n_tokens").as("total_tokens"), sum("keep").as("n_keep"))
+    val dupG = base.groupBy("fp").agg(count(lit(1)).as("gsz"))
+    val exactDup = base.join(dupG, "fp").filter(col("gsz") > 1)
+      .groupBy("source").agg(count(lit(1)).as("n_exact_dup"))
+    val pairIds = Dedup.jaccardPairsPinned(spark, dir, ShingleN, JaccardMinX10k, JaccardMaxDf)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val nearDup = base.join(pairIds, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_near_dup"))
+    val langC = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val purity = langC.groupBy("source").agg(max("c").as("n_major"))
+    val scores = TrainPrepQueries.classifierScores(spark, dir)
+      .select(col("doc_id"), col("score"))
+    val srcScore = base.select("doc_id", "source").join(scores, "doc_id")
+      .groupBy("source").agg(sum("score").as("sum_score"), count(lit(1)).as("n_scored"))
+    core.join(exactDup, Seq("source"), "left")
+      .join(nearDup, Seq("source"), "left")
+      .join(purity, "source")
+      .join(srcScore, "source")
+      .na.fill(0L, Seq("n_exact_dup", "n_near_dup"))
+      .select(col("source"), col("n_docs"), col("total_chars"), col("total_tokens"),
+        expr("(10000 * n_keep) div n_docs").as("keep_x10k"),
+        expr("(10000 * n_exact_dup) div n_docs").as("exact_dup_x10k"),
+        expr("(10000 * n_near_dup) div n_docs").as("near_dup_x10k"),
+        expr("(10000 * n_major) div n_docs").as("lang_purity_x10k"),
+        expr("CAST(floor(1000 * sum_score / n_scored) AS BIGINT)").as("score_mean_x1k"))
+      .orderBy("source")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_source_data_card" -> q276_source_data_card
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  import DataPrepQueries.{shingleCte, normToks, norm, hitsSql, JaccardMaxDf,
+    JaccardMinX10k}
+
+  val oracles: Map[String, String] = Map(
+    "q276_source_data_card" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |szs AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id),
+         |capped AS (
+         |  SELECT sh.* FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $JaccardMaxDf) ok
+         |    USING (shingle)),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY a.id, b.id),
+         |prs AS (
+         |  SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN szs sa ON sa.id = i.id_a JOIN szs sb ON sb.id = i.id_b
+         |  WHERE floor(10000 * i.n_common / (sa.set_size + sb.set_size - i.n_common))
+         |        >= $JaccardMinX10k),
+         |pids AS (SELECT DISTINCT doc_id FROM (
+         |           SELECT id_a AS doc_id FROM prs
+         |           UNION ALL SELECT id_b AS doc_id FROM prs)),
+         |${TrainPrepQueries.clsChainSql},
+         |base AS (
+         |  SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         |    md5($norm) AS fp,
+         |    CAST(len($normToks) AS BIGINT) AS n_tokens,
+         |    CAST(CASE WHEN len($normToks) > 0
+         |         THEN floor(10000 * ${hitsSql("en")} / len($normToks)) ELSE 0 END AS BIGINT)
+         |      AS stop_per_10k,
+         |    CAST(CASE WHEN len($normToks) > 0
+         |         THEN floor(100 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |                    / len($normToks)) ELSE 0 END AS BIGINT) AS mean_tok_len_x100
+         |  FROM documents),
+         |b2 AS (SELECT *, CAST(n_tokens >= 10 AND n_tokens <= 500 AND stop_per_10k <= 3000
+         |              AND mean_tok_len_x100 >= 200 AND mean_tok_len_x100 <= 800
+         |              AS BIGINT) AS keep
+         |       FROM base),
+         |coreagg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |               CAST(sum(keep) AS BIGINT) AS n_keep
+         |        FROM b2 GROUP BY source),
+         |dupg AS (SELECT fp, count(*) AS gsz FROM b2 GROUP BY fp),
+         |ed AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact_dup
+         |       FROM b2 JOIN dupg USING (fp) WHERE gsz > 1 GROUP BY source),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_near_dup
+         |       FROM b2 JOIN pids USING (doc_id) GROUP BY source),
+         |lc AS (SELECT source, lang, count(*) AS c FROM b2 GROUP BY source, lang),
+         |pur AS (SELECT source, CAST(max(c) AS BIGINT) AS n_major FROM lc GROUP BY source),
+         |ss AS (SELECT b2.source, CAST(sum(sc.score) AS BIGINT) AS sum_score,
+         |              CAST(count(*) AS BIGINT) AS n_scored
+         |       FROM b2 JOIN sc USING (doc_id) GROUP BY b2.source)
+         |SELECT coreagg.source, coreagg.n_docs, coreagg.total_chars, coreagg.total_tokens,
+         |       CAST((10000 * coreagg.n_keep) // coreagg.n_docs AS BIGINT) AS keep_x10k,
+         |       CAST((10000 * coalesce(ed.n_exact_dup, 0)) // coreagg.n_docs AS BIGINT)
+         |         AS exact_dup_x10k,
+         |       CAST((10000 * coalesce(nd.n_near_dup, 0)) // coreagg.n_docs AS BIGINT)
+         |         AS near_dup_x10k,
+         |       CAST((10000 * pur.n_major) // coreagg.n_docs AS BIGINT) AS lang_purity_x10k,
+         |       CAST(floor(1000 * ss.sum_score / ss.n_scored) AS BIGINT) AS score_mean_x1k
+         |FROM coreagg
+         |LEFT JOIN ed USING (source)
+         |LEFT JOIN nd USING (source)
+         |JOIN pur USING (source)
+         |JOIN ss USING (source)
+         |ORDER BY coreagg.source""".stripMargin
+  )
+}
