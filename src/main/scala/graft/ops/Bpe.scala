@@ -121,4 +121,31 @@ object Bpe {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
         s => s.getField("tok")).as("seg"))
   }
+
+  /** Segmentations snapshotted at SEVERAL merge budgets in one training
+    * pass — round r's symbol table is a shared prefix of every r' > r,
+    * so the sweep costs max(rounds) merge rounds, not their sum. Each
+    * checkpoint's exploded seg table is cache-tracked (vocabulary-sized)
+    * so a later checkpoint's plan resumes from the previous one instead
+    * of replaying the whole chain. Returns (rounds → grouped (word, n,
+    * seg)) in ascending round order. */
+  def segmentationSweep(
+      vocab: DataFrame,
+      rounds: Seq[Int],
+      wordCol: String = "word",
+      countCol: String = "n"): Seq[(Int, DataFrame)] = {
+    require(rounds.nonEmpty && rounds.forall(_ >= 0), "rounds must be >= 0")
+    var seg = charSeg(vocab, wordCol, countCol)
+    var done = 0
+    rounds.sorted.map { target =>
+      while (done < target) {
+        seg = mergeRound(seg, chosenPair(seg))
+        done += 1
+      }
+      seg = Dedup.cacheTracked(seg)
+      target -> seg.groupBy("word", "n")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")).as("seg"))
+    }
+  }
 }

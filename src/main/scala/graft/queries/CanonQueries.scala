@@ -164,11 +164,14 @@ object CanonQueries {
     * into the next round — rounds are a FIXED constant, so the plan is
     * a bounded chain, no driver data loop. */
   def q274_coverage_seeds(spark: SparkSession, dir: String): DataFrame = {
+    // tokens BOUND in their own projection before shinglesFromTokens —
+    // inlining the normalize+split expression would re-evaluate it inside
+    // every element_at (the documented ~8× shingle-pipeline trap; measured
+    // here too: the inlined form dominated the query)
     val toks = Dedup.cacheTracked(
       Dedup.spread(Tables.documents(spark, dir))
-        .select(col("doc_id"),
-          explode(shinglesFromTokens(wsTokens(normalizeText(col("text"))), 2))
-            .as("token"))
+        .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
+        .select(col("doc_id"), explode(shinglesFromTokens(col("t"), 2)).as("token"))
         .distinct())
     // each round's pick and covered set are CACHED (tracked): round r's
     // plan references round r−1's pick, so un-cached frames would nest —

@@ -75,8 +75,62 @@ object CardQueries {
       .orderBy("source")
   }
 
+  /** X306 — customer order-count distribution (TPC-H Q13 shape): how
+    * many customers placed exactly k orders, INCLUDING the zero-order
+    * customers an inner join would silently drop — the left-outer-join
+    * + two-level groupBy histogram (the first group keyed by the join
+    * key, the second by its count). The canonical "distribution of
+    * engagement" shape every retention report starts from.
+    *
+    * Scale: orders pre-aggregate to per-customer counts (partial
+    * combine); the outer join is customer ⋈ that |customers|-bounded
+    * table; the histogram is a |distinct k|-row aggregate. */
+  def q277_order_count_dist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(perCust, Seq("c_custkey"), "left")
+      .na.fill(0L, Seq("n_orders"))
+      .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"))
+  }
+
+  /** Merge budgets swept (BPE rounds). */
+  val BpeSweepRounds: Seq[Int] = Seq(1, 3, 5)
+
+  /** X307 — BPE merge-budget sweep: corpus fertility (token-weighted
+    * symbols per word ×10³) and symbol-vocabulary size at merge budgets
+    * [[BpeSweepRounds]] — the size-vs-fertility curve that decides the
+    * tokenizer's vocab budget (each merge buys compression; this is
+    * where the buying flattens). One incremental training pass
+    * ([[graft.ops.Bpe.segmentationSweep]]): budget r's table is the
+    * shared prefix of r′ > r, so the sweep costs max(rounds) rounds.
+    *
+    * Scale: training runs over the DISTINCT-word vocabulary (≪ corpus,
+    * one corpus pass to build); per arm two vocabulary-sized
+    * aggregates. */
+  def q278_bpe_budget_sweep(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Dedup.cacheTracked(Tables.documents(spark, dir)
+      .select(explode(wsTokens(normalizeText(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n")))
+    val arms = graft.ops.Bpe.segmentationSweep(vocab, BpeSweepRounds).map {
+      case (r, segs) =>
+        val fert = segs.agg(
+          sum(col("n") * size(col("seg"))).as("wsum"), sum("n").as("ntot"))
+        val vsz = segs.select(explode(col("seg")).as("symbol"))
+          .agg(countDistinct("symbol").as("vocab_size"))
+        fert.crossJoin(broadcast(vsz))
+          .select(lit(r.toLong).as("rounds"), col("vocab_size"),
+            expr("(1000 * wsum) div ntot").as("fertility_x1k"))
+    }
+    arms.reduce(_.unionByName(_)).orderBy("rounds")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q276_source_data_card" -> q276_source_data_card
+    "q276_source_data_card" -> q276_source_data_card,
+    "q277_order_count_dist" -> q277_order_count_dist,
+    "q278_bpe_budget_sweep" -> q278_bpe_budget_sweep
   )
 
   // ---------------------------------------------------------------- oracles
@@ -84,7 +138,25 @@ object CardQueries {
   import DataPrepQueries.{shingleCte, normToks, norm, hitsSql, JaccardMaxDf,
     JaccardMinX10k}
 
+  private def bpeSweepArmSql(r: Int): String =
+    s"""SELECT CAST($r AS BIGINT) AS rounds,
+       |       (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM sg$r) AS vocab_size,
+       |       (SELECT CAST((1000 * sum(n)) // (SELECT sum(n) FROM v0) AS BIGINT)
+       |        FROM sg$r) AS fertility_x1k""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q277_order_count_dist" ->
+      s"""WITH pc AS (SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS n_orders
+         |            FROM orders GROUP BY o_custkey)
+         |SELECT coalesce(pc.n_orders, 0) AS n_orders,
+         |       CAST(count(*) AS BIGINT) AS n_customers
+         |FROM customer c LEFT JOIN pc USING (c_custkey)
+         |GROUP BY coalesce(pc.n_orders, 0)
+         |ORDER BY n_orders""".stripMargin,
+    "q278_bpe_budget_sweep" ->
+      s"""WITH ${TrainPrepQueries.bpeChainSqlN(BpeSweepRounds.max)}
+         |${BpeSweepRounds.map(bpeSweepArmSql).mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY rounds""".stripMargin,
     "q276_source_data_card" ->
       s"""WITH RECURSIVE $shingleCte,
          |szs AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id),

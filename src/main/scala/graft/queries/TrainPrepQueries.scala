@@ -319,7 +319,7 @@ object TrainPrepQueries {
     * `ch$r` and merged segmentation `sg$r`. Greedy left-to-right merge =
     * chosen-pair positions at even offsets within their run (window
     * algebra, the exact twin of [[graft.ops.Bpe]]). */
-  private def bpeRoundSql(r: Int): String =
+  private[queries] def bpeRoundSql(r: Int): String =
     s"""pr$r AS (SELECT word, n, pos, tok,
        |               lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
        |        FROM sg${r - 1}),
@@ -355,8 +355,12 @@ object TrainPrepQueries {
 
   /** Shared BPE replay: vocabulary → char segmentation → `BpeRounds`
     * merge rounds (winners `ch1..chR`, segmentations `sg1..sgR`). */
-  private def bpeChainSql: String = {
-    val rounds = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n")
+  private def bpeChainSql: String = bpeChainSqlN(BpeRounds)
+
+  /** The v0/sg0..sgN BPE CTE chain at an arbitrary merge budget —
+    * shared with q278's merge-budget sweep (round-8). */
+  private[queries] def bpeChainSqlN(n: Int): String = {
+    val rounds = (1 to n).map(bpeRoundSql).mkString(",\n")
     s"""v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n
        |           FROM (SELECT unnest($normToks) AS word FROM documents)
        |           GROUP BY word),
