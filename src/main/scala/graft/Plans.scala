@@ -111,7 +111,7 @@ object Plans {
     "q205_cumulative_gains" -> "gains: explicit-floor decile bucketing on the two-phase index, 10-row cumulative tail",
     "q206_frequent_triples" -> "A-priori triples: frequent-pair candidate generation, basket re-scan counts candidates only",
     "q208_bfs_layers" -> "BFS layers: bounded frontier-expand/anti-join rounds off the pinned edge core, localCheckpoint per round",
-    "q211_winnow_pairs" -> "winnowing: per-doc windowed frame-minima (one WindowExec pass), df-capped fingerprint equijoin, never all-pairs",
+    "q211_winnow_pairs" -> "winnowing: map-only in-row fingerprints (O(n) deque sliding-min expression, in-row h dedup), single capped-collect equijoin, never all-pairs",
     "q214_blocklist_screen" -> "blocklist: broadcast pattern tables; phrase sides broadcast-semi prefiltered BEFORE the positional equijoin",
     "q215_contrastive_triplets" -> "triplets: pinned kNN artifact + <=k-row rank windows per (anchor, side), two bounded joins",
     "q216_brier_reliability" -> "brier: pinned classifier core, 1-row + |bins|-row aggregates, everything else broadcast",
@@ -130,8 +130,9 @@ object Plans {
     "q245_linkage_score" -> "FS linkage: two-pass capped blocking candidates, attribute equijoins by id, <=2^4-row score distribution",
     "q248_revenue_gini" -> "gini: fact aggregate to |customers|, two-phase global rank, 10-row decile window",
     "q254_weighted_negatives" -> "weighted negatives: cumulative ranges explode to spanned bins, points equijoin their bin - no point x item nested loop",
-    "q258_sparse_recall" -> "sparse recall: per-arm masked corpus (cutoff in its own projection), broadcast queries, map-side bounded-heap top-k",
-    "q260_cluster_sweep" -> "tau sweep: pinned intersection core, per-arm threshold filter, CC on edge lists only",
+    "q258_sparse_recall" -> "sparse recall: ALL arms in one scored pass (per-m masked union, cutoffs read off one sorted-|v| array), one bounded-heap shuffle keyed (m, query)",
+    "q260_cluster_sweep" -> "tau sweep: pinned intersection core, arms packed into node*|arms|+arm ids, ONE CC loop for all thresholds",
+    "q276_source_data_card" -> "data card: one map-only text pass (metrics+fingerprint), per-source aggregates over staged cores",
     "q263_neardup_evidence" -> "evidence: pinned pair core top-k cut, shingle joins bounded by the cut, windows over <=20 pairs"
   )
 
