@@ -164,43 +164,42 @@ object CanonQueries {
     * into the next round — rounds are a FIXED constant, so the plan is
     * a bounded chain, no driver data loop. */
   def q274_coverage_seeds(spark: SparkSession, dir: String): DataFrame = {
-    // tokens BOUND in their own projection before shinglesFromTokens —
-    // inlining the normalize+split expression would re-evaluate it inside
-    // every element_at (the documented ~8× shingle-pipeline trap; measured
-    // here too: the inlined form dominated the query)
-    val toks = Dedup.cacheTracked(
+    // ARRAY-SET rounds (round-8): each doc's distinct-bigram SET is one
+    // cached array row (tokens bound before shinglesFromTokens — the
+    // documented inlining trap), and the covered set is a 1-row frame
+    // holding one array. A round is then a single map-only pass —
+    // gain = size(array_except(bg, covered)) against the broadcast
+    // covered row — cut by TakeOrdered; the covered update is 1-row
+    // array_union arithmetic. No explode, no distinct exchange, no
+    // per-round shuffle at all. The covered array is bounded by the
+    // picked docs' combined vocabulary (R docs), not the corpus.
+    val sets = Dedup.cacheTracked(
       Dedup.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
-        .select(col("doc_id"), explode(shinglesFromTokens(col("t"), 2)).as("token"))
-        .distinct())
-    // each round's pick and covered set are CACHED (tracked): round r's
-    // plan references round r−1's pick, so un-cached frames would nest —
-    // round 3 re-executing rounds 1-2's whole chains (measured 7.4 s on
-    // the first bench; ~1.5 s cached). The frames are 1-row picks and a
-    // vocabulary-bounded covered set — cache cost is nil.
-    var covered: Option[DataFrame] = None
-    var pickedIds: Option[DataFrame] = None
+        .select(col("doc_id"), shinglesFromTokens(col("t"), 2).as("bg")))
+    var covered: Option[DataFrame] = None // 1 row: (cov: array<string>)
+    var picked: Option[DataFrame] = None // ≤ CoverRounds rows of doc_id
     val rounds = (1 to CoverRounds).map { r =>
-      val remaining = covered match {
-        case None => toks
-        // covered ≤ (picked docs)' type sets — always broadcast-size
-        case Some(cov) => toks.join(broadcast(cov), Seq("token"), "left_anti")
+      val gains = covered match {
+        case None => sets.select(col("doc_id"), size(col("bg")).as("gain"))
+        case Some(cov) => sets.crossJoin(broadcast(cov))
+          .select(col("doc_id"), size(array_except(col("bg"), col("cov"))).as("gain"))
       }
-      val eligible = pickedIds match {
-        case None => remaining
-        case Some(p) => remaining.join(broadcast(p), Seq("doc_id"), "left_anti")
+      val eligible = picked match {
+        case None => gains
+        case Some(p) => gains.join(broadcast(p), Seq("doc_id"), "left_anti")
       }
       val pick = Dedup.cacheTracked(
-        eligible.groupBy("doc_id").agg(count(lit(1)).as("gain"))
-          .orderBy(col("gain").desc, col("doc_id")).limit(1)
-          .select(col("doc_id"), col("gain")))
-      val pickB = broadcast(pick)
+        eligible.filter(col("gain") > 0)
+          .orderBy(col("gain").desc, col("doc_id")).limit(1))
       covered = Some(Dedup.cacheTracked(covered match {
-        case None => toks.join(pickB.select("doc_id"), "doc_id").select("token")
-        case Some(cov) =>
-          cov.union(toks.join(pickB.select("doc_id"), "doc_id").select("token"))
+        case None => sets.join(broadcast(pick.select("doc_id")), "doc_id")
+          .select(col("bg").as("cov"))
+        case Some(cov) => sets.join(broadcast(pick.select("doc_id")), "doc_id")
+          .crossJoin(broadcast(cov))
+          .select(array_union(col("cov"), col("bg")).as("cov"))
       }))
-      pickedIds = Some(pickedIds match {
+      picked = Some(picked match {
         case None => pick.select("doc_id")
         case Some(p) => p.union(pick.select("doc_id"))
       })
