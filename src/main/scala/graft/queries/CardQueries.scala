@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.ops.Dedup
+import graft.ops.{Dedup, Graph}
 
 /** Round-8 wave-46 reporting capstone: the per-source data card — the
   * one-table answer to "what is actually IN this corpus, per source",
@@ -127,10 +127,51 @@ object CardQueries {
     arms.reduce(_.unionByName(_)).orderBy("rounds")
   }
 
+  /** X309 — effective corpus size: per source, the token count RAW,
+    * after exact dedup (keep-first per fingerprint group), and after
+    * near-dup canonicalization on top (drop every non-canonical cluster
+    * member; canonical = the cluster's min id, which for
+    * fingerprint-identical docs coincides with the exact keep) — plus
+    * the surviving share ×10⁴. The honest "how big is this corpus
+    * REALLY" table behind every token-budget plan; q276 reports dup
+    * RATES, this prices them in tokens.
+    *
+    * Scale: one map-only text pass; exact keep is a fingerprint-keyed
+    * aggregate + equijoin; near-dup drops ride the pinned pair core +
+    * one edge-list CC (component_id IS the min reachable id — no
+    * second aggregate needed to find the canonical). */
+  def q280_effective_tokens(spark: SparkSession, dir: String): DataFrame = {
+    import DataPrepQueries.{ShingleN, JaccardMinX10k, JaccardMaxDf}
+    val base = Dedup.cacheTracked(Dedup.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"),
+        size(wsTokens(normalizeText(col("text")))).cast("long").as("ntok")))
+    val exKept = base
+      .join(base.groupBy("fp").agg(min("doc_id").as("keep_id")), "fp")
+      .filter(col("doc_id") === col("keep_id"))
+      .select("doc_id", "source", "ntok")
+    val comp = Graph.connectedComponents(
+      Dedup.jaccardPairsPinned(spark, dir, ShingleN, JaccardMinX10k, JaccardMaxDf)
+        .select("id_a", "id_b"))
+    val dropNear = comp.filter(col("id") =!= col("component_id"))
+      .select(col("id").as("doc_id"))
+    val nearKept = exKept.join(dropNear, Seq("doc_id"), "left_anti")
+    val raw = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tok_raw"))
+    val ex = exKept.groupBy("source").agg(sum("ntok").as("tok_exact"))
+    val nr = nearKept.groupBy("source").agg(sum("ntok").as("tok_near"))
+    raw.join(ex, Seq("source"), "left").join(nr, Seq("source"), "left")
+      .na.fill(0L, Seq("tok_exact", "tok_near"))
+      .withColumn("keep_x10k",
+        expr("CASE WHEN tok_raw = 0 THEN 10000L ELSE (10000 * tok_near) div tok_raw END"))
+      .select("source", "n_docs", "tok_raw", "tok_exact", "tok_near", "keep_x10k")
+      .orderBy("source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q276_source_data_card" -> q276_source_data_card,
     "q277_order_count_dist" -> q277_order_count_dist,
-    "q278_bpe_budget_sweep" -> q278_bpe_budget_sweep
+    "q278_bpe_budget_sweep" -> q278_bpe_budget_sweep,
+    "q280_effective_tokens" -> q280_effective_tokens
   )
 
   // ---------------------------------------------------------------- oracles
@@ -145,6 +186,53 @@ object CardQueries {
        |        FROM sg$r) AS fertility_x1k""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q280_effective_tokens" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |szs AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id),
+         |capped AS (
+         |  SELECT sh.* FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $JaccardMaxDf) ok
+         |    USING (shingle)),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY a.id, b.id),
+         |prs AS (
+         |  SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN szs sa ON sa.id = i.id_a JOIN szs sb ON sb.id = i.id_b
+         |  WHERE floor(10000 * i.n_common / (sa.set_size + sb.set_size - i.n_common))
+         |        >= $JaccardMinX10k),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION ALL SELECT id_b, id_a FROM prs),
+         |nodes AS (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs),
+         |reach AS (SELECT id, id AS comp FROM nodes
+         |          UNION
+         |          SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |lab AS (SELECT id, min(comp) AS component_id FROM reach GROUP BY id),
+         |dropn AS (SELECT id AS doc_id FROM lab WHERE id <> component_id),
+         |base AS (SELECT doc_id, source, md5($norm) AS fp,
+         |                CAST(len($normToks) AS BIGINT) AS ntok
+         |         FROM documents),
+         |keepx AS (SELECT fp, min(doc_id) AS keep_id FROM base GROUP BY fp),
+         |exk AS (SELECT b.doc_id, b.source, b.ntok
+         |        FROM base b JOIN keepx k ON b.fp = k.fp AND b.doc_id = k.keep_id),
+         |nrk AS (SELECT exk.* FROM exk LEFT JOIN dropn USING (doc_id)
+         |        WHERE dropn.doc_id IS NULL),
+         |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(ntok) AS BIGINT) AS tok_raw
+         |        FROM base GROUP BY source),
+         |exs AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS tok_exact
+         |        FROM exk GROUP BY source),
+         |nrs AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS tok_near
+         |        FROM nrk GROUP BY source)
+         |SELECT raw.source, raw.n_docs, raw.tok_raw,
+         |       CAST(coalesce(exs.tok_exact, 0) AS BIGINT) AS tok_exact,
+         |       CAST(coalesce(nrs.tok_near, 0) AS BIGINT) AS tok_near,
+         |       CAST(CASE WHEN raw.tok_raw = 0 THEN 10000
+         |            ELSE (10000 * coalesce(nrs.tok_near, 0)) // raw.tok_raw END AS BIGINT)
+         |         AS keep_x10k
+         |FROM raw LEFT JOIN exs USING (source) LEFT JOIN nrs USING (source)
+         |ORDER BY raw.source""".stripMargin,
     "q277_order_count_dist" ->
       s"""WITH pc AS (SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS n_orders
          |            FROM orders GROUP BY o_custkey)

@@ -116,6 +116,34 @@ object RelationalQueries {
       .orderBy(col("revenue_c").desc, col("n_name").asc)
   }
 
+  /** X308 — bilateral volume matrix (TPC-H Q7 shape): discounted
+    * revenue flowing supplier-nation → customer-nation per order year,
+    * CROSS-nation flows only — the shape whose signature is joining the
+    * SAME dimension twice under different roles (nation as shipper,
+    * nation as buyer) plus an inequality between the two role keys.
+    *
+    * Scale: lineitem ⋈ orders shuffles on the order key once; every
+    * dimension (customer, supplier, nation×2) broadcasts; the output is
+    * |nations|²·|years|-bounded. */
+  def q279_trade_matrix(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+    val li = lineitemCents(spark, dir).select("l_orderkey", "l_suppkey", "disc_price_c")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .join(broadcast(nat.toDF("s_nationkey", "supp_nation")), "s_nationkey")
+      .join(broadcast(nat.toDF("c_nationkey", "cust_nation")), "c_nationkey")
+      .groupBy("supp_nation", "cust_nation", "yr")
+      .agg(count(lit(1)).as("n_items"), sum("disc_price_c").as("revenue_c"))
+      .orderBy("supp_nation", "cust_nation", "yr")
+  }
+
   /** Skewed join through the explicit salting lever: events fact ⋈
     * customer on user_id with an 8-way salt, then segment rollup. The
     * salted plan is value-identical to the plain join (RelationalSpec
@@ -196,10 +224,28 @@ object RelationalQueries {
     "q47_rollup_pricing" -> q47_rollup_pricing,
     "q48_median_value" -> q48_median_value,
     "q49_length_histogram" -> q49_length_histogram,
-    "q50_promo_revenue" -> q50_promo_revenue
+    "q50_promo_revenue" -> q50_promo_revenue,
+    "q279_trade_matrix" -> q279_trade_matrix
   )
 
   val oracles: Map[String, String] = Map(
+    "q279_trade_matrix" ->
+      s"""WITH li AS ($liCentsSql),
+         |j AS (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         |             li.disc_price_c
+         |      FROM li
+         |      JOIN orders o ON li.l_orderkey = o.o_orderkey
+         |      JOIN customer c ON o.o_custkey = c.c_custkey
+         |      JOIN supplier s ON li.l_suppkey = s.s_suppkey
+         |      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |      WHERE c.c_nationkey <> s.s_nationkey)
+         |SELECT supp_nation, cust_nation, yr,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(sum(disc_price_c) AS BIGINT) AS revenue_c
+         |FROM j GROUP BY supp_nation, cust_nation, yr
+         |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
     "q42_pricing_summary" ->
       s"""WITH li AS (
          |  SELECT *, CAST(floor(disc_price_c * (10000 + tax_bp) / 10000) AS BIGINT) AS charge_c
