@@ -216,6 +216,153 @@ object RelationalQueries {
         floor(lit(10000L) * col("promo_c") / col("total_c")).cast("long"))
   }
 
+  /** X310 — late-shipment priority report (TPC-H Q4 shape): orders in a
+    * window having at least one line shipped more than `LateDays` after
+    * the order date, counted per priority. The signature is the
+    * fact-to-fact LEFT SEMI join with a cross-side predicate: Spark keeps
+    * it one orderkey shuffle and the semi form never materializes the
+    * (order × matching-lines) blowup — at 100 TB the semi-join is the
+    * difference between |orders| and |lineitem| intermediate rows.
+    * (Testdata has no commit/receipt dates; lateness is ship − order.) */
+  val Q281From = "1996-01-01 00:00:00"
+  val Q281To = "1997-01-01 00:00:00"
+  val LateDays = 60
+  def q281_late_priority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(Q281From).cast("timestamp") &&
+        col("o_orderdate") < lit(Q281To).cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr(s"INTERVAL $LateDays DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** X311 — small-quantity order revenue (TPC-H Q17 shape): lines of one
+    * brand whose quantity is below 1/5 of that part's mean line quantity.
+    * The signature is the fact self-aggregation JOIN-BACK: aggregate the
+    * fact per part, rejoin to the same (pre-filtered) fact rows. Exact
+    * integer form of `qty < avg/5`: `5·qty_c·n < sum_qty_c` — no float
+    * average anywhere. Scale: the broadcast brand filter prunes the fact
+    * before both the aggregate and the join-back, and both shuffles hash
+    * the same `l_partkey` key (the second reuses the first's exchange
+    * under AQE). */
+  val Q282Brand = "Brand#23"
+  def q282_small_qty_revenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === Q282Brand).select("p_partkey")
+    val li = lineitemCents(spark, dir).select("l_partkey", "qty_c", "ext_c")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "qty_c", "ext_c")
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum("qty_c").as("sum_qty_c"), count(lit(1)).as("n_lines"))
+      .withColumnRenamed("l_partkey", "agg_partkey")
+    li.join(perPart, col("l_partkey") === col("agg_partkey"))
+      .filter(lit(5L) * col("qty_c") * col("n_lines") < col("sum_qty_c"))
+      .agg(count(lit(1)).as("n_small_lines"), sum("ext_c").as("small_rev_c"))
+  }
+
+  /** X312 — waiting-supplier attribution (TPC-H Q21 shape): suppliers who
+    * were the SOLE late shipper on finished multi-supplier orders. TPC-H
+    * phrases this as EXISTS + NOT EXISTS self-joins on lineitem; the
+    * Spark-first form collapses all three correlated scans into ONE
+    * per-(order, supplier) aggregate and one per-order aggregate — the
+    * fact is read once and shuffled once on the order key. `the_supp` is
+    * well-defined exactly when n_late = 1, which the filter guarantees.
+    * (Lateness = shipped > `Q283LateDays` after order date.) */
+  val Q283LateDays = 90
+  val Q283TopN = 10
+  def q283_waiting_supplier(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val perSupp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        when(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $Q283LateDays DAY"),
+          lit(1L)).otherwise(lit(0L)))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max("late").as("supp_late"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum("supp_late").as("n_late"),
+        max(when(col("supp_late") === 1L, col("l_suppkey"))).as("the_supp"))
+      .filter(col("n_supp") >= 2L && col("n_late") === 1L)
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    perOrder.groupBy("the_supp")
+      .agg(count(lit(1)).as("n_wait"))
+      .join(broadcast(supp), col("the_supp") === col("s_suppkey"))
+      .select("s_name", "n_wait")
+      .orderBy(col("n_wait").desc, col("s_name").asc)
+      .limit(Q283TopN)
+  }
+
+  /** X313 — idle high-balance customers (TPC-H Q22 shape): positive-
+    * balance customers above the GLOBAL mean balance with no recent
+    * orders, rolled up by nation. The signature is the broadcast global
+    * scalar (one-row aggregate cross-joined in) feeding a LEFT ANTI join
+    * against the filtered fact. Exact integer form of `bal > avg`:
+    * `bal_c·n > sum_c`. Scale: the scalar is one row; the anti-join
+    * shuffles only customers vs the date-pruned order keys. */
+  val Q284Recent = "2000-07-01 00:00:00"
+  def q284_idle_rich_customers(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0.0)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+    val g = pos.agg(sum("bal_c").as("tot_bal"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(Q284Recent).cast("timestamp"))
+      .select("o_custkey")
+    pos.crossJoin(broadcast(g))
+      .filter(col("bal_c") * col("n_pos") > col("tot_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum("bal_c").as("tot_bal_c"))
+      .orderBy("nationkey")
+  }
+
+  /** X314 — disjunctive bracket join (TPC-H Q19 shape): revenue from
+    * three OR'd (brand, size-range, quantity-range) brackets. The
+    * signature is the disjunction of conjunctions layered on an equi-join:
+    * Catalyst must keep the `p_partkey` equality as the (broadcast) join
+    * key and evaluate the OR as a post-join filter — a naive engine
+    * degrades to a cross product. Quantities are integral in the data, so
+    * the double BETWEENs are exact on both engines. */
+  def q285_bracket_join(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val li = lineitemCents(spark, dir).select("l_partkey", "l_quantity", "ext_c")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 35)))
+      .agg(count(lit(1)).as("n_lines"), sum("ext_c").as("bracket_rev_c"))
+  }
+
+  /** X315 — part revenue concentration (TPC-H Q11 shape): parts whose
+    * revenue exceeds 1.25× the mean per-part revenue, with their global
+    * share. The signature is the aggregate-then-HAVING-vs-global-scalar:
+    * one fact aggregate, a one-row total broadcast back, an exact
+    * integer threshold (`rev·n_parts·4 > 5·total`). Scale: the fact
+    * shuffles once on the part key; the scalar comparison is map-side. */
+  def q286_part_concentration(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = lineitemCents(spark, dir)
+      .groupBy("l_partkey").agg(sum("ext_c").as("rev_c"))
+    val g = perPart.agg(sum("rev_c").as("tot_c"), count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(g))
+      .filter(col("rev_c") * col("n_parts") * lit(4L) > lit(5L) * col("tot_c"))
+      .withColumn("share_x10k", floor(lit(10000L) * col("rev_c") / col("tot_c")).cast("long"))
+      .select("l_partkey", "rev_c", "share_x10k")
+      .orderBy(col("rev_c").desc, col("l_partkey").asc)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_pricing_summary" -> q42_pricing_summary,
     "q43_top_orders" -> q43_top_orders,
@@ -225,10 +372,92 @@ object RelationalQueries {
     "q48_median_value" -> q48_median_value,
     "q49_length_histogram" -> q49_length_histogram,
     "q50_promo_revenue" -> q50_promo_revenue,
-    "q279_trade_matrix" -> q279_trade_matrix
+    "q279_trade_matrix" -> q279_trade_matrix,
+    "q281_late_priority" -> q281_late_priority,
+    "q282_small_qty_revenue" -> q282_small_qty_revenue,
+    "q283_waiting_supplier" -> q283_waiting_supplier,
+    "q284_idle_rich_customers" -> q284_idle_rich_customers,
+    "q285_bracket_join" -> q285_bracket_join,
+    "q286_part_concentration" -> q286_part_concentration
   )
 
   val oracles: Map[String, String] = Map(
+    "q281_late_priority" ->
+      s"""SELECT o.o_orderpriority, count(*) AS n_orders
+         |FROM orders o
+         |WHERE o.o_orderdate >= TIMESTAMP '$Q281From'
+         |  AND o.o_orderdate < TIMESTAMP '$Q281To'
+         |  AND EXISTS (SELECT 1 FROM lineitem l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND l.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY)
+         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+    "q282_small_qty_revenue" ->
+      s"""WITH li AS (
+         |  SELECT l.l_partkey,
+         |         CAST(round(l.l_quantity * 100) AS BIGINT) AS qty_c,
+         |         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS ext_c
+         |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |  WHERE p.p_brand = '$Q282Brand'),
+         |pa AS (SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+         |              count(*) AS n_lines
+         |       FROM li GROUP BY l_partkey)
+         |SELECT count(*) AS n_small_lines,
+         |       CAST(sum(li.ext_c) AS BIGINT) AS small_rev_c
+         |FROM li JOIN pa USING (l_partkey)
+         |WHERE 5 * li.qty_c * pa.n_lines < pa.sum_qty_c""".stripMargin,
+    "q283_waiting_supplier" ->
+      s"""WITH ps AS (
+         |  SELECT l.l_orderkey, l.l_suppkey,
+         |         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL $Q283LateDays DAY
+         |                  THEN 1 ELSE 0 END) AS supp_late
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE o.o_orderstatus = 'F'
+         |  GROUP BY l.l_orderkey, l.l_suppkey),
+         |og AS (
+         |  SELECT l_orderkey, count(*) AS n_supp, sum(supp_late) AS n_late,
+         |         max(CASE WHEN supp_late = 1 THEN l_suppkey END) AS the_supp
+         |  FROM ps GROUP BY l_orderkey)
+         |SELECT s.s_name, count(*) AS n_wait
+         |FROM og JOIN supplier s ON s.s_suppkey = og.the_supp
+         |WHERE og.n_supp >= 2 AND og.n_late = 1
+         |GROUP BY s.s_name
+         |ORDER BY n_wait DESC, s.s_name ASC LIMIT $Q283TopN""".stripMargin,
+    "q284_idle_rich_customers" ->
+      s"""WITH pos AS (
+         |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+         |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+         |  FROM customer WHERE c_acctbal > 0),
+         |g AS (SELECT CAST(sum(bal_c) AS BIGINT) AS tot_bal, count(*) AS n_pos FROM pos)
+         |SELECT pos.nationkey, count(*) AS n_cust,
+         |       CAST(sum(pos.bal_c) AS BIGINT) AS tot_bal_c
+         |FROM pos, g
+         |WHERE pos.bal_c * g.n_pos > g.tot_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = pos.c_custkey
+         |                    AND o.o_orderdate >= TIMESTAMP '$Q284Recent')
+         |GROUP BY pos.nationkey ORDER BY pos.nationkey""".stripMargin,
+    "q285_bracket_join" ->
+      """SELECT count(*) AS n_lines,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS bracket_rev_c
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+        |       AND l.l_quantity BETWEEN 20 AND 35)""".stripMargin,
+    "q286_part_concentration" ->
+      """WITH pa AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY l_partkey),
+        |g AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c, count(*) AS n_parts FROM pa)
+        |SELECT pa.l_partkey, pa.rev_c,
+        |       CAST(floor(10000 * pa.rev_c / g.tot_c) AS BIGINT) AS share_x10k
+        |FROM pa, g
+        |WHERE pa.rev_c * g.n_parts * 4 > 5 * g.tot_c
+        |ORDER BY pa.rev_c DESC, pa.l_partkey ASC""".stripMargin,
     "q279_trade_matrix" ->
       s"""WITH li AS ($liCentsSql),
          |j AS (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
