@@ -205,7 +205,11 @@ object EvalQueries {
     * Scale: rater 2 is a broadcast of |labels| centroids against one
     * corpus pass with a max-of-struct partial aggregate (no window);
     * the kappa arithmetic runs on |labels|-row marginals. */
-  def q185_rater_kappa(spark: SparkSession, dir: String): DataFrame = {
+  /** The two independent raters of q185, factored for reuse by the
+    * wave-52 significance suite (q296): rater 1 = q108's kNN majority
+    * vote over the pinned graph; rater 2 = nearest integer-mean
+    * centroid. Returns one row per vector: (vec_id, l1, l2). */
+  private[queries] def raterPredictions(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val r1 = OlapQueries.labelPropagationOver(emb,
         OlapQueries.knnGraphPinned(spark, dir))
@@ -226,7 +230,11 @@ object EvalQueries {
       .groupBy("vec_id")
       .agg(min(struct((-col("dot")).as("nd"), col("label").as("l"))).as("m"))
       .select(col("vec_id"), col("m.l").as("l2"))
-    val j = r1.join(r2, "vec_id")
+    r1.join(r2, "vec_id")
+  }
+
+  def q185_rater_kappa(spark: SparkSession, dir: String): DataFrame = {
+    val j = raterPredictions(spark, dir)
     val tot = j.agg(count(lit(1)).as("n"),
       sum((col("l1") === col("l2")).cast("long")).as("n_agree"))
     val s = j.groupBy(col("l1").as("label")).agg(count(lit(1)).as("a"))
@@ -256,6 +264,41 @@ object EvalQueries {
   import DataPrepQueries.{toks, hitsSql, quantVec}
 
   private val knnK = OlapQueries.KnnK
+
+  /** CTE chain producing `j AS (vec_id, l1, l2)` — the q185 rater pair
+    * (kNN majority vote vs nearest integer-mean centroid), shared with
+    * the wave-52 significance suite ([[SignifQueries]]). */
+  private[queries] lazy val raterPairSql: String =
+    s"""${OlapQueries.knnChainSql},
+       |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= $knnK),
+       |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |vt AS (SELECT k.query_id, l.label, CAST(count(*) AS BIGINT) AS votes
+       |       FROM knn k JOIN lb l ON k.neighbor_id = l.vec_id
+       |       GROUP BY k.query_id, l.label),
+       |mj AS (SELECT query_id, label AS l1,
+       |              row_number() OVER (PARTITION BY query_id
+       |                ORDER BY votes DESC, label ASC) AS rn
+       |       FROM vt),
+       |r1 AS (SELECT query_id AS vec_id, l1 FROM mj WHERE rn = 1),
+       |vq AS (SELECT vec_id, ${DataPrepQueries.quantVec} AS qv FROM embeddings),
+       |cd AS (
+       |  SELECT lb.label, e.dim,
+       |         CAST((1000 * sum(e.v)) // count(*) AS BIGINT) AS cd
+       |  FROM (SELECT vec_id, unnest(generate_series(1, len(qv))) AS dim,
+       |               unnest(qv) AS v FROM vq) e
+       |  JOIN lb ON lb.vec_id = e.vec_id
+       |  GROUP BY lb.label, e.dim),
+       |cent2 AS (SELECT label, list(cd ORDER BY dim) AS centv FROM cd GROUP BY label),
+       |dots AS (
+       |  SELECT v.vec_id, c.label,
+       |         CAST(list_sum(list_transform(generate_series(1, len(v.qv)),
+       |              i -> v.qv[i] * c.centv[i])) AS BIGINT) AS dot
+       |  FROM vq v CROSS JOIN cent2 c),
+       |r2 AS (SELECT vec_id, label AS l2 FROM (
+       |         SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id
+       |           ORDER BY dot DESC, label ASC) AS rn FROM dots)
+       |       WHERE rn = 1),
+       |j AS (SELECT r1.vec_id, r1.l1, r2.l2 FROM r1 JOIN r2 USING (vec_id))""".stripMargin
 
   /** The scored-and-labeled oracle chain (q97's classifier `sc` + q26's
     * keep gate `kp`) — shared by q183 and the q203–q205 curve family. */
@@ -379,36 +422,7 @@ object EvalQueries {
          |            END AS BIGINT) AS f1_x10k
          |FROM x ORDER BY label""".stripMargin,
     "q185_rater_kappa" ->
-      s"""WITH ${OlapQueries.knnChainSql},
-         |knn AS (SELECT query_id, neighbor_id FROM r WHERE rank <= $knnK),
-         |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
-         |vt AS (SELECT k.query_id, l.label, CAST(count(*) AS BIGINT) AS votes
-         |       FROM knn k JOIN lb l ON k.neighbor_id = l.vec_id
-         |       GROUP BY k.query_id, l.label),
-         |mj AS (SELECT query_id, label AS l1,
-         |              row_number() OVER (PARTITION BY query_id
-         |                ORDER BY votes DESC, label ASC) AS rn
-         |       FROM vt),
-         |r1 AS (SELECT query_id AS vec_id, l1 FROM mj WHERE rn = 1),
-         |vq AS (SELECT vec_id, $quantVec AS qv FROM embeddings),
-         |cd AS (
-         |  SELECT lb.label, e.dim,
-         |         CAST((1000 * sum(e.v)) // count(*) AS BIGINT) AS cd
-         |  FROM (SELECT vec_id, unnest(generate_series(1, len(qv))) AS dim,
-         |               unnest(qv) AS v FROM vq) e
-         |  JOIN lb ON lb.vec_id = e.vec_id
-         |  GROUP BY lb.label, e.dim),
-         |cent2 AS (SELECT label, list(cd ORDER BY dim) AS centv FROM cd GROUP BY label),
-         |dots AS (
-         |  SELECT v.vec_id, c.label,
-         |         CAST(list_sum(list_transform(generate_series(1, len(v.qv)),
-         |              i -> v.qv[i] * c.centv[i])) AS BIGINT) AS dot
-         |  FROM vq v CROSS JOIN cent2 c),
-         |r2 AS (SELECT vec_id, label AS l2 FROM (
-         |         SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id
-         |           ORDER BY dot DESC, label ASC) AS rn FROM dots)
-         |       WHERE rn = 1),
-         |j AS (SELECT r1.vec_id, r1.l1, r2.l2 FROM r1 JOIN r2 USING (vec_id)),
+      s"""WITH $raterPairSql,
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |               CAST(sum(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS BIGINT)
          |                 AS n_agree
