@@ -45,7 +45,11 @@ object MotifQueries {
         (col(s"$x.ts_ms") === col(s"$y.ts_ms") &&
           col(s"$x.event_id") < col(s"$y.event_id"))
     e.as("a")
-      .join(e.as("b"), col("a.user_id") === col("b.user_id") && before("a", "b"))
+      .join(e.as("b"), col("a.user_id") === col("b.user_id") && before("a", "b") &&
+        // redundant given the c-side span bound (c.ts ≥ b.ts), but prunes
+        // the a×b intermediate to the span window instead of the full
+        // user history — the term that matters at corpus scale
+        col("b.ts_ms") - col("a.ts_ms") <= MotifSpanMs)
       .join(e.as("c"), col("b.user_id") === col("c.user_id") && before("b", "c") &&
         col("c.ts_ms") - col("a.ts_ms") <= MotifSpanMs)
       .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
