@@ -363,6 +363,98 @@ object RelationalQueries {
       .orderBy(col("rev_c").desc, col("l_partkey").asc)
   }
 
+  /** X333 — discount-band revenue probe (TPC-H Q6 shape): the canonical
+    * pushdown benchmark — three conjunctive scan predicates and a pure
+    * scalar aggregate, NO join, NO group: the whole query is one
+    * map-side pass whose selectivity lives in `PushedFilters`. Revenue
+    * term floor(ext_c·disc_bp/10⁴) is per-row integer. */
+  val Q302From = "1997-01-01 00:00:00"
+  val Q302To = "1998-01-01 00:00:00"
+  def q302_discount_band(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(Q302From).cast("timestamp") &&
+        col("l_shipdate") < lit(Q302To).cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24.0)
+      .select(
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("ext_c"),
+        expr("CAST(round(l_discount * 10000) AS BIGINT)").as("disc_bp"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("(ext_c * disc_bp) div 10000")).as("discount_rev_c"))
+
+  /** X334 — returned-item top customers (TPC-H Q10 shape): revenue of
+    * RETURNED lines in a half-year window attributed to customers,
+    * top-[[Q303TopN]] — the churn-candidate report. Star shape: the
+    * filtered fact streams once; customer and nation broadcast; the
+    * ranking is TakeOrdered (per-partition top-k), never a global sort. */
+  val Q303From = "1997-01-01 00:00:00"
+  val Q303To = "1997-07-01 00:00:00"
+  val Q303TopN = 20
+  def q303_returned_customers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(Q303From).cast("timestamp") &&
+        col("o_orderdate") < lit(Q303To).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = lineitemCents(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "disc_price_c")
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum("disc_price_c").as("lost_rev_c"), count(lit(1)).as("n_lines"))
+      .orderBy(col("lost_rev_c").desc, col("c_custkey").asc)
+      .limit(Q303TopN)
+  }
+
+  /** X335 — late-shipment priority split (TPC-H Q12 shape): for lines
+    * shipped more than [[LateDays]] past the order date, the
+    * high-vs-low order-priority conditional counts per return flag —
+    * the two-conditional-aggregates-per-group signature (one fact join,
+    * the CASE pair folds map-side). */
+  def q304_late_priority_split(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_shipdate", "l_returnflag")
+    li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $LateDays DAY"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** X336 — dominant-share suppliers (TPC-H Q20 shape, adapted to the
+    * schema): suppliers shipping more than 1/5 of some part's total
+    * quantity — the nested aggregate-derived semi-join signature
+    * (per-(supplier, part) aggregate compared against the per-part
+    * rollup OF THAT SAME aggregate, then collapsed to the supplier
+    * grain). Exact integer share test `5·sq > tq`; the second rollup
+    * reuses the first's partkey exchange. */
+  def q305_dominant_suppliers(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("qty_c").as("sq"))
+    val pt = sp.groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(sum("sq").as("tq"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    sp.join(pt, col("l_partkey") === col("agg_partkey"))
+      .filter(lit(5L) * col("sq") > col("tq"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_dominant_parts"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select("s_name", "n_dominant_parts")
+      .orderBy("s_name")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_pricing_summary" -> q42_pricing_summary,
     "q43_top_orders" -> q43_top_orders,
@@ -378,10 +470,57 @@ object RelationalQueries {
     "q283_waiting_supplier" -> q283_waiting_supplier,
     "q284_idle_rich_customers" -> q284_idle_rich_customers,
     "q285_bracket_join" -> q285_bracket_join,
-    "q286_part_concentration" -> q286_part_concentration
+    "q286_part_concentration" -> q286_part_concentration,
+    "q302_discount_band" -> q302_discount_band,
+    "q303_returned_customers" -> q303_returned_customers,
+    "q304_late_priority_split" -> q304_late_priority_split,
+    "q305_dominant_suppliers" -> q305_dominant_suppliers
   )
 
   val oracles: Map[String, String] = Map(
+    "q302_discount_band" ->
+      s"""SELECT count(*) AS n_lines,
+         |       CAST(sum((CAST(round(l_extendedprice * 100) AS BIGINT)
+         |                 * CAST(round(l_discount * 10000) AS BIGINT)) // 10000)
+         |         AS BIGINT) AS discount_rev_c
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '$Q302From'
+         |  AND l_shipdate < TIMESTAMP '$Q302To'
+         |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q303_returned_customers" ->
+      s"""WITH li AS ($liCentsSql)
+         |SELECT c.c_custkey, c.c_name, n.n_name,
+         |       CAST(sum(l.disc_price_c) AS BIGINT) AS lost_rev_c,
+         |       count(*) AS n_lines
+         |FROM li l
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND o.o_orderdate >= TIMESTAMP '$Q303From'
+         |  AND o.o_orderdate < TIMESTAMP '$Q303To'
+         |GROUP BY c.c_custkey, c.c_name, n.n_name
+         |ORDER BY lost_rev_c DESC, c.c_custkey ASC LIMIT $Q303TopN""".stripMargin,
+    "q304_late_priority_split" ->
+      s"""SELECT l.l_returnflag,
+         |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |WHERE l.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY
+         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+    "q305_dominant_suppliers" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+        |pt AS (SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq FROM sp GROUP BY l_partkey)
+        |SELECT s.s_name, count(*) AS n_dominant_parts
+        |FROM sp JOIN pt USING (l_partkey)
+        |JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+        |WHERE 5 * sp.sq > pt.tq
+        |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin,
     "q281_late_priority" ->
       s"""SELECT o.o_orderpriority, count(*) AS n_orders
          |FROM orders o
