@@ -155,11 +155,13 @@ object GraphQualityQueries {
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
-    val edges = li
+    // the distinct edge list feeds THREE aggregates (a¹, h¹, a²) — cache
+    // it so the lineitem⋈orders fact join runs once, not three times
+    val edges = graft.ops.Dedup.cacheTracked(li
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
-      .distinct()
+      .distinct())
 
     // round 1: authority from unit hubs (= 1000·deg), rescaled
     val a1 = edges.groupBy("brand").agg((count(lit(1)) * lit(1000L)).as("a1"))
