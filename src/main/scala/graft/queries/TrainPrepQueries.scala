@@ -342,10 +342,10 @@ object TrainPrepQueries {
        |                (PARTITION BY word ORDER BY pos), 0) AS prev_s FROM ms$r)
        |        WHERE prev_s = 0)""".stripMargin
 
-  private val qdistSql =
+  private[queries] val qdistSql =
     "CAST(list_sum(list_transform(generate_series(1, len(%s)), i -> (%s[i] - %s[i]) * (%s[i] - %s[i]))) AS BIGINT)"
 
-  private def kcRoundSql(r: Int): String = {
+  private[queries] def kcRoundSql(r: Int): String = {
     val prev = if (r == 1) "m0" else s"m${r - 1}"
     val d = qdistSql.format("m.qv", "m.qv", "c.cqv", "m.qv", "c.cqv")
     s"""c$r AS (SELECT id AS cid, qv AS cqv, d AS cd FROM $prev
