@@ -133,7 +133,15 @@ object Plans {
     "q258_sparse_recall" -> "sparse recall: ALL arms in one scored pass (per-m masked union, cutoffs read off one sorted-|v| array), one bounded-heap shuffle keyed (m, query)",
     "q260_cluster_sweep" -> "tau sweep: pinned intersection core, arms packed into node*|arms|+arm ids, ONE CC loop for all thresholds",
     "q276_source_data_card" -> "data card: one map-only text pass (metrics+fingerprint), per-source aggregates over staged cores",
-    "q263_neardup_evidence" -> "evidence: pinned pair core top-k cut, shingle joins bounded by the cut, windows over <=20 pairs"
+    "q263_neardup_evidence" -> "evidence: pinned pair core top-k cut, shingle joins bounded by the cut, windows over <=20 pairs",
+    "q283_waiting_supplier" -> "Q21 collapse: EXISTS+NOT EXISTS as ONE grouped pass - each fact scanned once, no per-order window",
+    "q289_quantization_recall" -> "int8 recall: both arms broadcast the query sample and heap-reduce - the corpus streams, scored pairs never materialize",
+    "q292_temporal_motifs" -> "motifs: user-keyed equi self-joins span-bounded at the a-b step - no cross-user pairing, no cartesian",
+    "q296_paired_significance" -> "permutation test: |discordant| x B rows generated map-side off the pinned rater pair, one B-row reduce",
+    "q300_principal_direction" -> "PC1: matrix-free power iteration - two chained |V|-row aggregates per round, 1-row max broadcasts, covariance never materialized",
+    "q306_stylometric_distance" -> "stylometry: one token pass, head-vocab-bounded rate frame, |sources|^2-bounded L1 pairs",
+    "q308_deletion_blast_radius" -> "blast radius: broadcast forget-set semi-joins per artifact, lineitem scoped through its orders",
+    "q309_active_learning_batch" -> "active learning: TakeOrdered uncertainty pool, k-center rounds over the POOL only - corpus touched once for scores"
   )
 
   def main(args: Array[String]): Unit = {

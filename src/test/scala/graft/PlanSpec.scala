@@ -648,6 +648,86 @@ class PlanSpec extends SparkSpec {
     assert(windows.size <= 6, s"unexpected windows in the capstone:\n$plan")
   }
 
+  test("q283 Q21-collapse: each fact scanned once, no per-order window") {
+    // the EXISTS + NOT EXISTS pair is ONE grouped pass: a triple self-join
+    // shape would scan lineitem 3x
+    val plan = executed(graft.queries.RelationalQueries.q283_waiting_supplier(spark, sfDir))
+    val nodes = collectAll(plan)
+    val scans = nodes.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.toString
+    }
+    assert(scans.count(_.contains("lineitem.parquet")) == 1,
+      s"lineitem must be scanned once:\n$plan")
+    assert(scans.count(_.contains("orders.parquet")) == 1,
+      s"orders must be scanned once:\n$plan")
+    assert(nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"no per-order window in the collapse:\n$plan")
+  }
+
+  test("q289 int8 recall: both arms broadcast the sample, heap-reduce, no window") {
+    val plan = executed(
+      graft.queries.GraphQualityQueries.q289_quantization_recall(spark, sfDir))
+    val nodes = collectAll(plan)
+    assert(nodes.collect { case j: BroadcastNestedLoopJoinExec => j }.size >= 2,
+      s"both scoring arms must broadcast the query sample:\n$plan")
+    assert(nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"top-k must be the bounded heap, not a window:\n$plan")
+    assert(nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+          if a.aggregateExpressions.exists(_.mode.toString.contains("Partial")) => a
+    }.nonEmpty, s"expected partial bounded-heap aggregates:\n$plan")
+  }
+
+  test("q292 motifs: equi-joins on the user key only — no cross-user pairing") {
+    val plan = executed(graft.queries.MotifQueries.q292_temporal_motifs(spark, sfDir))
+    val nodes = collectAll(plan)
+    assert(nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"motif joins must stay user-keyed equi-joins:\n$plan")
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(joins.nonEmpty &&
+      joins.forall(_.exists(_.toString.contains("user_id"))),
+      s"every motif join must key on user_id:\n$plan")
+  }
+
+  test("q300 power iteration is matrix-free: no d^2 product, no window") {
+    val plan = executed(
+      graft.queries.RiskQueries.q300_principal_direction(spark, sfDir))
+    val nodes = collectAll(plan)
+    assert(nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"covariance must never materialize as a product:\n$plan")
+    // the only nested-loop joins are the 1-row scalar broadcasts (max-abs
+    // rescale per round)
+    assert(nodes.collect { case j: BroadcastNestedLoopJoinExec => j }.size <= 3,
+      s"only the per-round scalar rescales may nested-loop:\n$plan")
+    assert(nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"no window anywhere in the iteration:\n$plan")
+  }
+
+  test("q291 HITS: the edge list is cached — the fact join never re-runs") {
+    val plan = executed(
+      graft.queries.GraphQualityQueries.q291_bipartite_hits(spark, sfDir))
+    val nodes = collectAll(plan)
+    val cacheReads = nodes.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(cacheReads.size >= 3,
+      s"a1/h1/a2 must all read the cached edge list:\n$plan")
+    assert(nodes.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("lineitem.parquet") => s
+    }.isEmpty, s"lineitem must be behind the cache, not re-scanned:\n$plan")
+  }
+
   test("q152 market share: dims broadcast, the fact side never sort-merges") {
     val plan = executed(graft.queries.JourneyQueries.q152_market_share(spark, sfDir))
     val nodes = collectAll(plan)
