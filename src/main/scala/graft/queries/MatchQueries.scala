@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-8 wave-58 graph-decomposition operators on the weighted kNN
+  * manifold:
+  *
+  *  - parallel greedy matching (q311): the distributed one-to-one
+  *    pairing primitive (Luby-style locally-dominant rounds) — a dedup
+  *    canonicalizer that must MERGE pairs one-to-one (A absorbs B, B is
+  *    gone) cannot use CC (chains collapse whole neighborhoods) or
+  *    per-node top-1 (conflicts); locally-dominant edges are exactly
+  *    the conflict-free set;
+  *  - DBSCAN-lite (q312): density clustering — core points by strong-
+  *    neighbor count, clusters = CC over the core-core subgraph, border
+  *    points attach to their best core neighbor, the rest is noise. The
+  *    density view q310's LPA and q33's CC don't give: sparse nodes are
+  *    EXCLUDED (noise) instead of absorbed.
+  *
+  * Scale shapes: both ride the session-pinned kNN core — edge-list-sized
+  * frames throughout; matching rounds are two endpoint aggregates per
+  * round (no sequential scan — the greedy is the PARALLEL
+  * locally-dominant rule, not the serial sort); DBSCAN's CC runs on the
+  * core-core SUBGRAPH only.
+  */
+object MatchQueries {
+
+  /** Canonical undirected weighted edges of the pinned kNN graph:
+    * (u < v, w = max directed dot). */
+  private def weightedUnd(spark: SparkSession, dir: String): DataFrame =
+    OlapQueries.knnGraphPinned(spark, dir)
+      .select(least(col("query_id"), col("neighbor_id")).as("u"),
+        greatest(col("query_id"), col("neighbor_id")).as("v"),
+        col("dot"))
+      .groupBy("u", "v").agg(max("dot").as("w"))
+
+  /** X342 — parallel greedy matching, [[MatchRounds]] locally-dominant
+    * rounds: an edge survives a round iff it is BOTH endpoints' best
+    * incident edge (w desc, then (u, v) asc — total order, so the rule
+    * is conflict-free and deterministic); matched endpoints leave the
+    * pool. Two endpoint top-1 aggregates + two anti-joins per round —
+    * the distributed matching that a serial greedy cannot express. */
+  val MatchRounds = 2
+  def q311_greedy_matching(spark: SparkSession, dir: String): DataFrame = {
+    var pool = weightedUnd(spark, dir)
+    var out: DataFrame = null
+    for (r <- 1 to MatchRounds) {
+      val ends = pool.select(col("u").as("node"), col("u"), col("v"), col("w"))
+        .unionByName(pool.select(col("v").as("node"), col("u"), col("v"), col("w")))
+      val best = ends.withColumn("rn", row_number().over(
+          Window.partitionBy("node")
+            .orderBy(col("w").desc, col("u").asc, col("v").asc)))
+        .filter(col("rn") === 1)
+        .select("node", "u", "v")
+      val surv = pool
+        .join(best.select(col("node").as("bu"), col("u").as("u1"), col("v").as("v1")),
+          col("bu") === col("u") && col("u1") === col("u") && col("v1") === col("v"),
+          "left_semi")
+        .join(best.select(col("node").as("bv"), col("u").as("u2"), col("v").as("v2")),
+          col("bv") === col("v") && col("u2") === col("u") && col("v2") === col("v"),
+          "left_semi")
+      val stamped = surv.select(lit(r.toLong).as("round"), col("u"), col("v"), col("w"))
+      out = if (out == null) stamped else out.unionByName(stamped)
+      val matchedNodes = surv.select(col("u").as("mn"))
+        .unionByName(surv.select(col("v").as("mn"))).distinct()
+      pool = pool
+        .join(matchedNodes, col("u") === col("mn"), "left_anti")
+        .join(matchedNodes, col("v") === col("mn"), "left_anti")
+    }
+    out.orderBy("round", "u", "v")
+  }
+
+  /** X343 — DBSCAN-lite over the weighted kNN edges: strong = w ≥
+    * [[DbscanEps]]; core = strong-degree ≥ [[DbscanMinPts]]; clusters =
+    * connected components of the core-core strong subgraph (singleton
+    * cores keep their own id); border nodes attach to the cluster of
+    * their best strong core neighbor (w desc, id asc); everything else
+    * is noise, reported as cluster −1. */
+  val DbscanEps = 300000L
+  val DbscanMinPts = 3L
+  def q312_dbscan_clusters(spark: SparkSession, dir: String): DataFrame = {
+    val strong = graft.ops.Dedup.cacheTracked(
+      weightedUnd(spark, dir).filter(col("w") >= DbscanEps))
+    val ends = strong.select(col("u").as("node"), col("v").as("other"), col("w"))
+      .unionByName(strong.select(col("v").as("node"), col("u").as("other"), col("w")))
+    val core = ends.groupBy("node").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= DbscanMinPts).select("node")
+    val coreEdges = strong
+      .join(core.select(col("node").as("cu")), col("u") === col("cu"), "left_semi")
+      .join(core.select(col("node").as("cv")), col("v") === col("cv"), "left_semi")
+    val cc = graft.ops.Graph.connectedComponents(coreEdges, "u", "v")
+    val coreCluster = core
+      .join(cc.select(col("id").as("node"), col("component_id")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component_id"), col("node")).as("cluster"))
+    val borderBest = ends
+      .join(core.select(col("node").as("other")), Seq("other"), "left_semi")
+      .join(core.select(col("node")), Seq("node"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("node").orderBy(col("w").desc, col("other").asc)))
+      .filter(col("rn") === 1)
+      .join(coreCluster.select(col("node").as("other"), col("cluster")), "other")
+      .select(col("node"), col("cluster"))
+    val nCore = coreCluster.groupBy("cluster").agg(count(lit(1)).as("n_core"))
+    val nBorder = borderBest.groupBy("cluster").agg(count(lit(1)).as("n_border"))
+    val clusters = nCore.join(nBorder, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_core"), coalesce(col("n_border"), lit(0L)).as("n_border"))
+    val all = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val assigned = coreCluster.select("node").unionByName(borderBest.select("node"))
+    val noise = all.join(assigned, col("vec_id") === col("node"), "left_anti")
+      .agg(count(lit(1)).as("n_border"))
+      .select(lit(-1L).as("cluster"), lit(0L).as("n_core"), col("n_border"))
+    clusters.unionByName(noise).orderBy("cluster")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_greedy_matching" -> q311_greedy_matching,
+    "q312_dbscan_clusters" -> q312_dbscan_clusters
+  )
+
+  private val undSql =
+    s"""e AS (SELECT least(query_id, neighbor_id) AS u,
+       |             greatest(query_id, neighbor_id) AS v, max(dot) AS w
+       |      FROM r WHERE rank <= ${OlapQueries.KnnK} GROUP BY u, v)""".stripMargin
+
+  private def matchRoundSql(r: Int): String = {
+    val prev = if (r == 1) "p0" else s"p${r - 1}"
+    s"""en$r AS (SELECT u AS node, u, v, w FROM $prev
+       |         UNION ALL SELECT v AS node, u, v, w FROM $prev),
+       |bst$r AS (SELECT node, u, v FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY node
+       |                     ORDER BY w DESC, u ASC, v ASC) AS rn FROM en$r)
+       |          WHERE rn = 1),
+       |sv$r AS (SELECT p.* FROM $prev p
+       |         WHERE EXISTS (SELECT 1 FROM bst$r b
+       |                       WHERE b.node = p.u AND b.u = p.u AND b.v = p.v)
+       |           AND EXISTS (SELECT 1 FROM bst$r b
+       |                       WHERE b.node = p.v AND b.u = p.u AND b.v = p.v)),
+       |mn$r AS (SELECT u AS mn FROM sv$r UNION SELECT v FROM sv$r),
+       |p$r AS (SELECT p.* FROM $prev p
+       |        WHERE NOT EXISTS (SELECT 1 FROM mn$r m WHERE m.mn = p.u)
+       |          AND NOT EXISTS (SELECT 1 FROM mn$r m WHERE m.mn = p.v))""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q311_greedy_matching" -> {
+      val rounds = (1 to MatchRounds).map(matchRoundSql).mkString(",\n")
+      val union = (1 to MatchRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, u, v, w FROM sv$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${OlapQueries.knnChainSql},
+         |$undSql,
+         |p0 AS (SELECT * FROM e),
+         |$rounds
+         |SELECT * FROM ($union)
+         |ORDER BY round, u, v""".stripMargin
+    },
+    "q312_dbscan_clusters" ->
+      s"""WITH RECURSIVE ${OlapQueries.knnChainSql},
+         |$undSql,
+         |se AS (SELECT * FROM e WHERE w >= $DbscanEps),
+         |ends AS (SELECT u AS node, v AS other, w FROM se
+         |         UNION ALL SELECT v, u, w FROM se),
+         |core AS (SELECT node FROM (SELECT node, count(*) AS d FROM ends GROUP BY node)
+         |         WHERE d >= $DbscanMinPts),
+         |ce AS (SELECT se.u, se.v FROM se
+         |       WHERE EXISTS (SELECT 1 FROM core c WHERE c.node = se.u)
+         |         AND EXISTS (SELECT 1 FROM core c WHERE c.node = se.v)),
+         |sym AS (SELECT u AS src, v AS dst FROM ce UNION ALL SELECT v, u FROM ce),
+         |reach AS (
+         |  SELECT node AS id, node AS comp FROM core
+         |  UNION
+         |  SELECT s.dst AS id, r2.comp FROM reach r2 JOIN sym s ON s.src = r2.id),
+         |ccl AS (SELECT c.node, min(r3.comp) AS cluster
+         |        FROM core c JOIN reach r3 ON r3.id = c.node GROUP BY c.node),
+         |bb AS (SELECT node, other FROM (
+         |         SELECT en.node, en.other,
+         |                row_number() OVER (PARTITION BY en.node
+         |                  ORDER BY en.w DESC, en.other ASC) AS rn
+         |         FROM ends en
+         |         WHERE EXISTS (SELECT 1 FROM core c WHERE c.node = en.other)
+         |           AND NOT EXISTS (SELECT 1 FROM core c WHERE c.node = en.node))
+         |       WHERE rn = 1),
+         |bcl AS (SELECT bb.node, ccl.cluster FROM bb JOIN ccl ON ccl.node = bb.other),
+         |nc AS (SELECT cluster, count(*) AS n_core FROM ccl GROUP BY cluster),
+         |nb AS (SELECT cluster, count(*) AS n_border FROM bcl GROUP BY cluster),
+         |cl AS (SELECT nc.cluster, nc.n_core, coalesce(nb.n_border, 0) AS n_border
+         |       FROM nc LEFT JOIN nb ON nb.cluster = nc.cluster),
+         |noise AS (SELECT CAST(-1 AS BIGINT) AS cluster, CAST(0 AS BIGINT) AS n_core,
+         |                 count(*) AS n_border
+         |          FROM embeddings em
+         |          WHERE NOT EXISTS (SELECT 1 FROM ccl WHERE ccl.node = em.vec_id)
+         |            AND NOT EXISTS (SELECT 1 FROM bcl WHERE bcl.node = em.vec_id))
+         |SELECT cluster, CAST(n_core AS BIGINT) AS n_core,
+         |       CAST(n_border AS BIGINT) AS n_border
+         |FROM (SELECT * FROM cl UNION ALL SELECT * FROM noise)
+         |ORDER BY cluster""".stripMargin
+  )
+}
