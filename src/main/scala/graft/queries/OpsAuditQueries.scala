@@ -105,7 +105,62 @@ object OpsAuditQueries {
         countDistinct(col("k")).as("n_distinct_k"))
       .orderBy("event_type")
 
+  /** X344 — ANALYZE-style column statistics profile of the fact table:
+    * per column (long form) the row count, exact distinct count, null
+    * count, and min/max — the statistics a cost-based optimizer feeds
+    * on (join reorder, broadcast thresholds, selectivity estimates).
+    * Non-integer columns are canonicalized first (money → cents,
+    * timestamps → epoch ms) so min/max stringify identically in any
+    * engine; at corpus scale the exact NDVs swap for the X50 HLL sketch
+    * — the report schema is unchanged.
+    *
+    * Scale shape: ONE pass — Spark expands the multi-distinct aggregate
+    * map-side (one Expand + partial aggregation), never one job per
+    * column. */
+  def q313_column_stats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"),
+      expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("ext_c"),
+      col("l_returnflag"), col("l_linestatus"),
+      unix_millis(col("l_shipdate").cast("timestamp")).as("shipdate_ms"))
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "qty_c", "ext_c", "l_returnflag", "l_linestatus", "shipdate_ms")
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"ndv_$c"),
+        sum(col(c).isNull.cast("long")).as(s"nnull_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', ndv_$c, nnull_$c, min_$c, max_$c").mkString(", ")
+    wide.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackExpr) AS (column_name, n_distinct, n_null, min_v, max_v)"))
+      .select("column_name", "n_rows", "n_distinct", "n_null", "min_v", "max_v")
+      .orderBy("column_name")
+  }
+
+  /** X345 — zone-map pruning audit: treating each calendar day as a
+    * storage zone (the X63 layout), the per-zone min/max of the value
+    * column decide which zones a predicate can skip WITHOUT reading
+    * them. The report is the data-layout effectiveness check behind
+    * min/max-based file skipping (parquet row groups, Iceberg/Delta
+    * zone maps): `pruned = 1` zones never leave the manifest. */
+  val ZonePredicateC = 9000L
+  def q314_zonemap_audit(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsCents(spark, dir)
+      .groupBy(expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("value_c").as("min_c"), max("value_c").as("max_c"))
+      .withColumn("pruned",
+        (col("max_c") < lit(ZonePredicateC)).cast("long"))
+      .orderBy("day")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_column_stats" -> q313_column_stats,
+    "q314_zonemap_audit" -> q314_zonemap_audit,
     "q148_skew_audit" -> q148_skew_audit,
     "q149_priority_sample" -> q149_priority_sample,
     "q150_payload_extract" -> q150_payload_extract
@@ -114,6 +169,35 @@ object OpsAuditQueries {
   // ---------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q313_column_stats" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "qty_c", "ext_c", "l_returnflag", "l_linestatus", "shipdate_ms")
+      val arms = cols.map { c =>
+        s"""SELECT '$c' AS column_name, (SELECT count(*) FROM li) AS n_rows,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |       CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v
+           |FROM li""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_partkey, l_suppkey,
+         |         CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_c,
+         |         l_returnflag, l_linestatus,
+         |         epoch_ms(l_shipdate) AS shipdate_ms
+         |  FROM lineitem)
+         |$arms
+         |ORDER BY column_name""".stripMargin
+    },
+    "q314_zonemap_audit" ->
+      s"""SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day,
+         |       count(*) AS n_rows,
+         |       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_c,
+         |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_c,
+         |       CAST(CASE WHEN max(CAST(round(value * 100) AS BIGINT)) < $ZonePredicateC
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS pruned
+         |FROM events GROUP BY day ORDER BY day""".stripMargin,
     "q148_skew_audit" ->
       s"""WITH c AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
          |           FROM orders GROUP BY o_custkey),
