@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expressions.GraftFunctions
@@ -163,12 +164,17 @@ object GraphQualityQueries {
       .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
       .distinct())
 
+    // brand-side maxima ride a window over the |brands|-bounded frame
+    // (the "|dims| rows" bounded-window class) — each saved broadcast
+    // materialization is a whole Spark job in the sequential chain; the
+    // cust-side max stays a 1-row broadcast (entity-scaled table)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // round 1: authority from unit hubs (= 1000·deg), rescaled
-    val a1 = edges.groupBy("brand").agg((count(lit(1)) * lit(1000L)).as("a1"))
-    val a1max = a1.agg(max("a1").as("a1max"))
-    val a1n = a1.crossJoin(broadcast(a1max))
-      .select(col("brand"), floor(lit(1000L) * col("a1") / col("a1max"))
-        .cast("long").as("a1n"))
+    val a1n = edges.groupBy("brand").agg((count(lit(1)) * lit(1000L)).as("a1"))
+      .withColumn("a1n",
+        floor(lit(1000L) * col("a1") / max("a1").over(wAll)).cast("long"))
+      .select("brand", "a1n")
     // round 1 hubs: sum of incident normalized authorities, rescaled
     val h1 = edges.join(broadcast(a1n), "brand")
       .groupBy("cust").agg(sum("a1n").as("h1"))
@@ -177,12 +183,11 @@ object GraphQualityQueries {
       .select(col("cust"), floor(lit(1000L) * col("h1") / col("h1max"))
         .cast("long").as("h1n"))
     // round 2 authority from round-1 hubs
-    val a2 = edges.join(h1n, "cust")
+    edges.join(h1n, "cust")
       .groupBy("brand").agg(sum("h1n").as("a2"), count(lit(1)).as("deg"))
-    val a2max = a2.agg(max("a2").as("a2max"))
-    a2.crossJoin(broadcast(a2max))
-      .select(col("brand"), col("deg"),
-        floor(lit(1000L) * col("a2") / col("a2max")).cast("long").as("auth_x1000"))
+      .withColumn("auth_x1000",
+        floor(lit(1000L) * col("a2") / max("a2").over(wAll)).cast("long"))
+      .select("brand", "deg", "auth_x1000")
       .orderBy(col("auth_x1000").desc, col("brand").asc)
   }
 

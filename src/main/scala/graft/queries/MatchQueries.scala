@@ -45,7 +45,10 @@ object MatchQueries {
     * the distributed matching that a serial greedy cannot express. */
   val MatchRounds = 2
   def q311_greedy_matching(spark: SparkSession, dir: String): DataFrame = {
-    var pool = weightedUnd(spark, dir)
+    // each round reads the pool three times (endpoint explode, survivor
+    // semi-joins, anti-join) and round r+1's pool stacks on round r's —
+    // cache per round or the chain re-executes geometrically
+    var pool = graft.ops.Dedup.cacheTracked(weightedUnd(spark, dir))
     var out: DataFrame = null
     for (r <- 1 to MatchRounds) {
       val ends = pool.select(col("u").as("node"), col("u"), col("v"), col("w"))
@@ -62,13 +65,14 @@ object MatchQueries {
         .join(best.select(col("node").as("bv"), col("u").as("u2"), col("v").as("v2")),
           col("bv") === col("v") && col("u2") === col("u") && col("v2") === col("v"),
           "left_semi")
-      val stamped = surv.select(lit(r.toLong).as("round"), col("u"), col("v"), col("w"))
+      val survC = graft.ops.Dedup.cacheTracked(surv)
+      val stamped = survC.select(lit(r.toLong).as("round"), col("u"), col("v"), col("w"))
       out = if (out == null) stamped else out.unionByName(stamped)
-      val matchedNodes = surv.select(col("u").as("mn"))
-        .unionByName(surv.select(col("v").as("mn"))).distinct()
-      pool = pool
+      val matchedNodes = survC.select(col("u").as("mn"))
+        .unionByName(survC.select(col("v").as("mn"))).distinct()
+      pool = graft.ops.Dedup.cacheTracked(pool
         .join(matchedNodes, col("u") === col("mn"), "left_anti")
-        .join(matchedNodes, col("v") === col("mn"), "left_anti")
+        .join(matchedNodes, col("v") === col("mn"), "left_anti"))
     }
     out.orderBy("round", "u", "v")
   }
