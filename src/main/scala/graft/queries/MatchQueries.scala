@@ -51,20 +51,22 @@ object MatchQueries {
     var pool = graft.ops.Dedup.cacheTracked(weightedUnd(spark, dir))
     var out: DataFrame = null
     for (r <- 1 to MatchRounds) {
+      // one pass: explode endpoints, rank incident edges per node, then
+      // fold the two per-endpoint "am I the best" flags back onto the
+      // edge in a single (u,v) aggregate — no semi-join pair
       val ends = pool.select(col("u").as("node"), col("u"), col("v"), col("w"))
         .unionByName(pool.select(col("v").as("node"), col("u"), col("v"), col("w")))
-      val best = ends.withColumn("rn", row_number().over(
+      val flagged = ends.withColumn("rn", row_number().over(
           Window.partitionBy("node")
             .orderBy(col("w").desc, col("u").asc, col("v").asc)))
-        .filter(col("rn") === 1)
-        .select("node", "u", "v")
-      val surv = pool
-        .join(best.select(col("node").as("bu"), col("u").as("u1"), col("v").as("v1")),
-          col("bu") === col("u") && col("u1") === col("u") && col("v1") === col("v"),
-          "left_semi")
-        .join(best.select(col("node").as("bv"), col("u").as("u2"), col("v").as("v2")),
-          col("bv") === col("v") && col("u2") === col("u") && col("v2") === col("v"),
-          "left_semi")
+      val surv = flagged.groupBy("u", "v", "w")
+        .agg(
+          max(when(col("node") === col("u") && col("rn") === 1, 1L)
+            .otherwise(0L)).as("fu"),
+          max(when(col("node") === col("v") && col("rn") === 1, 1L)
+            .otherwise(0L)).as("fv"))
+        .filter(col("fu") === 1L && col("fv") === 1L)
+        .select("u", "v", "w")
       val survC = graft.ops.Dedup.cacheTracked(surv)
       val stamped = survC.select(lit(r.toLong).as("round"), col("u"), col("v"), col("w"))
       out = if (out == null) stamped else out.unionByName(stamped)
