@@ -61,6 +61,18 @@ object Graph {
     // loop re-reads checkpointed blocks only
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .localCheckpoint(eager = true)
+    // The loop runs under the caller's AQE setting. A scoped
+    // AQE-off variant was A/B-measured (round 8): it looks faster on a
+    // cold JVM (fewer per-stage jobs while scheduling paths are still
+    // interpreting), but hot — the state every long-lived session is
+    // in — AQE's runtime broadcast conversion of the tiny per-round
+    // joins beats the static 32-partition sort-merge plans by ~2× on
+    // q33/q135/q312, so the scope-off lost on the board and was
+    // removed.
+    connectedComponentsLoop(e, maxIter)
+  }
+
+  private def connectedComponentsLoop(e: DataFrame, maxIter: Int): DataFrame = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(eager = true)
     // e's blocks are dead once sym is materialized

@@ -58,7 +58,40 @@ object ActiveQueries {
     * the embedding manifold (CC over the same edges answers only
     * reachability). */
   val LpaRounds = 2
-  def q310_lpa_communities(spark: SparkSession, dir: String): DataFrame = {
+  def q310_lpa_communities(spark: SparkSession, dir: String): DataFrame =
+    lpaLabels(spark, dir)
+      .groupBy("lbl").agg(count(lit(1)).as("community_size"))
+      .orderBy(col("community_size").desc, col("lbl").asc)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_active_learning_batch" -> q309_active_learning_batch,
+    "q310_lpa_communities" -> q310_lpa_communities
+  )
+
+  /** The q310 LPA label chain (kNN edges `e`, per-round majority votes,
+    * final labels `l2`) — shared with q331's modularity oracle. */
+  private[queries] lazy val lpaChainSql: String =
+    s"""${OlapQueries.knnChainSql},
+       |e AS (SELECT query_id, neighbor_id FROM r WHERE rank <= ${OlapQueries.KnnK}),
+       |l0 AS (SELECT vec_id, vec_id AS lbl FROM embeddings),
+       |v1 AS (SELECT e.query_id, l.lbl, count(*) AS votes
+       |       FROM e JOIN l0 l ON l.vec_id = e.neighbor_id
+       |       GROUP BY e.query_id, l.lbl),
+       |l1 AS (SELECT query_id AS vec_id, lbl FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY votes DESC, lbl ASC) AS rn FROM v1)
+       |       WHERE rn = 1),
+       |v2 AS (SELECT e.query_id, l.lbl, count(*) AS votes
+       |       FROM e JOIN l1 l ON l.vec_id = e.neighbor_id
+       |       GROUP BY e.query_id, l.lbl),
+       |l2 AS (SELECT query_id AS vec_id, lbl FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY votes DESC, lbl ASC) AS rn FROM v2)
+       |       WHERE rn = 1)""".stripMargin
+
+  /** The LPA label ASSIGNMENT (vec_id → lbl) after [[LpaRounds]] — the
+    * DataFrame twin of `lpaChainSql`'s `l2`, reused by q331. */
+  private[queries] def lpaLabels(spark: SparkSession, dir: String): DataFrame = {
     val edges = OlapQueries.knnGraphPinned(spark, dir)
       .select("query_id", "neighbor_id")
     var labels = Tables.embeddings(spark, dir)
@@ -73,14 +106,8 @@ object ActiveQueries {
         .filter(col("rn") === 1)
         .select(col("query_id").as("vec_id"), col("lbl"))
     }
-    labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
-      .orderBy(col("community_size").desc, col("lbl").asc)
+    labels
   }
-
-  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q309_active_learning_batch" -> q309_active_learning_batch,
-    "q310_lpa_communities" -> q310_lpa_communities
-  )
 
   val oracles: Map[String, String] = Map(
     "q309_active_learning_batch" -> {
@@ -110,23 +137,7 @@ object ActiveQueries {
          |ORDER BY sel.sel_round""".stripMargin
     },
     "q310_lpa_communities" ->
-      s"""WITH ${OlapQueries.knnChainSql},
-         |e AS (SELECT query_id, neighbor_id FROM r WHERE rank <= ${OlapQueries.KnnK}),
-         |l0 AS (SELECT vec_id, vec_id AS lbl FROM embeddings),
-         |v1 AS (SELECT e.query_id, l.lbl, count(*) AS votes
-         |       FROM e JOIN l0 l ON l.vec_id = e.neighbor_id
-         |       GROUP BY e.query_id, l.lbl),
-         |l1 AS (SELECT query_id AS vec_id, lbl FROM (
-         |         SELECT *, row_number() OVER (PARTITION BY query_id
-         |                  ORDER BY votes DESC, lbl ASC) AS rn FROM v1)
-         |       WHERE rn = 1),
-         |v2 AS (SELECT e.query_id, l.lbl, count(*) AS votes
-         |       FROM e JOIN l1 l ON l.vec_id = e.neighbor_id
-         |       GROUP BY e.query_id, l.lbl),
-         |l2 AS (SELECT query_id AS vec_id, lbl FROM (
-         |         SELECT *, row_number() OVER (PARTITION BY query_id
-         |                  ORDER BY votes DESC, lbl ASC) AS rn FROM v2)
-         |       WHERE rn = 1)
+      s"""WITH $lpaChainSql
          |SELECT lbl, count(*) AS community_size
          |FROM l2 GROUP BY lbl
          |ORDER BY community_size DESC, lbl ASC""".stripMargin

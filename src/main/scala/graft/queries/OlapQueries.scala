@@ -365,7 +365,17 @@ object OlapQueries {
   private[graft] def knnGraphPinned(spark: SparkSession, dir: String): DataFrame =
     knnPinned.getOrBuild(spark, dir) {
       val emb = Tables.embeddings(spark, dir)
+      // lineage-truncated before pinning (the GraphX iterative-algorithm
+      // discipline): the IVF build plan embeds the trained centroids as
+      // wide array literals, and WITHOUT truncation every consumer that
+      // persists a derived frame (the q311/q312 round loops especially)
+      // re-canonicalizes that whole literal-heavy tree on the driver —
+      // measured 3.5 s of pure planning time for q311's two rounds at
+      // sf0.1. The checkpoint makes the pinned core a LogicalRDD leaf;
+      // the graph itself is n·k rows, so the extra block storage is
+      // bounded by the core's own contract.
       graft.ops.Ann.ivfTopK(emb, emb, k = KnnK, nCentroids = 16, nProbe = 4)
+        .localCheckpoint(eager = true)
     }
 
   def q91_knn_graph(spark: SparkSession, dir: String): DataFrame =

@@ -135,10 +135,54 @@ object ShapeQueries {
       .orderBy("s_suppkey")
   }
 
+  /** The Q9 part-name filter token (TPC-H uses a color substring). */
+  val ProfitPartToken = "red"
+
+  /** X354 — TPC-H Q9 shape (product-type profit by nation × year): for
+    * parts whose name contains [[ProfitPartToken]], per (supplier
+    * nation, order year) profit in integer cents — discounted revenue
+    * minus acquisition cost, with `p_retailprice` standing in for the
+    * absent partsupp supply cost (the testdata has no partsupp table;
+    * the join DAG is otherwise Q9's: lineitem ⋈ part ⋈ supplier ⋈
+    * nation ⋈ orders). Completes the TPC-H sweep next to q42 (Q1),
+    * q167 (Q2), q43/q44 (Q3/Q5), q303 (Q4-family), q268 (Q18), q152
+    * (Q8), q279 (Q7), q246/q247 (Q16/Q15).
+    *
+    * Scale shape: the name-filtered part list and the supplier→nation
+    * map broadcast (dim-sized); the only fact-sized shuffles are the
+    * lineitem⋈orders equijoin and the final (nation, year) aggregate —
+    * profit is computed per line BEFORE aggregation, so the group-by
+    * is partial-aggregated map-side. */
+  def q323_nation_profit(spark: SparkSession, dir: String): DataFrame = {
+    val pr = Tables.part(spark, dir)
+      .filter(col("p_name").contains(ProfitPartToken))
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cost_c"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(pr), col("l_partkey") === col("p_partkey"))
+      .withColumn("price_c", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .withColumn("disc_bp", expr("CAST(round(l_discount * 10000) AS BIGINT)"))
+      .withColumn("profit_c",
+        expr("CAST(floor(price_c * (10000 - disc_bp) / 10000) AS BIGINT)" +
+          " - cost_c * CAST(l_quantity AS BIGINT)"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("nation", "o_year")
+      .agg(sum("profit_c").as("profit_c"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q245_linkage_score" -> q245_linkage_score,
     "q246_supplier_counts" -> q246_supplier_counts,
-    "q247_top_supplier" -> q247_top_supplier
+    "q247_top_supplier" -> q247_top_supplier,
+    "q323_nation_profit" -> q323_nation_profit
   )
 
   // ---------------------------------------------------------------- oracles
@@ -194,6 +238,23 @@ object ShapeQueries {
          |SELECT s.s_suppkey, s.s_name, s.s_nationkey, rev.total_rev_c
          |FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
          |WHERE rev.total_rev_c = (SELECT max(total_rev_c) FROM rev)
-         |ORDER BY s.s_suppkey""".stripMargin
+         |ORDER BY s.s_suppkey""".stripMargin,
+    "q323_nation_profit" ->
+      s"""WITH pr AS (SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cost_c
+         |            FROM part WHERE p_name LIKE '%$ProfitPartToken%'),
+         |v AS (
+         |  SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         |         CAST(floor(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         |              * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)) / 10000)
+         |           AS BIGINT)
+         |         - pr.cost_c * CAST(l.l_quantity AS BIGINT) AS profit_c
+         |  FROM lineitem l
+         |  JOIN pr ON l.l_partkey = pr.p_partkey
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation ns ON s.s_nationkey = ns.n_nationkey)
+         |SELECT nation, o_year, sum(profit_c) AS profit_c
+         |FROM v GROUP BY nation, o_year
+         |ORDER BY nation, o_year DESC""".stripMargin
   )
 }
