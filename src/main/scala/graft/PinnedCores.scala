@@ -41,6 +41,8 @@ object PinnedCores {
         (() => OlapQueries.knnUndirectedPinned(spark, dir).count()),
       "classifier_scores" ->
         (() => TrainPrepQueries.classifierScores(spark, dir).count()),
+      "bpe_segmentations" ->
+        (() => TrainPrepQueries.bpeSegmentationsPinned(spark, dir).count()),
       "bm25_docs" ->
         (() => graft.queries.SearchQueries.bm25Docs(spark, dir).count()),
       "bm25_scored" ->

@@ -177,8 +177,9 @@ object DriftQueries {
   import TrainPrepQueries.clsChainSql
 
   /** q12's language CASE (first language in Stopwords order whose hit
-    * count equals the per-doc best and is > 0, else 'und'). */
-  private def langCaseSql: String = {
+    * count equals the per-doc best and is > 0, else 'und'). Shared with
+    * q333's metadata-confusion oracle. */
+  private[queries] def langCaseSql: String = {
     val hits = graft.functions.TextFunctions.Stopwords.map { case (l, _) =>
       s"${hitsSql(l)} AS s_$l"
     }.mkString(",\n       ")
