@@ -41,8 +41,9 @@ object ShapeQueries {
     * Scale: candidates are block-bounded ([[graft.ops.Dedup.cappedPostingPairs]]
     * two-pass df cap); attributes join by id; the output aggregate is
     * |distinct scores| ≤ 2⁴ rows. */
-  def q245_linkage_score(spark: SparkSession, dir: String): DataFrame = {
-    import LinkageQueries.{BlockBucket, BlockKeyCap}
+  /** The Fellegi–Sunter-scored candidate pairs `(id_a, id_b, score)` —
+    * q245's core, shared with q337's end-to-end ER operating curve. */
+  private[queries] def linkageScored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // tracked: heads feeds the key build AND both attribute sides of
     // the scored join — one tokenize pass, not three
@@ -60,13 +61,18 @@ object ShapeQueries {
       col("doc_id").as(s"id_$side"), col("lang").as(s"lang_$side"),
       col("source").as(s"source_$side"), col("ft").as(s"ft_$side"),
       col("lt").as(s"lt_$side"))
-    val scored = cand.join(attrs("a"), "id_a").join(attrs("b"), "id_b")
+    cand.join(attrs("a"), "id_a").join(attrs("b"), "id_b")
       .withColumn("score",
         when(col("ft_a") === col("ft_b"), WFtAgree).otherwise(WFtDis) +
         when(col("lt_a") === col("lt_b"), WLtAgree).otherwise(WLtDis) +
         when(col("lang_a") === col("lang_b"), WLangAgree).otherwise(WLangDis) +
         when(col("source_a") === col("source_b"), WSourceAgree)
           .otherwise(WSourceDis))
+      .select("id_a", "id_b", "score")
+  }
+
+  def q245_linkage_score(spark: SparkSession, dir: String): DataFrame = {
+    val scored = linkageScored(spark, dir)
     val tot = scored.agg(count(lit(1)).as("n_cand"))
     scored.groupBy("score").agg(count(lit(1)).as("n_pairs"))
       .crossJoin(broadcast(tot))
@@ -190,28 +196,33 @@ object ShapeQueries {
   import DataPrepQueries.normToks
   import LinkageQueries.{BlockBucket, BlockKeyCap}
 
+  /** The q245 scored-candidate chain (…→ `sc(id_a, id_b, score)`) —
+    * shared with q337's ER operating-curve oracle. */
+  private[queries] lazy val linkageScoredSql: String =
+    s"""d AS (SELECT doc_id, lang, source, $normToks AS t FROM documents),
+       |hd AS (SELECT doc_id, lang, source, CAST(len(t) AS BIGINT) AS ntok,
+       |              t[1] AS ft, t[len(t)] AS lt
+       |       FROM d WHERE len(t) >= 1),
+       |ky AS (SELECT doc_id, concat('F:', CAST(ntok // $BlockBucket AS VARCHAR), ':', ft) AS bkey FROM hd
+       |       UNION ALL
+       |       SELECT doc_id, concat('L:', CAST(ntok // $BlockBucket AS VARCHAR), ':', lt) AS bkey FROM hd),
+       |cool AS (SELECT ky.* FROM ky JOIN (
+       |           SELECT bkey FROM ky GROUP BY bkey HAVING count(*) <= $BlockKeyCap) ok
+       |         USING (bkey)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM cool a JOIN cool b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sc AS (SELECT c.id_a, c.id_b,
+       |              CAST((CASE WHEN x.ft = y.ft THEN $WFtAgree ELSE $WFtDis END)
+       |                 + (CASE WHEN x.lt = y.lt THEN $WLtAgree ELSE $WLtDis END)
+       |                 + (CASE WHEN x.lang = y.lang THEN $WLangAgree ELSE $WLangDis END)
+       |                 + (CASE WHEN x.source = y.source THEN $WSourceAgree ELSE $WSourceDis END)
+       |                 AS BIGINT) AS score
+       |       FROM cand c JOIN hd x ON x.doc_id = c.id_a
+       |            JOIN hd y ON y.doc_id = c.id_b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q245_linkage_score" ->
-      s"""WITH d AS (SELECT doc_id, lang, source, $normToks AS t FROM documents),
-         |hd AS (SELECT doc_id, lang, source, CAST(len(t) AS BIGINT) AS ntok,
-         |              t[1] AS ft, t[len(t)] AS lt
-         |       FROM d WHERE len(t) >= 1),
-         |ky AS (SELECT doc_id, concat('F:', CAST(ntok // $BlockBucket AS VARCHAR), ':', ft) AS bkey FROM hd
-         |       UNION ALL
-         |       SELECT doc_id, concat('L:', CAST(ntok // $BlockBucket AS VARCHAR), ':', lt) AS bkey FROM hd),
-         |cool AS (SELECT ky.* FROM ky JOIN (
-         |           SELECT bkey FROM ky GROUP BY bkey HAVING count(*) <= $BlockKeyCap) ok
-         |         USING (bkey)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM cool a JOIN cool b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |sc AS (SELECT c.id_a, c.id_b,
-         |              CAST((CASE WHEN x.ft = y.ft THEN $WFtAgree ELSE $WFtDis END)
-         |                 + (CASE WHEN x.lt = y.lt THEN $WLtAgree ELSE $WLtDis END)
-         |                 + (CASE WHEN x.lang = y.lang THEN $WLangAgree ELSE $WLangDis END)
-         |                 + (CASE WHEN x.source = y.source THEN $WSourceAgree ELSE $WSourceDis END)
-         |                 AS BIGINT) AS score
-         |       FROM cand c JOIN hd x ON x.doc_id = c.id_a
-         |            JOIN hd y ON y.doc_id = c.id_b),
+      s"""WITH $linkageScoredSql,
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM sc)
          |SELECT sc.score, CAST(count(*) AS BIGINT) AS n_pairs,
          |       CAST((10000 * count(*)) // tot.n_cand AS BIGINT) AS share_x10k,
