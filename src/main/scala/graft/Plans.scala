@@ -141,7 +141,17 @@ object Plans {
     "q300_principal_direction" -> "PC1: matrix-free power iteration - two chained |V|-row aggregates per round, 1-row max broadcasts, covariance never materialized",
     "q306_stylometric_distance" -> "stylometry: one token pass, head-vocab-bounded rate frame, |sources|^2-bounded L1 pairs",
     "q308_deletion_blast_radius" -> "blast radius: broadcast forget-set semi-joins per artifact, lineitem scoped through its orders",
-    "q309_active_learning_batch" -> "active learning: TakeOrdered uncertainty pool, k-center rounds over the POOL only - corpus touched once for scores"
+    "q309_active_learning_batch" -> "active learning: TakeOrdered uncertainty pool, k-center rounds over the POOL only - corpus touched once for scores",
+    "q311_greedy_matching" -> "parallel matching: lineage-truncated edge core, per-round ONE endpoint-exploded window + one (u,v) survivor aggregate + anti-joins - driver plans stay leaf-anchored",
+    "q312_dbscan_clusters" -> "DBSCAN-lite: strong-edge filter off the truncated core, CC on the core-core SUBGRAPH only, border attach via bounded per-node window",
+    "q323_nation_profit" -> "TPC-H Q9: name-filtered part + supplier-nation dims broadcast, per-line cents profit BEFORE the (nation,year) aggregate - map-side partials",
+    "q326_source_tv_matrix" -> "TV matrix: quantized rates, INNER token equijoin for the min-mass sums, one-sided tokens ride |sources|-row rate totals",
+    "q330_resource_allocation" -> "RA link prediction: k-bounded wedge self-join, |nodes|-row degree table broadcast onto the wedge mid",
+    "q331_lpa_modularity" -> "modularity: LPA labels cached, intra edges by two id equijoins, ONE exact rational + one floor-double division",
+    "q335_histogram_fidelity" -> "histogram fidelity: per-side key-count tables cached, feed BOTH exact join total and |buckets|-row histogram estimate - facts read once",
+    "q336_bloom_calibration" -> "bloom calibration: per-budget position rows joined on bit only, member bitset distinct-reduced before the probe join",
+    "q337_er_operating_curve" -> "ER curve: pinned blocking+scores vs pinned jaccard truth, cumulative P/R over a <=|scores| frame",
+    "q340_activity_streaks" -> "streaks: distinct (user,day), user-partitioned island windows, |streak-lengths|-row histogram"
   )
 
   def main(args: Array[String]): Unit = {
