@@ -77,11 +77,17 @@ object MiningQueries {
     * (source, gram) — bounded by source-count², never corpus²; per-source
     * set sizes and the pair frame are |sources|-sized broadcasts. */
   def q112_source_overlap(spark: SparkSession, dir: String): DataFrame = {
-    val sg = Tables.documents(spark, dir)
+    // tracked: the (source, gram) set feeds its own self-join AND the
+    // per-source size aggregate. ReuseExchange already dedups the
+    // self-join sides, but the SIZES branch re-ran the whole 8-gram
+    // explode from the parquet scan (2 FileScans in the executed plan);
+    // the cache makes the corpus single-pass — marginal at sf0.1,
+    // structural at 100 TB
+    val sg = graft.ops.Dedup.cacheTracked(Tables.documents(spark, dir)
       .select(col("source"), col("text"))
       .withColumn("t", toksOf(col("text")))
       .select(col("source"), explode(shinglesFromTokens(col("t"), OverlapN)).as("gram"))
-      .distinct()
+      .distinct())
     val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
     val inter = sg.select(col("source").as("src_a"), col("gram"))
       .join(sg.select(col("source").as("src_b"), col("gram")), "gram")
