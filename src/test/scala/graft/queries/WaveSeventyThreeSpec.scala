@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Invariant pins for the round-8 session-4 waves (73+) — structural
+  * guarantees the DuckDB oracle's value-hash cannot express as REASONS:
+  *
+  *  - q345: KM survival is monotone non-increasing from ≤10⁶, the risk
+  *    set strictly shrinks, and the life table accounts for every
+  *    signup user exactly once;
+  *  - q346: replay evaluates only policy-matched events (n_matched ≤
+  *    n_eval), covers every context present in the eval half, and the
+  *    zero-match guard pins replay_mean_c to 0.
+  */
+class WaveSeventyThreeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q345: KM curve is monotone, risk set strictly shrinks, users conserved") {
+    val rows = ReplayQueries.q345_kaplan_meier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getAs[Long]("survival_x1m"))
+    assert(surv.head <= ReplayQueries.SurvScale)
+    assert(surv.zip(surv.drop(1)).forall { case (a, b) => b <= a },
+      s"survival must be non-increasing: ${surv.mkString(",")}")
+    val risk = rows.map(_.getAs[Long]("n_risk"))
+    assert(risk.zip(risk.drop(1)).forall { case (a, b) => b < a },
+      "each emitted day removes at least one user from the risk set")
+    val leavers = rows.map(r =>
+      r.getAs[Long]("n_convert") + r.getAs[Long]("n_censored")).sum
+    assert(leavers == risk.head,
+      s"every at-risk user leaves exactly once: $leavers vs ${risk.head}")
+  }
+
+  test("q347: folds align across methods and MAE is the exact integer ratio") {
+    val rows = BacktestQueries.q347_forecast_backtest(spark, sfDir).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("n_folds")).distinct.length == 1,
+      "all three methods score the same folds")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mae_x100") ==
+        100 * r.getAs[Long]("sum_abs_err") / r.getAs[Long]("n_folds"))
+    }
+  }
+
+  test("q348: Shapley efficiency axiom — phi sums to v(full) - v(empty), all phi >= 0") {
+    val rows = BacktestQueries.q348_shapley_attribution(spark, sfDir).collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getAs[Long]("phi_num") >= 0L,
+      s"v is monotone so every marginal contribution is >= 0: $r"))
+    // recompute v(C) and v(emptyset) directly: converted users, and converted
+    // users with zero pre-purchase touches
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sfDir).select("user_id", "event_type", "ts_ms")
+    val fp = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "purchase", col("ts_ms"))).as("p_ts"))
+    val u = ev.join(fp, "user_id").groupBy("user_id")
+      .agg(max(when(col("event_type") =!= "purchase" &&
+          (col("p_ts").isNull || col("ts_ms") < col("p_ts")), 1L).otherwise(0L)).as("touched"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    val vFull = u.filter(col("conv") === 1).count()
+    val vEmpty = u.filter(col("conv") === 1 && col("touched") === 0).count()
+    assert(rows.map(_.getAs[Long]("phi_num")).sum == 24L * (vFull - vEmpty),
+      s"efficiency: sum(phi_num) must equal 24*(v(C)-v(0)) = 24*($vFull-$vEmpty)")
+  }
+
+  test("q349: percolation census is monotone in tau and internally consistent") {
+    val rows = PercolationQueries.q349_percolation_sweep(spark, sfDir).collect()
+    assert(rows.length == PercolationQueries.PercolationTaus.length)
+    val byTau = rows.sortBy(_.getAs[Long]("tau_x10k"))
+    def mono(c: String) = {
+      val v = byTau.map(_.getAs[Long](c))
+      assert(v.zip(v.drop(1)).forall { case (a, b) => b <= a },
+        s"$c must be non-increasing as tau rises: ${v.mkString(",")}")
+    }
+    mono("n_edges"); mono("n_nodes"); mono("max_cluster")
+    byTau.foreach { r =>
+      assert(r.getAs[Long]("n_components") <= r.getAs[Long]("n_nodes"))
+      val g = r.getAs[Long]("giant_share_x10k")
+      assert(g >= 0 && g <= 10000)
+      if (r.getAs[Long]("n_nodes") > 0)
+        assert(r.getAs[Long]("n_components") >= 1 && g > 0)
+    }
+  }
+
+  test("q350: pooled stratum present, chi2 >= 0, hottest cell >= uniform share") {
+    val rows = PercolationQueries.q350_split_uniformity(spark, sfDir).collect()
+    assert(rows.exists(_.getAs[String]("source") == "__all__"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("chi2_x1000") >= 0L)
+      assert(r.getAs[Long]("max_cell_share_x10k") >= 625L,
+        s"the hottest of 16 cells cannot be below the uniform share: $r")
+    }
+  }
+
+  test("q346: matched <= eval, all contexts covered, zero-match guard") {
+    val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 7)
+    rows.foreach { r =>
+      val (ne, nm) = (r.getAs[Long]("n_eval"), r.getAs[Long]("n_matched"))
+      assert(nm <= ne, s"matched must be a subset of eval: $r")
+      if (nm == 0) assert(r.getAs[Long]("replay_mean_c") == 0L, s"zero-match guard: $r")
+    }
+    val ctxs = rows.map(_.getAs[Long]("ctx")).toSet
+    assert(ctxs.size == rows.length, "one row per context")
+  }
+}
