@@ -93,6 +93,54 @@ class WaveSeventyThreeSpec extends SparkSpec {
     }
   }
 
+  test("q351: cluster census is internally consistent and pairs respect the threshold") {
+    val rows = CohesionQueries.q351_cluster_cohesion(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sz = r.getAs[Long]("cluster_size")
+      val np = r.getAs[Long]("n_pairs")
+      assert(sz >= 2, s"components come from edges: $r")
+      assert(np >= sz - 1 && np <= sz * (sz - 1) / 2,
+        s"pairs within [spanning-tree, complete]: $r")
+      assert(r.getAs[Long]("min_jaccard_x10k") >= DataPrepQueries.JaccardMinX10k)
+      val d = r.getAs[Long]("density_x10k")
+      assert(d > 0 && d <= 10000, s"density in (0, 1]: $r")
+    }
+  }
+
+  test("q352: the fold grid accounts for every near-dup pair exactly once") {
+    val rows = CohesionQueries.q352_fold_leakage(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val expected = graft.ops.Dedup.jaccardPairsPinned(spark, sfDir,
+      n = DataPrepQueries.ShingleN,
+      minJaccardX10k = DataPrepQueries.JaccardMinX10k,
+      maxDf = DataPrepQueries.JaccardMaxDf).count()
+    assert(total == expected, s"grid total $total vs pair count $expected")
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("fold_lo"), r.getAs[Long]("fold_hi"))
+      assert(lo >= 0 && lo <= hi && hi < SweepQueries.KFolds)
+      assert((r.getAs[Int]("is_cross") == 1) == (lo != hi))
+    }
+  }
+
+  test("q353: novelty scores are ranked non-increasing over exactly top-k rows") {
+    val rows = NoveltyQueries.q353_diag_mahalanobis(spark, sfDir).collect()
+    assert(rows.length == NoveltyQueries.NoveltyTopK)
+    val s = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("score"))
+    assert(s.zip(s.drop(1)).forall { case (a, b) => b <= a })
+  }
+
+  test("q354: head overlap bounded by depth, jaccard in range") {
+    val rows = NoveltyQueries.q354_head_stability(spark, sfDir).collect()
+    assert(rows.length == NoveltyQueries.StabilityDepths.length)
+    rows.foreach { r =>
+      val (d, c) = (r.getAs[Long]("depth"), r.getAs[Long]("n_common"))
+      assert(c >= 0 && c <= d, s"common bounded by depth: $r")
+      val j = r.getAs[Long]("jaccard_x10k")
+      assert(j >= 0 && j <= 10000)
+    }
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
