@@ -141,6 +141,55 @@ class WaveSeventyThreeSpec extends SparkSpec {
     }
   }
 
+  test("q355: excess = keys - distinct, expectation shrinks 256x per 2 hex digits") {
+    val rows = HomophilyQueries.q355_hash_collisions(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("width_hex"))
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_excess") ==
+        r.getAs[Long]("n_keys") - r.getAs[Long]("n_distinct"))
+      assert(r.getAs[Long]("n_colliding_keys") <= r.getAs[Long]("n_excess") ||
+        r.getAs[Long]("n_excess") == 0)
+    }
+    val ex = rows.map(_.getAs[Long]("expected_excess"))
+    assert(ex.zip(ex.drop(1)).forall { case (a, b) => b <= a },
+      "wider keys cannot expect more collisions")
+  }
+
+  test("q356: homophily and base rates are shares; same-label edges bounded") {
+    val rows = HomophilyQueries.q356_label_homophily(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_same") <= r.getAs[Long]("n_dir_edges"))
+      val h = r.getAs[Long]("homophily_x10k")
+      val b = r.getAs[Long]("base_x10k")
+      assert(h >= 0 && h <= 10000 && b > 0 && b <= 10000)
+    }
+  }
+
+  test("q357: novelty conserves the distinct corpus exactly") {
+    val rows = AgreementQueries.q357_source_novelty(spark, sfDir).collect()
+    val novelSum = rows.map(_.getAs[Long]("n_novel")).sum
+    val cumLast = rows.map(_.getAs[Long]("cum_unique")).max
+    assert(novelSum == cumLast, "every fingerprint claimed exactly once")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_fps"))
+      assert(r.getAs[Long]("n_fps") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q358: intersections bounded by both sides, jaccard consistent") {
+    val rows = AgreementQueries.q358_detector_agreement(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (l, rt, c) = (r.getAs[Long]("n_left"), r.getAs[Long]("n_right"),
+        r.getAs[Long]("n_common"))
+      assert(c <= l && c <= rt, s"intersection bounded: $r")
+      val j = r.getAs[Long]("overlap_jaccard_x10k")
+      assert(j >= 0 && j <= 10000)
+    }
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
