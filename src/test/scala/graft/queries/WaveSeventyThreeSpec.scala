@@ -190,6 +190,29 @@ class WaveSeventyThreeSpec extends SparkSpec {
     }
   }
 
+  test("q359: LCP savings bounded by dictionary bytes; c_name nearly fully shared") {
+    val rows = LayoutQueries.q359_frontcoding_advisor(spark, sfDir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.size == 3)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("lcp_bytes") <= r.getAs[Long]("dict_bytes"))
+      val s = r.getAs[Long]("saving_x10k")
+      assert(s >= 0 && s < 10000)
+    }
+    // Customer#NNNNNNNNN keys share all but the numeric tail
+    assert(rows("c_name").getAs[Long]("saving_x10k") > 5000,
+      "sequential customer names must front-code heavily")
+  }
+
+  test("q360: sweep 2 eccentricity >= sweep 1 (the whole point of the 2nd sweep)") {
+    val rows = LayoutQueries.q360_double_sweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("sweep"))
+    assert(rows.length == 2)
+    val (e1, e2) = (rows(0).getAs[Long]("ecc"), rows(1).getAs[Long]("ecc"))
+    assert(e2 >= e1, s"double sweep must not shrink the bound: $e1 -> $e2")
+    rows.foreach(r => assert(r.getAs[Long]("n_reached") >= 1))
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
