@@ -213,6 +213,33 @@ class WaveSeventyThreeSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_reached") >= 1))
   }
 
+  test("q361: isotonic curve is monotone and brackets the raw rates") {
+    val rows = IsotonicQueries.q361_isotonic_calibration(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty)
+    val iso = rows.map(_.getAs[Long]("iso_x1m"))
+    assert(iso.zip(iso.drop(1)).forall { case (a, b) => b >= a },
+      s"PAVA output must be non-decreasing: ${iso.mkString(",")}")
+    val raw = rows.map(_.getAs[Long]("raw_x1m"))
+    assert(iso.min >= raw.min && iso.max <= raw.max,
+      "pooling cannot extrapolate beyond the observed rates")
+  }
+
+  test("q362: llr walk is additive and decisions match the boundaries") {
+    val rows = IsotonicQueries.q362_sprt_monitor(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("llr_day_x1m")
+      assert(r.getAs[Long]("llr_cum_x1m") == cum, s"cum mismatch at $r")
+      val d = r.getAs[String]("decision")
+      val expect = if (cum >= IsotonicQueries.SprtBoundX1m) "accept_h1"
+        else if (cum <= -IsotonicQueries.SprtBoundX1m) "accept_h0" else "continue"
+      assert(d == expect)
+    }
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
