@@ -240,6 +240,29 @@ class WaveSeventyThreeSpec extends SparkSpec {
     }
   }
 
+  test("q363: both arms land the target point count and pps beats-or-ties nothing silently") {
+    val rows = SamplingQueries.q363_pps_estimate(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.size == 2)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_points") >= 1 &&
+        r.getAs[Long]("n_points") <= SamplingQueries.PpsSamples)
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_points"))
+      assert(r.getAs[Long]("y_est") > 0)
+      assert(r.getAs[Long]("err_x10k") ==
+        10000L * math.abs(r.getAs[Long]("y_est") - r.getAs[Long]("y_true")) /
+          r.getAs[Long]("y_true"))
+    }
+  }
+
+  test("q364: diagonal mass positive, top pair is off-diagonal and bounded by the mass") {
+    val r = SamplingQueries.q364_cov_diagonality(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_sample") >= 1)
+    assert(r.getAs[Long]("diag_mass") > 0, "variances are non-negative and not all zero")
+    assert(r.getAs[Long]("top_i") < r.getAs[Long]("top_j"))
+    assert(r.getAs[Long]("top_abs_cov") <= r.getAs[Long]("offdiag_mass"))
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
