@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Dedup
+
+/** Round-8 wave-83:
+  *
+  *  - pair-graph triadic closure audit (q365): among wedges A~B~C of
+  *    the 0.8-jaccard pair graph, how often is A~C also a pair? High
+  *    closure means near-duplicate similarity is locally transitive
+  *    and single-link clustering is safe; low closure means chains
+  *    (q351 prices chains per cluster; this prices the THRESHOLD's
+  *    transitivity globally, one number next to q349's percolation
+  *    curve). Wedge work is Σ deg² of the df-capped pair graph —
+  *    bounded, never corpus-quadratic;
+  *  - shingle-order sensitivity sweep (q366): the pair census at
+  *    shingle order n ∈ {2, 3, 4} under the same df cap and
+  *    threshold — how much of the near-dup evidence is an artifact
+  *    of the n chosen (n=2 floods with collisions, n=4 starves
+  *    recall; the sweep shows the corpus's own elbow). One
+  *    shingle+pair pass per n, each df-capped.
+  */
+object ClosureQueries {
+
+  /** X397 — triadic closure of the near-dup pair graph: pairs, wedges
+    * (a < c through center b), closed wedges, closure ×10⁴. */
+  def q365_triadic_closure(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.cacheTracked(
+      Dedup.jaccardPairsPinned(spark, dir, n = DataPrepQueries.ShingleN,
+          minJaccardX10k = DataPrepQueries.JaccardMinX10k,
+          maxDf = DataPrepQueries.JaccardMaxDf)
+        .select("id_a", "id_b"))
+    val e = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val wedges = e.select(col("v").as("b"), col("u").as("a"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+      .filter(col("a") < col("c"))
+    val closed = wedges.join(
+      pairs.select(col("id_a").as("a"), col("id_b").as("c")), Seq("a", "c"))
+    pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
+      .withColumn("closure_x10k", expr(
+        "CASE WHEN n_wedges = 0 THEN 0L ELSE (10000 * n_closed) div n_wedges END"))
+  }
+
+  /** Shingle orders swept by q366. */
+  val SweepOrders: Seq[Int] = Seq(2, 3, 4)
+
+  /** X398 — shingle-order sensitivity: per n, the surviving pair count
+    * and the jaccard mass/extremes under the SAME cap and threshold. */
+  def q366_shingle_sweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val arms = SweepOrders.map { n =>
+      val p = Dedup.jaccardPairs(docs, n = n,
+        minJaccardX10k = DataPrepQueries.JaccardMinX10k,
+        maxDf = DataPrepQueries.JaccardMaxDf)
+      p.agg(coalesce(count(lit(1)), lit(0L)).as("n_pairs"),
+          coalesce(sum("jaccard_x10k"), lit(0L)).as("sum_j"),
+          coalesce(max("jaccard_x10k"), lit(0L)).as("max_j_x10k"))
+        .select(lit(n.toLong).as("shingle_n"), col("n_pairs"),
+          expr("CASE WHEN n_pairs = 0 THEN 0L ELSE sum_j div n_pairs END")
+            .as("mean_j_x10k"),
+          col("max_j_x10k"))
+    }
+    arms.reduce(_.unionByName(_)).orderBy("shingle_n")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q365_triadic_closure" -> q365_triadic_closure,
+    "q366_shingle_sweep" -> q366_shingle_sweep
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  import DataPrepQueries.{JaccardMaxDf, JaccardMinX10k, shingleCte}
+
+  private def pairCteFor(n: Int, tag: String): String =
+    s"""sh$tag AS (
+       |  SELECT doc_id AS id, unnest(${DataPrepQueries.shinglesSql(n)}) AS shingle
+       |  FROM docs),
+       |sizes$tag AS (SELECT id, count(*) AS set_size FROM sh$tag GROUP BY id),
+       |capped$tag AS (
+       |  SELECT s.* FROM sh$tag s
+       |  JOIN (SELECT shingle FROM sh$tag GROUP BY shingle
+       |        HAVING count(*) <= $JaccardMaxDf) ok USING (shingle)),
+       |inter$tag AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+       |  FROM capped$tag a JOIN capped$tag b
+       |    ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY a.id, b.id),
+       |pj$tag AS (
+       |  SELECT i.id_a, i.id_b,
+       |         CAST(floor(10000 * i.n_common / (sa.set_size + sb.set_size - i.n_common))
+       |           AS BIGINT) AS jaccard_x10k
+       |  FROM inter$tag i
+       |  JOIN sizes$tag sa ON sa.id = i.id_a
+       |  JOIN sizes$tag sb ON sb.id = i.id_b
+       |  WHERE floor(10000 * i.n_common / (sa.set_size + sb.set_size - i.n_common))
+       |        >= $JaccardMinX10k)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q365_triadic_closure" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id),
+         |capped AS (
+         |  SELECT sh.* FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $JaccardMaxDf) ok
+         |    USING (shingle)),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY a.id, b.id),
+         |pj AS (
+         |  SELECT i.id_a, i.id_b
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.id = i.id_a
+         |  JOIN sizes sb ON sb.id = i.id_b
+         |  WHERE floor(10000 * i.n_common / (sa.set_size + sb.set_size - i.n_common))
+         |        >= $JaccardMinX10k),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pj
+         |      UNION ALL SELECT id_b, id_a FROM pj),
+         |w AS (SELECT x.v AS b, x.u AS a, y.v AS c
+         |      FROM e x JOIN e y ON y.u = x.v
+         |      WHERE x.u < y.v),
+         |cl AS (SELECT w.* FROM w JOIN pj ON pj.id_a = w.a AND pj.id_b = w.c)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM pj) AS n_pairs,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_closed,
+         |       CAST(CASE WHEN (SELECT count(*) FROM w) = 0 THEN 0
+         |            ELSE (10000 * (SELECT count(*) FROM cl))
+         |                 // (SELECT count(*) FROM w) END AS BIGINT)
+         |         AS closure_x10k""".stripMargin,
+    "q366_shingle_sweep" -> {
+      val ctes = SweepOrders.map(n => pairCteFor(n, s"_$n")).mkString(",\n")
+      val arms = SweepOrders.map { n =>
+        s"""SELECT CAST($n AS BIGINT) AS shingle_n,
+           |       CAST(count(*) AS BIGINT) AS n_pairs,
+           |       CAST(CASE WHEN count(*) = 0 THEN 0
+           |            ELSE sum(jaccard_x10k) // count(*) END AS BIGINT)
+           |         AS mean_j_x10k,
+           |       CAST(coalesce(max(jaccard_x10k), 0) AS BIGINT) AS max_j_x10k
+           |FROM pj_$n""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH docs AS (SELECT doc_id, ${DataPrepQueries.normToks} AS t FROM documents),
+         |$ctes
+         |$arms
+         |ORDER BY shingle_n""".stripMargin
+    }
+  )
+}

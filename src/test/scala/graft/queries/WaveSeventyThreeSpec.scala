@@ -263,6 +263,26 @@ class WaveSeventyThreeSpec extends SparkSpec {
     assert(r.getAs[Long]("top_abs_cov") <= r.getAs[Long]("offdiag_mass"))
   }
 
+  test("q365: closed wedges bounded by wedges; closure is a share") {
+    val r = ClosureQueries.q365_triadic_closure(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_closed") <= r.getAs[Long]("n_wedges"))
+    val c = r.getAs[Long]("closure_x10k")
+    assert(c >= 0 && c <= 10000)
+  }
+
+  test("q366: sweep covers the orders; jaccard stats bounded") {
+    val rows = ClosureQueries.q366_shingle_sweep(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("shingle_n")).toSeq ==
+      ClosureQueries.SweepOrders.map(_.toLong))
+    rows.foreach { r =>
+      val (m, x) = (r.getAs[Long]("mean_j_x10k"), r.getAs[Long]("max_j_x10k"))
+      assert(m >= 0 && m <= x && x <= 10000, s"jaccard stats in range: $r")
+      if (r.getAs[Long]("n_pairs") > 0)
+        assert(m >= DataPrepQueries.JaccardMinX10k,
+          "surviving pairs all clear the threshold, so the mean must too")
+    }
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
