@@ -72,6 +72,57 @@ object Graph {
     connectedComponentsLoop(e, maxIter)
   }
 
+  /** Grouped CC: independent label propagation per `groupCol` value in
+    * ONE pointer-jumping loop — |groups| separate
+    * [[connectedComponents]] runs collapsed into a single iteration
+    * whose round count is the MAX over groups, and whose per-round
+    * fixed cost (checkpoint, scheduling) is paid once (q349's
+    * percolation sweep: 4 loops → 1, measured 5.2 s → ~2 s at sf0.1).
+    * Fixpoint per group is identical to the ungrouped loop: labels are
+    * min-reachable node ids within the group's edge set. */
+  def connectedComponentsBy(
+      edges: DataFrame,
+      groupCol: String,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col(groupCol).as("g"),
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(eager = true)
+    val sym = e.union(e.select(col("g"), col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    releaseLocalCheckpoint(e)
+    var labels = sym.select(col("g"), col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val incoming = sym
+        .join(labels.select(col("g"), col("id").as("dst"), col("comp").as("nbr_comp")),
+          Seq("g", "dst"))
+        .groupBy("g", "src").agg(min("nbr_comp").as("nbr_min"))
+        .select(col("g"), col("src").as("id"), col("nbr_min"))
+      val hop = labels
+        .join(incoming, Seq("g", "id"), "left")
+        .select(col("g"), col("id"), col("comp").as("prev_comp"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+      val next = hop
+        .join(hop.select(col("g"), col("id").as("comp"), col("comp").as("comp2")),
+          Seq("g", "comp"), "left")
+        .select(col("g"), col("id"), col("prev_comp"),
+          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        .localCheckpoint(eager = true)
+      converged = next.filter(col("comp") < col("prev_comp")).isEmpty
+      releaseLocalCheckpoint(labels)
+      labels = next.select("g", "id", "comp")
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsBy did not converge within maxIter=$maxIter rounds")
+    labels.select(col("g").as(groupCol), col("id"), col("comp").as("component_id"))
+  }
+
   private def connectedComponentsLoop(e: DataFrame, maxIter: Int): DataFrame = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(eager = true)

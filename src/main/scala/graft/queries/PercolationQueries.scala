@@ -39,23 +39,33 @@ object PercolationQueries {
     * jumping DataFrame CC ([[Graph.connectedComponents]]) on the
     * already-bounded pair set — never the corpus. */
   def q349_percolation_sweep(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
     val pairs = Dedup.cacheTracked(
       Dedup.jaccardPairsPinned(spark, dir, n = DataPrepQueries.ShingleN,
           minJaccardX10k = PercolationTaus.min,
           maxDf = DataPrepQueries.JaccardMaxDf)
         .select("id_a", "id_b", "jaccard_x10k"))
-    val perTau = PercolationTaus.map { tau =>
-      val e = pairs.filter(col("jaccard_x10k") >= tau)
-      val sizes = Graph.connectedComponents(e)
-        .groupBy("component_id").agg(count(lit(1)).as("sz"))
-      sizes.agg(count(lit(1)).as("n_components"),
-          coalesce(sum("sz"), lit(0L)).as("n_nodes"),
-          coalesce(max("sz"), lit(0L)).as("max_cluster"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .select(lit(tau).as("tau_x10k"), col("n_edges"), col("n_nodes"),
-          col("n_components"), col("max_cluster"))
-    }
-    perTau.reduce(_.unionByName(_))
+    // each edge replicated to every tau it survives — the |taus| CC
+    // loops collapse into ONE grouped pointer-jumping run (round count
+    // = max over taus, per-round fixed cost paid once)
+    val tauArr = PercolationTaus.map(t => s"${t}L").mkString("array(", ", ", ")")
+    val tagged = Dedup.cacheTracked(pairs.select(
+      explode(expr(s"filter($tauArr, t -> t <= jaccard_x10k)")).as("tau_x10k"),
+      col("id_a"), col("id_b")))
+    val sizes = Graph.connectedComponentsBy(tagged, "tau_x10k")
+      .groupBy("tau_x10k", "component_id").agg(count(lit(1)).as("sz"))
+    val stats = sizes.groupBy("tau_x10k")
+      .agg(count(lit(1)).as("n_components"), sum("sz").as("n_nodes"),
+        max("sz").as("max_cluster"))
+    val eCnt = tagged.groupBy("tau_x10k").agg(count(lit(1)).as("n_edges"))
+    // a tau can strand with zero surviving edges — the spine keeps its row
+    PercolationTaus.toDF("tau_x10k")
+      .join(eCnt, Seq("tau_x10k"), "left")
+      .join(stats, Seq("tau_x10k"), "left")
+      .na.fill(0L, Seq("n_edges", "n_nodes", "n_components", "max_cluster"))
+      .select(col("tau_x10k"), col("n_edges"), col("n_nodes"),
+        col("n_components"), col("max_cluster"))
       .withColumn("giant_share_x10k", expr(
         "CASE WHEN n_nodes = 0 THEN 0L ELSE (10000 * max_cluster) div n_nodes END"))
       .orderBy("tau_x10k")

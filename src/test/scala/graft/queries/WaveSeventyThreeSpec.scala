@@ -283,6 +283,27 @@ class WaveSeventyThreeSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsBy == per-group connectedComponents on every group") {
+    val spark0 = spark
+    import spark0.implicits._
+    // group 1: path 1-2-3 plus isolate pair 7-8; group 2: triangle 2-3-4
+    // and bridge 4-9 (same node ids, different topology per group)
+    val edges = Seq(
+      (1L, 1L, 2L), (1L, 2L, 3L), (1L, 7L, 8L),
+      (2L, 2L, 3L), (2L, 3L, 4L), (2L, 2L, 4L), (2L, 4L, 9L)
+    ).toDF("g", "id_a", "id_b")
+    val grouped = graft.ops.Graph.connectedComponentsBy(edges, "g")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq(1L, 2L).foreach { g =>
+      val solo = graft.ops.Graph.connectedComponents(edges.filter(col("g") === g))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      solo.foreach { case (id, comp) =>
+        assert(grouped((g, id)) == comp,
+          s"group $g node $id: grouped=${grouped((g, id))} solo=$comp")
+      }
+    }
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
