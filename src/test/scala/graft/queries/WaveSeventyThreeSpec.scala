@@ -295,7 +295,8 @@ class WaveSeventyThreeSpec extends SparkSpec {
     val grouped = graft.ops.Graph.connectedComponentsBy(edges, "g")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     Seq(1L, 2L).foreach { g =>
-      val solo = graft.ops.Graph.connectedComponents(edges.filter(col("g") === g))
+      val solo = graft.ops.Graph.connectedComponents(
+          edges.filter(org.apache.spark.sql.functions.col("g") === g))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       solo.foreach { case (id, comp) =>
         assert(grouped((g, id)) == comp,
