@@ -305,6 +305,33 @@ class WaveSeventyThreeSpec extends SparkSpec {
     }
   }
 
+  test("q367: ten deciles, arm counts balance within one decile's worth") {
+    val rows = QteQueries.q367_qte_deciles(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("qte_c") ==
+        r.getAs[Long]("mean_b_c") - r.getAs[Long]("mean_a_c"))
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    }
+    // deciles are exact integer ranks: per arm the cells differ by <= 1
+    Seq("n_a", "n_b").foreach { c =>
+      val ns = rows.map(_.getAs[Long](c))
+      assert(ns.max - ns.min <= 1, s"$c cells must be within 1: ${ns.mkString(",")}")
+    }
+  }
+
+  test("q368: cells cover every vector exactly once; deviations reconcile with shares") {
+    val rows = QteQueries.q368_ivf_balance(spark, sfDir).collect()
+    assert(rows.length == AnalyticsQueries.KmeansK)
+    val n = rows.map(_.getAs[Long]("n_vectors")).sum
+    assert(n > 0)
+    rows.foreach { r =>
+      val share = r.getAs[Long]("share_x10k")
+      assert(share >= 0 && share <= 10000)
+      assert(r.getAs[Long]("rel_dev_x10k") >= -10000)
+    }
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
