@@ -332,6 +332,42 @@ class WaveSeventyThreeSpec extends SparkSpec {
     }
   }
 
+  test("q369: odd components bounded by components; verdict consistent") {
+    val r = BipartiteQueries.q369_bipartite_audit(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_odd_components") <= r.getAs[Long]("n_components"))
+    assert(r.getAs[Long]("n_odd_nodes") <= r.getAs[Long]("n_nodes"))
+    assert((r.getAs[Int]("bipartite") == 1) == (r.getAs[Long]("n_odd_nodes") == 0L))
+  }
+
+  test("q369: doubled-graph trick gives the right verdict on known graphs") {
+    val spark0 = spark
+    import spark0.implicits._
+    // even cycle (bipartite) in group 1; triangle (odd) in group 2
+    def audit(edges: Seq[(Long, Long)]): Boolean = {
+      val und = edges.toDF("u", "v")
+      val dbl = und.select(org.apache.spark.sql.functions.expr("u*2").as("id_a"),
+          org.apache.spark.sql.functions.expr("v*2+1").as("id_b"))
+        .union(und.select(org.apache.spark.sql.functions.expr("u*2+1").as("id_a"),
+          org.apache.spark.sql.functions.expr("v*2").as("id_b")))
+      val lab = graft.ops.Graph.connectedComponents(dbl)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      !edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .exists(u => lab(2 * u) == lab(2 * u + 1))
+    }
+    assert(audit(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))), "4-cycle is bipartite")
+    assert(!audit(Seq((1L, 2L), (2L, 3L), (3L, 1L))), "triangle is not")
+  }
+
+  test("q370: final size identical across plans; rank follows intermediate mass") {
+    val rows = BipartiteQueries.q370_join_order_preflight(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("final_rows")).distinct.length == 1,
+      "join order cannot change the final cardinality")
+    val masses = rows.map(_.getAs[Long]("intermediate_rows"))
+    assert(masses.zip(masses.drop(1)).forall { case (a, b) => a <= b })
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
