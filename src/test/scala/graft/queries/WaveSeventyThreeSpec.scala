@@ -368,6 +368,72 @@ class WaveSeventyThreeSpec extends SparkSpec {
     assert(masses.zip(masses.drop(1)).forall { case (a, b) => a <= b })
   }
 
+  test("q371: KMV falls back to exact below k and stays within a loose band above") {
+    val rows = KmvQueries.q371_kmv_estimate(spark, sfDir).collect()
+    assert(rows.length == 5 * KmvQueries.KmvKs.length)
+    rows.foreach { r =>
+      val (k, n, est) = (r.getAs[Long]("k"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_est"))
+      if (n < k) assert(est == n, s"below k the sketch is exact: $r")
+      else {
+        assert(est > 0)
+        assert(r.getAs[Long]("err_x10k") == 10000 * (est - n) / n)
+      }
+    }
+  }
+
+  test("q372: affinity matrix is upper-triangular, cos2 in [0, 10^4]") {
+    val rows = KmvQueries.q372_trigram_affinity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      val c = r.getAs[Long]("cos2_x10k")
+      assert(c >= 0 && c <= 10000, s"squared cosine is a share: $r")
+    }
+  }
+
+  test("q373: model starts at 10^4, decays monotonically; risk set shrinks with t") {
+    val rows = UpliftQueries.q373_retention_fit(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("t"))
+    assert(rows.head.getAs[Long]("model_x10k") == 10000L)
+    val m = rows.map(_.getAs[Long]("model_x10k"))
+    assert(m.zip(m.drop(1)).forall { case (a, b) => b <= a })
+    val risk = rows.map(_.getAs[Long]("n_at_risk"))
+    assert(risk.zip(risk.drop(1)).forall { case (a, b) => b <= a })
+    rows.foreach(r => assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_at_risk")))
+  }
+
+  test("q374: cumulative censuses are monotone and conversions bounded") {
+    val rows = UpliftQueries.q374_qini_curve(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+    Seq("cum_nt", "cum_ct", "cum_nc", "cum_cc").foreach { c =>
+      val v = rows.map(_.getAs[Long](c))
+      assert(v.zip(v.drop(1)).forall { case (a, b) => b >= a }, s"$c monotone")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum_ct") <= r.getAs[Long]("cum_nt"))
+      assert(r.getAs[Long]("cum_cc") <= r.getAs[Long]("cum_nc"))
+    }
+  }
+
+  test("q375: ranks are a permutation and the ratio ordering holds") {
+    val rows = CascadeQueries.q375_cascade_order(spark, sfDir).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    val byRank = rows.sortBy(_.getAs[Long]("rank"))
+    val ratios = byRank.map(_.getAs[Long]("ratio_x100"))
+    assert(ratios.zip(ratios.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("q376: bootstrap envelope brackets its own mean; variance non-negative") {
+    val r = CascadeQueries.q376_uplift_bootstrap(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_reps") == CascadeQueries.UpliftBootR.toLong)
+    assert(r.getAs[Long]("lo_x10k") <= r.getAs[Long]("boot_mean_x10k"))
+    assert(r.getAs[Long]("hi_x10k") >= r.getAs[Long]("boot_mean_x10k"))
+    assert(r.getAs[Long]("boot_var") >= 0)
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
