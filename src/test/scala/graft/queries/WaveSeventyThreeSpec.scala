@@ -434,6 +434,16 @@ class WaveSeventyThreeSpec extends SparkSpec {
     assert(r.getAs[Long]("boot_var") >= 0)
   }
 
+  test("q377: the bridge reconciles to the cent on every brand row") {
+    val rows = BridgeQueries.q377_revenue_bridge(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dr = r.getAs[Long]("rev2_c") - r.getAs[Long]("rev1_c")
+      assert(r.getAs[Long]("volume_c") + r.getAs[Long]("price_c") +
+        r.getAs[Long]("resid_c") == dr, s"waterfall must reconcile exactly: $r")
+    }
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
