@@ -31,17 +31,18 @@ object BridgeQueries {
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("rev_c"))
     val span = l.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
     val brand = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
-    val halves = l.crossJoin(broadcast(span))
+    // conditional aggregation, not a per-half self-join: ONE hash
+    // shuffle of the fact table produces both halves' censuses, and
+    // brands present in only one half fall out with zeros naturally
+    val wide = l.crossJoin(broadcast(span))
       .withColumn("half", when(col("day") < col("mid"), 1L).otherwise(2L))
       .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
-      .groupBy("p_brand", "half")
-      .agg(sum("qty").as("qty"), sum("rev_c").as("rev"))
-    val a = halves.filter(col("half") === 1)
-      .select(col("p_brand"), col("qty").as("qty1"), col("rev").as("rev1_c"))
-    val b = halves.filter(col("half") === 2)
-      .select(col("p_brand"), col("qty").as("qty2"), col("rev").as("rev2_c"))
-    a.join(b, Seq("p_brand"), "full_outer")
-      .na.fill(0L, Seq("qty1", "rev1_c", "qty2", "rev2_c"))
+      .groupBy("p_brand")
+      .agg(sum(when(col("half") === 1, col("qty")).otherwise(0L)).as("qty1"),
+        sum(when(col("half") === 1, col("rev_c")).otherwise(0L)).as("rev1_c"),
+        sum(when(col("half") === 2, col("qty")).otherwise(0L)).as("qty2"),
+        sum(when(col("half") === 2, col("rev_c")).otherwise(0L)).as("rev2_c"))
+    wide
       .withColumn("p1_c", expr("CASE WHEN qty1 = 0 THEN 0L ELSE rev1_c div qty1 END"))
       .withColumn("p2_c", expr("CASE WHEN qty2 = 0 THEN 0L ELSE rev2_c div qty2 END"))
       .withColumn("volume_c", expr("(qty2 - qty1) * p1_c"))
