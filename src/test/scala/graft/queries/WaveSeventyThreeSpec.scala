@@ -444,6 +444,27 @@ class WaveSeventyThreeSpec extends SparkSpec {
     }
   }
 
+  test("q378: full upper triangle, significance symmetric in the pair order") {
+    val rows = ContrastQueries.q378_pairwise_means(spark, sfDir).collect()
+    val ns = rows.map(_.getAs[String]("source_a")).toSet ++
+      rows.map(_.getAs[String]("source_b")).toSet
+    assert(rows.length == ns.size * (ns.size - 1) / 2, "complete upper triangle")
+    rows.foreach { r =>
+      assert(Set(0, 1).contains(r.getAs[Int]("significant")))
+    }
+  }
+
+  test("q379: violations bounded by lines, share consistent") {
+    val rows = ContrastQueries.q379_temporal_integrity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, v) = (r.getAs[Long]("n_lines"), r.getAs[Long]("n_violations"))
+      assert(v <= n)
+      assert(r.getAs[Long]("violation_x10k") == 10000 * v / n)
+      if (v > 0) assert(r.getAs[Long]("min_lag_days") < 0)
+    }
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
