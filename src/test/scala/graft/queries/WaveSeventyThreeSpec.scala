@@ -465,6 +465,32 @@ class WaveSeventyThreeSpec extends SparkSpec {
     }
   }
 
+  test("q380: HHI bounded below by the uniform floor and above by 10^4") {
+    val rows = RiskProfileQueries.q380_supplier_risk(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hhi_x10k")
+      val s = r.getAs[Long]("n_suppliers")
+      assert(h <= 10000, s"HHI is a share sum: $r")
+      assert(h >= 10000 / s - 1, s"HHI cannot beat the uniform floor: $r")
+      assert(r.getAs[Long]("n_single_sourced") <= r.getAs[Long]("n_at_most_dual"))
+      assert(r.getAs[Long]("n_at_most_dual") <= r.getAs[Long]("n_parts"))
+    }
+  }
+
+  test("q381: r2 is a share; the tokens~chars pair is strongly linear") {
+    val rows = RiskProfileQueries.q381_metric_r2(spark, sfDir).collect()
+      .map(r => r.getAs[String]("pair") -> r).toMap
+    assert(rows.size == 6)
+    rows.values.foreach { r =>
+      val v = r.getAs[Long]("r2_x10k")
+      assert(v >= 0 && v <= 10000)
+      assert(Set(-1L, 0L, 1L).contains(r.getAs[Long]("cov_sign")))
+    }
+    assert(rows("len_chars~n_tokens").getAs[Long]("r2_x10k") > 5000,
+      "character and token counts must correlate strongly")
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
