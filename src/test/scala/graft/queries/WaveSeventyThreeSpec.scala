@@ -491,6 +491,29 @@ class WaveSeventyThreeSpec extends SparkSpec {
       "character and token counts must correlate strongly")
   }
 
+  test("q382: cumulative LTV is monotone within every cohort") {
+    val rows = LtvQueries.q382_cohort_ltv(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort_week")).foreach { case (_, rs) =>
+      val cum = rs.sortBy(_.getAs[Long]("offset_week")).map(_.getAs[Long]("cum_rev_c"))
+      assert(cum.zip(cum.drop(1)).forall { case (a, b) => b >= a })
+    }
+  }
+
+  test("q383: survivors are order-invariant; costs differ only via selectivities") {
+    val rows = LtvQueries.q383_stage_order(spark, sfDir).collect()
+      .map(r => r.getAs[String]("stage_order") -> r).toMap
+    assert(rows.size == 2)
+    assert(rows.values.map(_.getAs[Long]("n_survivors")).toSeq.distinct.length == 1,
+      "the pipeline's output cannot depend on stage order")
+    val d = rows("dedup_first")
+    val n = d.getAs[Long]("n")
+    assert(d.getAs[Long]("cost_units") ==
+      n * LtvQueries.DedupCost + (n - d.getAs[Long]("n_dup")) * LtvQueries.FilterCost)
+    assert(d.getAs[Long]("n_both") <= math.min(
+      d.getAs[Long]("n_dup"), d.getAs[Long]("n_fail")))
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
