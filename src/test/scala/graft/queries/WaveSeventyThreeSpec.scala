@@ -514,6 +514,28 @@ class WaveSeventyThreeSpec extends SparkSpec {
       d.getAs[Long]("n_dup"), d.getAs[Long]("n_fail")))
   }
 
+  test("q384: small dims broadcast at sf0.001; bytes grow with rows") {
+    val rows = SizingQueries.q384_broadcast_advisor(spark, sfDir).collect()
+      .map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(rows.size == 5)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("est_bytes") > r.getAs[Long]("n_rows"),
+        "every row carries at least its fixed width")
+    }
+    assert(rows("region").getAs[Int]("broadcastable") == 1)
+    assert(rows("nation").getAs[Int]("broadcastable") == 1)
+  }
+
+  test("q385: hottest-key share and partition count are consistent") {
+    val rows = SizingQueries.q385_shuffle_advisor(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_key_cnt") <= r.getAs[Long]("n"))
+      assert(r.getAs[Long]("rec_partitions") >= 1)
+      assert(r.getAs[Long]("n_keys") <= r.getAs[Long]("n"))
+    }
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
