@@ -536,6 +536,30 @@ class WaveSeventyThreeSpec extends SparkSpec {
     }
   }
 
+  test("q386: both-votes precision >= either-vote precision; recalls bounded") {
+    val rows = EnsembleQueries.q386_ensemble_votes(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("votes") -> r).toMap
+    assert(rows.keySet.subsetOf(Set(1L, 2L)))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_true") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("recall_x10k") <= 10000)
+    }
+    if (rows.contains(1L) && rows.contains(2L))
+      assert(rows(2L).getAs[Long]("precision_x10k") >=
+        rows(1L).getAs[Long]("precision_x10k"),
+        "agreement of both screens must not be less precise than disagreement")
+  }
+
+  test("q387: quantiles are monotone and the recommendation is the 2x rule") {
+    val rows = EnsembleQueries.q387_watermark_advisor(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("quantile_x100"))
+    assert(rows.length == 3)
+    val v = rows.map(_.getAs[Long]("late_ms"))
+    assert(v.zip(v.drop(1)).forall { case (a, b) => b >= a })
+    rows.foreach(r => assert(r.getAs[Long]("rec_watermark_ms") ==
+      2 * r.getAs[Long]("late_ms")))
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
