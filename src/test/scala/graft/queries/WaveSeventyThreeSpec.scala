@@ -560,6 +560,32 @@ class WaveSeventyThreeSpec extends SparkSpec {
       2 * r.getAs[Long]("late_ms")))
   }
 
+  test("q388: census monotone as tau rises; shares bounded") {
+    val rows = SemanticSweepQueries.q388_semantic_percolation(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("k10"))
+    assert(rows.length == SemanticSweepQueries.SemTenths.length)
+    def mono(c: String) = {
+      val v = rows.map(_.getAs[Long](c))
+      assert(v.zip(v.drop(1)).forall { case (a, b) => b <= a }, s"$c non-increasing")
+    }
+    mono("n_edges"); mono("n_nodes"); mono("max_cluster")
+    rows.foreach { r =>
+      val g = r.getAs[Long]("giant_share_x10k")
+      assert(g >= 0 && g <= 10000)
+    }
+  }
+
+  test("q389: word-breaking cuts bounded by boundaries; chunked docs bounded by docs") {
+    val rows = SemanticSweepQueries.q389_chunk_boundaries(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_word_breaking") <= r.getAs[Long]("n_boundaries"))
+      assert(r.getAs[Long]("n_docs_chunked") <= r.getAs[Long]("n_docs"))
+      val s = r.getAs[Long]("breaking_x10k")
+      assert(s >= 0 && s <= 10000)
+    }
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
