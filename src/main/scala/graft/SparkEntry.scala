@@ -34,7 +34,7 @@ object SparkEntry {
       TextOpsQueries.defs ++ ValueQueries.defs ++ GovernQueries.defs ++ LinkageQueries.defs ++ ProvenanceQueries.defs ++ SweepQueries.defs ++ AgreeQueries.defs ++
       SmoothQueries.defs ++ GuardQueries.defs ++ CalibQueries.defs ++ ShapeQueries.defs ++
       AuditQueries.defs ++ MomentQueries.defs ++ GateQueries.defs ++ BandQueries.defs ++
-      ClusterSweepQueries.defs ++ ExplainQueries.defs ++ ShardQueries.defs ++ CanonQueries.defs ++ CardQueries.defs ++ GraphQualityQueries.defs ++ MotifQueries.defs ++ SignifQueries.defs ++ RiskQueries.defs ++ StyleQueries.defs ++ ActiveQueries.defs ++ MatchQueries.defs ++ WalkQueries.defs ++ CodecQueries.defs ++ PreflightQueries.defs ++ FrontierQueries.defs ++ TrustQueries.defs ++ LifecycleQueries.defs ++ CommunityQueries.defs ++ MetadataQueries.defs ++ FidelityQueries.defs ++ DesignQueries.defs ++ AllocQueries.defs ++ MixtureQueries.defs ++ AlignQueries.defs ++ ReplayQueries.defs ++ BacktestQueries.defs ++ PercolationQueries.defs ++ CohesionQueries.defs ++ NoveltyQueries.defs ++ HomophilyQueries.defs ++ AgreementQueries.defs ++ LayoutQueries.defs ++ IsotonicQueries.defs ++ SamplingQueries.defs ++ ClosureQueries.defs ++ QteQueries.defs ++ BipartiteQueries.defs ++ KmvQueries.defs ++ UpliftQueries.defs ++ CascadeQueries.defs ++ BridgeQueries.defs ++ ContrastQueries.defs ++ RiskProfileQueries.defs ++ LtvQueries.defs ++ SizingQueries.defs ++ EnsembleQueries.defs ++ SemanticSweepQueries.defs
+      ClusterSweepQueries.defs ++ ExplainQueries.defs ++ ShardQueries.defs ++ CanonQueries.defs ++ CardQueries.defs ++ GraphQualityQueries.defs ++ MotifQueries.defs ++ SignifQueries.defs ++ RiskQueries.defs ++ StyleQueries.defs ++ ActiveQueries.defs ++ MatchQueries.defs ++ WalkQueries.defs ++ CodecQueries.defs ++ PreflightQueries.defs ++ FrontierQueries.defs ++ TrustQueries.defs ++ LifecycleQueries.defs ++ CommunityQueries.defs ++ MetadataQueries.defs ++ FidelityQueries.defs ++ DesignQueries.defs ++ AllocQueries.defs ++ MixtureQueries.defs ++ AlignQueries.defs ++ ReplayQueries.defs ++ BacktestQueries.defs ++ PercolationQueries.defs ++ CohesionQueries.defs ++ NoveltyQueries.defs ++ HomophilyQueries.defs ++ AgreementQueries.defs ++ LayoutQueries.defs ++ IsotonicQueries.defs ++ SamplingQueries.defs ++ ClosureQueries.defs ++ QteQueries.defs ++ BipartiteQueries.defs ++ KmvQueries.defs ++ UpliftQueries.defs ++ CascadeQueries.defs ++ BridgeQueries.defs ++ ContrastQueries.defs ++ RiskProfileQueries.defs ++ LtvQueries.defs ++ SizingQueries.defs ++ EnsembleQueries.defs ++ SemanticSweepQueries.defs ++ ChurnAuditQueries.defs
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ DataPrepQueries.oracles ++ RelationalQueries.oracles ++
@@ -53,5 +53,5 @@ object SparkEntry {
       TextOpsQueries.oracles ++ ValueQueries.oracles ++ GovernQueries.oracles ++ LinkageQueries.oracles ++ ProvenanceQueries.oracles ++ SweepQueries.oracles ++ AgreeQueries.oracles ++
       SmoothQueries.oracles ++ GuardQueries.oracles ++ CalibQueries.oracles ++ ShapeQueries.oracles ++
       AuditQueries.oracles ++ MomentQueries.oracles ++ GateQueries.oracles ++ BandQueries.oracles ++
-      ClusterSweepQueries.oracles ++ ExplainQueries.oracles ++ ShardQueries.oracles ++ CanonQueries.oracles ++ CardQueries.oracles ++ GraphQualityQueries.oracles ++ MotifQueries.oracles ++ SignifQueries.oracles ++ RiskQueries.oracles ++ StyleQueries.oracles ++ ActiveQueries.oracles ++ MatchQueries.oracles ++ WalkQueries.oracles ++ CodecQueries.oracles ++ PreflightQueries.oracles ++ FrontierQueries.oracles ++ TrustQueries.oracles ++ LifecycleQueries.oracles ++ CommunityQueries.oracles ++ MetadataQueries.oracles ++ FidelityQueries.oracles ++ DesignQueries.oracles ++ AllocQueries.oracles ++ MixtureQueries.oracles ++ AlignQueries.oracles ++ ReplayQueries.oracles ++ BacktestQueries.oracles ++ PercolationQueries.oracles ++ CohesionQueries.oracles ++ NoveltyQueries.oracles ++ HomophilyQueries.oracles ++ AgreementQueries.oracles ++ LayoutQueries.oracles ++ IsotonicQueries.oracles ++ SamplingQueries.oracles ++ ClosureQueries.oracles ++ QteQueries.oracles ++ BipartiteQueries.oracles ++ KmvQueries.oracles ++ UpliftQueries.oracles ++ CascadeQueries.oracles ++ BridgeQueries.oracles ++ ContrastQueries.oracles ++ RiskProfileQueries.oracles ++ LtvQueries.oracles ++ SizingQueries.oracles ++ EnsembleQueries.oracles ++ SemanticSweepQueries.oracles
+      ClusterSweepQueries.oracles ++ ExplainQueries.oracles ++ ShardQueries.oracles ++ CanonQueries.oracles ++ CardQueries.oracles ++ GraphQualityQueries.oracles ++ MotifQueries.oracles ++ SignifQueries.oracles ++ RiskQueries.oracles ++ StyleQueries.oracles ++ ActiveQueries.oracles ++ MatchQueries.oracles ++ WalkQueries.oracles ++ CodecQueries.oracles ++ PreflightQueries.oracles ++ FrontierQueries.oracles ++ TrustQueries.oracles ++ LifecycleQueries.oracles ++ CommunityQueries.oracles ++ MetadataQueries.oracles ++ FidelityQueries.oracles ++ DesignQueries.oracles ++ AllocQueries.oracles ++ MixtureQueries.oracles ++ AlignQueries.oracles ++ ReplayQueries.oracles ++ BacktestQueries.oracles ++ PercolationQueries.oracles ++ CohesionQueries.oracles ++ NoveltyQueries.oracles ++ HomophilyQueries.oracles ++ AgreementQueries.oracles ++ LayoutQueries.oracles ++ IsotonicQueries.oracles ++ SamplingQueries.oracles ++ ClosureQueries.oracles ++ QteQueries.oracles ++ BipartiteQueries.oracles ++ KmvQueries.oracles ++ UpliftQueries.oracles ++ CascadeQueries.oracles ++ BridgeQueries.oracles ++ ContrastQueries.oracles ++ RiskProfileQueries.oracles ++ LtvQueries.oracles ++ SizingQueries.oracles ++ EnsembleQueries.oracles ++ SemanticSweepQueries.oracles ++ ChurnAuditQueries.oracles
 }

@@ -586,6 +586,23 @@ class WaveSeventyThreeSpec extends SparkSpec {
     }
   }
 
+  test("q390: arrivals bounded by population; every final cell accounted") {
+    val rows = ChurnAuditQueries.q390_assignment_churn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_arrived") <= r.getAs[Long]("n_vectors"))
+      val c = r.getAs[Long]("churn_x10k")
+      assert(c >= 0 && c <= 10000)
+    }
+  }
+
+  test("q391: collision groups are a subset of dup groups") {
+    val r = ChurnAuditQueries.q391_norm_collisions(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_collision_groups") <= r.getAs[Long]("n_dup_groups"))
+    if (r.getAs[Long]("n_dup_groups") > 0)
+      assert(r.getAs[Long]("max_variants") >= 1)
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
