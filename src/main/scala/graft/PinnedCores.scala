@@ -48,7 +48,11 @@ object PinnedCores {
       "bm25_scored" ->
         (() => graft.queries.SearchQueries.bm25Scored(spark, dir).count()),
       "block_candidates" ->
-        (() => graft.queries.LinkageQueries.blockingCandidates(spark, dir).count()))
+        (() => graft.queries.LinkageQueries.blockingCandidates(spark, dir).count()),
+      "lsh_pairs" ->
+        (() => DataPrepQueries.lshPairsPinned(spark, dir).count()),
+      "simhash_pairs" ->
+        (() => DataPrepQueries.simhashPairsPinned(spark, dir).count()))
   }
 
   /** Build + materialize every pinned core for (spark, dir), returning

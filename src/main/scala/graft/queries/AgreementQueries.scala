@@ -53,20 +53,13 @@ object AgreementQueries {
     * and the SimHash pigeonhole pairs. Per detector pair: sizes,
     * intersection, overlap jaccard ×10⁴ and both recalls ×10⁴. */
   def q358_detector_agreement(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val exact = Dedup.cacheTracked(
       Dedup.jaccardPairsPinned(spark, dir, n = DataPrepQueries.ShingleN,
           minJaccardX10k = DataPrepQueries.JaccardMinX10k,
           maxDf = DataPrepQueries.JaccardMaxDf)
         .select("id_a", "id_b"))
-    val lsh = Dedup.cacheTracked(
-      Dedup.minhashLshPairs(docs, n = DataPrepQueries.ShingleN,
-          bands = DataPrepQueries.MinhashBands,
-          rowsPerBand = DataPrepQueries.MinhashRows)
-        .select("id_a", "id_b"))
-    val sim = Dedup.cacheTracked(
-      Dedup.simhashPairs(docs, maxDist = DataPrepQueries.SimhashMaxDist)
-        .select("id_a", "id_b"))
+    val lsh = DataPrepQueries.lshPairsPinned(spark, dir).select("id_a", "id_b")
+    val sim = DataPrepQueries.simhashPairsPinned(spark, dir).select("id_a", "id_b")
     def arm(name: String, l: DataFrame, r: DataFrame): DataFrame = {
       val common = l.join(r, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_common"))
       l.agg(count(lit(1)).as("n_left")).crossJoin(r.agg(count(lit(1)).as("n_right")))

@@ -72,9 +72,24 @@ object DataPrepQueries {
       n = ShingleN, minJaccardX10k = JaccardMinX10k, maxDf = JaccardMaxDf)
       .orderBy("id_a", "id_b")
 
+  /** Session-pinned LSH candidate pairs (board params) — shared by
+    * q17/q358/q386: the candidate set is a staged table at corpus
+    * scale, not an artifact rebuilt per consumer. */
+  private val lshPairsMemo = new graft.ops.PinnedCoreMemo[String]
+  private[graft] def lshPairsPinned(spark: SparkSession, dir: String): DataFrame =
+    lshPairsMemo.getOrBuild(spark, dir)(
+      Dedup.minhashLshPairs(Tables.documents(spark, dir),
+        n = ShingleN, bands = MinhashBands, rowsPerBand = MinhashRows))
+
+  /** Session-pinned SimHash pigeonhole pairs (board params) — shared
+    * by q19/q358/q386. */
+  private val simhashPairsMemo = new graft.ops.PinnedCoreMemo[String]
+  private[graft] def simhashPairsPinned(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsMemo.getOrBuild(spark, dir)(
+      Dedup.simhashPairs(Tables.documents(spark, dir), maxDist = SimhashMaxDist))
+
   def q17_minhash_lsh_pairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(spark, dir),
-      n = ShingleN, bands = MinhashBands, rowsPerBand = MinhashRows)
+    lshPairsPinned(spark, dir)
       .orderBy("id_a", "id_b")
 
   def q18_simhash(spark: SparkSession, dir: String): DataFrame =
@@ -83,7 +98,7 @@ object DataPrepQueries {
       .orderBy("doc_id")
 
   def q19_simhash_pairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(spark, dir), maxDist = SimhashMaxDist)
+    simhashPairsPinned(spark, dir)
       .orderBy("id_a", "id_b")
 
   // ----------------------------------------------------------- similarity

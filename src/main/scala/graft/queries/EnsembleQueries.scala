@@ -27,17 +27,14 @@ object EnsembleQueries {
     * detector, 2 = both), pairs, truth hits, precision and recall vs
     * the exact pair set. */
   def q386_ensemble_votes(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val exact = Dedup.cacheTracked(
       Dedup.jaccardPairsPinned(spark, dir, n = DataPrepQueries.ShingleN,
           minJaccardX10k = DataPrepQueries.JaccardMinX10k,
           maxDf = DataPrepQueries.JaccardMaxDf)
         .select(col("id_a"), col("id_b"), lit(1L).as("is_true")))
-    val lsh = Dedup.minhashLshPairs(docs, n = DataPrepQueries.ShingleN,
-        bands = DataPrepQueries.MinhashBands,
-        rowsPerBand = DataPrepQueries.MinhashRows)
+    val lsh = DataPrepQueries.lshPairsPinned(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1L).as("v_lsh"))
-    val sim = Dedup.simhashPairs(docs, maxDist = DataPrepQueries.SimhashMaxDist)
+    val sim = DataPrepQueries.simhashPairsPinned(spark, dir)
       .select(col("id_a"), col("id_b"), lit(1L).as("v_sim"))
     val votes = lsh.join(sim, Seq("id_a", "id_b"), "full_outer")
       .na.fill(0L, Seq("v_lsh", "v_sim"))
