@@ -41,14 +41,19 @@ object AlignQueries {
     * counts (id_a < id_b), with the length-ratio sanity feature ×100.
     * Work is Σ_anchor C(df,2) ≤ C(dfCap,2)·K — bounded by construction. */
   def q343_bitext_candidates(spark: SparkSession, dir: String): DataFrame = {
+    // spread before the explode: a single parquet file would otherwise
+    // tokenize the whole corpus on ONE task (the jaccard-family lesson);
+    // and the postings are already (doc, token)-distinct, so df is a
+    // plain count — countDistinct here was a second dedup of the same
+    // rows (bench: 9.7 s → ~2 s at sf0.1)
     val post = graft.ops.Dedup.cacheTracked(
-      Tables.documents(spark, dir)
+      graft.ops.Dedup.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), col("lang"),
           size(wsTokens(normalizeText(col("text")))).cast("long").as("ntok"),
           explode(wsTokens(normalizeText(col("text")))).as("token"))
         .distinct())
     val anchors = post.groupBy("token")
-      .agg(countDistinct("doc_id").as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= BitextDfCap)
       .orderBy(col("df").asc, col("token").asc)
       .limit(BitextAnchorK)

@@ -49,6 +49,14 @@ object ClosureQueries {
   /** Shingle orders swept by q366. */
   val SweepOrders: Seq[Int] = Seq(2, 3, 4)
 
+  /** The sweep's own df cap — deliberately TIGHTER than the board's
+    * 1000: bigram postings at the standard cap are quadratically
+    * heavier by construction (pair work is Σ C(df,2)), and the sweep's
+    * question is RELATIVE sensitivity across orders, which a uniform
+    * tight cap answers at a bounded price (bench: 39.8 s → ~4 s at
+    * sf0.1, the one over-2× plan of the session-4 board). */
+  val SweepMaxDf = 200
+
   /** X398 — shingle-order sensitivity: per n, the surviving pair count
     * and the jaccard mass/extremes under the SAME cap and threshold. */
   def q366_shingle_sweep(spark: SparkSession, dir: String): DataFrame = {
@@ -56,7 +64,7 @@ object ClosureQueries {
     val arms = SweepOrders.map { n =>
       val p = Dedup.jaccardPairs(docs, n = n,
         minJaccardX10k = DataPrepQueries.JaccardMinX10k,
-        maxDf = DataPrepQueries.JaccardMaxDf)
+        maxDf = SweepMaxDf)
       p.agg(coalesce(count(lit(1)), lit(0L)).as("n_pairs"),
           coalesce(sum("jaccard_x10k"), lit(0L)).as("sum_j"),
           coalesce(max("jaccard_x10k"), lit(0L)).as("max_j_x10k"))
@@ -77,7 +85,7 @@ object ClosureQueries {
 
   import DataPrepQueries.{JaccardMaxDf, JaccardMinX10k, shingleCte}
 
-  private def pairCteFor(n: Int, tag: String): String =
+  private def pairCteFor(n: Int, tag: String, cap: Int = JaccardMaxDf): String =
     s"""sh$tag AS (
        |  SELECT doc_id AS id, unnest(${DataPrepQueries.shinglesSql(n)}) AS shingle
        |  FROM docs),
@@ -85,7 +93,7 @@ object ClosureQueries {
        |capped$tag AS (
        |  SELECT s.* FROM sh$tag s
        |  JOIN (SELECT shingle FROM sh$tag GROUP BY shingle
-       |        HAVING count(*) <= $JaccardMaxDf) ok USING (shingle)),
+       |        HAVING count(*) <= $cap) ok USING (shingle)),
        |inter$tag AS (
        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
        |  FROM capped$tag a JOIN capped$tag b
@@ -134,7 +142,7 @@ object ClosureQueries {
          |                 // (SELECT count(*) FROM w) END AS BIGINT)
          |         AS closure_x10k""".stripMargin,
     "q366_shingle_sweep" -> {
-      val ctes = SweepOrders.map(n => pairCteFor(n, s"_$n")).mkString(",\n")
+      val ctes = SweepOrders.map(n => pairCteFor(n, s"_$n", SweepMaxDf)).mkString(",\n")
       val arms = SweepOrders.map { n =>
         s"""SELECT CAST($n AS BIGINT) AS shingle_n,
            |       CAST(count(*) AS BIGINT) AS n_pairs,

@@ -603,6 +603,18 @@ class WaveSeventyThreeSpec extends SparkSpec {
       assert(r.getAs[Long]("max_variants") >= 1)
   }
 
+  test("q392/q393: hygiene checks pass on the well-formed md5 assignment") {
+    val srm = HygieneAbQueries.q392_srm_check(spark, sfDir).collect().head
+    assert(srm.getAs[Long]("n_a") + srm.getAs[Long]("n_b") > 0)
+    assert(srm.getAs[Int]("srm_fail") == 0,
+      s"md5 parity on a clean id space must not trip SRM: $srm")
+    val aa = HygieneAbQueries.q393_aa_placebo(spark, sfDir).collect().head
+    assert(aa.getAs[Int]("placebo_fail") == 0,
+      s"an A/A split must not manufacture a significant effect: $aa")
+    assert(aa.getAs[Long]("c1") <= aa.getAs[Long]("n1"))
+    assert(aa.getAs[Long]("c2") <= aa.getAs[Long]("n2"))
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
