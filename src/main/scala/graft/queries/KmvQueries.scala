@@ -60,7 +60,10 @@ object KmvQueries {
     * cosine ×10⁴ over 3-gram count profiles (squares/dots in
     * DECIMAL(38,0) — profile masses overflow BIGINT at corpus scale). */
   def q372_trigram_affinity(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+    // spread before the trigram explode: a single parquet file would
+    // otherwise normalize + slice the whole corpus on one task (the
+    // q343 lesson)
+    val grams = graft.ops.Dedup.spread(Tables.documents(spark, dir))
       .select(col("source"), normalizeText(col("text")).as("s"))
       .filter(length(col("s")) >= 3)
       .select(col("source"), explode(expr(
@@ -69,11 +72,19 @@ object KmvQueries {
     val norms = grams.groupBy("source")
       .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("n2"),
         count(lit(1)).as("n_grams"))
-    val dots = grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .agg(sum(expr("CAST(a.c AS DECIMAL(38,0)) * b.c")).as("dot"),
-        count(lit(1)).as("n_shared_grams"))
+    // pairs generated IN-ROW off per-gram posting lists (≤|sources|
+    // entries each) — the Dedup posting idiom: no gram self-join
+    // shuffle, the pair stream partial-aggregates map-side
+    val postings = grams.groupBy("g")
+      .agg(sort_array(collect_list(struct(col("source"), col("c")))).as("ps"))
+    val dots = postings
+      .select(explode(expr(
+        """flatten(transform(ps, (a, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), b -> named_struct(
+          |    'sa', a.source, 'sb', b.source,
+          |    'p', CAST(a.c AS DECIMAL(38,0)) * b.c))))""".stripMargin)).as("e"))
+      .groupBy(col("e.sa").as("source_a"), col("e.sb").as("source_b"))
+      .agg(sum(col("e.p")).as("dot"), count(lit(1)).as("n_shared_grams"))
     dots
       .join(norms.select(col("source").as("source_a"), col("n2").as("n2a")), "source_a")
       .join(norms.select(col("source").as("source_b"), col("n2").as("n2b")), "source_b")
