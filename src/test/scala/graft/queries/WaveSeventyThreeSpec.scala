@@ -621,6 +621,15 @@ class WaveSeventyThreeSpec extends SparkSpec {
     assert(aa.getAs[Long]("c2") <= aa.getAs[Long]("n2"))
   }
 
+  test("q394: overlap pairs bounded by slot pairs; redundant bounded by overlap") {
+    val r = RedundancyQueries.q394_topk_redundancy(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_possible"))
+    assert(r.getAs[Long]("n_redundant") <= r.getAs[Long]("n_overlap"))
+    assert(r.getAs[Long]("mean_j_x10k") <= r.getAs[Long]("max_j_x10k") ||
+      r.getAs[Long]("n_overlap") == 0)
+    assert(r.getAs[Long]("k") <= SearchQueries.Bm25K.toLong)
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
