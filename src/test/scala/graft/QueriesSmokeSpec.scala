@@ -35,4 +35,13 @@ class QueriesSmokeSpec extends SparkSpec {
     // so the driver can hash-match them too
     assert((qs -- os).isEmpty, s"unexpected rows-only: ${qs -- os}")
   }
+
+  test("no query name collides across wave modules (Map ++ would silently drop one)") {
+    val perModule = SparkEntry.defSets.map(_.keySet)
+    val merged = SparkEntry.queries.keySet
+    assert(perModule.map(_.size).sum == merged.size,
+      s"colliding names: ${perModule.flatten.groupBy(identity).collect {
+        case (k, vs) if vs.size > 1 => k
+      }.mkString(",")}")
+  }
 }
