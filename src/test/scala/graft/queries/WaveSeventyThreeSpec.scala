@@ -283,6 +283,36 @@ class WaveSeventyThreeSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsBy == per-group CC on seeded random multigraphs") {
+    val spark0 = spark
+    import spark0.implicits._
+    // deterministic LCG so the property is replayable; graphs include
+    // self-contained chains, stars and cross-links per group
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L))
+    for (seed <- 1L to 4L) {
+      val rnd = lcg(seed).drop(1)
+      val edges = (1 to 60).map { _ =>
+        val g = math.floorMod(rnd.next(), 3L)
+        val a = math.floorMod(rnd.next(), 25L)
+        val b = math.floorMod(rnd.next(), 25L)
+        (g, math.min(a, b), math.max(a, b) + 1) // +1 avoids self loops
+      }.toDF("g", "id_a", "id_b")
+      val grouped = graft.ops.Graph.connectedComponentsBy(edges, "g")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      (0L to 2L).foreach { g =>
+        val sub = edges.filter(org.apache.spark.sql.functions.col("g") === g)
+        if (!sub.isEmpty) {
+          val solo = graft.ops.Graph.connectedComponents(sub)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          solo.foreach { case (id, comp) =>
+            assert(grouped((g, id)) == comp, s"seed=$seed g=$g id=$id")
+          }
+        }
+      }
+    }
+  }
+
   test("connectedComponentsBy == per-group connectedComponents on every group") {
     val spark0 = spark
     import spark0.implicits._
