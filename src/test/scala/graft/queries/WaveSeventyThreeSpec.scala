@@ -660,6 +660,17 @@ class WaveSeventyThreeSpec extends SparkSpec {
     assert(r.getAs[Long]("k") <= SearchQueries.Bm25K.toLong)
   }
 
+  test("q395: every (type, scale) cell present; IoD non-negative; events conserved") {
+    val rows = DispersionQueries.q395_dispersion_curve(spark, sfDir).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    assert(rows.length == types.length * DispersionQueries.DispersionWindows.length)
+    rows.foreach(r => assert(r.getAs[Long]("iod_x1000") >= 0))
+    // the same events counted at every scale
+    val byW = rows.groupBy(_.getAs[Long]("w_days"))
+      .map { case (w, rs) => w -> rs.map(_.getAs[Long]("n_events")).sum }
+    assert(byW.values.toSet.size == 1, s"event totals must agree across scales: $byW")
+  }
+
   test("q346: matched <= eval, all contexts covered, zero-match guard") {
     val rows = ReplayQueries.q346_policy_replay(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 7)
