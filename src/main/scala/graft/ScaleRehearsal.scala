@@ -23,12 +23,16 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleRehearsal {
 
-  /** The heavy five: the board's most expensive doc/embedding plans
-    * (round-6 plan-audit list, minus events-based q168 which the
-    * replica corpus does not synthesize). */
+  /** The default heavy set: the board's most expensive doc/embedding
+    * plans (round-6 plan-audit list, minus events-based q168 which the
+    * replica corpus does not synthesize), extended in round-8
+    * session 4 with the new graph-family heavies — all rehearsed at
+    * 10× / 8 GiB with zero OOM and sub-linear wall (README). */
   private val HeavyFive = Seq(
     "q200_ppjoin_pairs", "q114_neardup_flow", "q138_vocab_growth",
-    "q196_degree_assortativity", "q222_blocking_linkage")
+    "q196_degree_assortativity", "q222_blocking_linkage",
+    "q369_bipartite_audit", "q349_percolation_sweep",
+    "q388_semantic_percolation")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
