@@ -264,7 +264,7 @@ object ShapeQueries {
          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |  JOIN nation ns ON s.s_nationkey = ns.n_nationkey)
-         |SELECT nation, o_year, sum(profit_c) AS profit_c
+         |SELECT nation, o_year, CAST(sum(profit_c) AS BIGINT) AS profit_c
          |FROM v GROUP BY nation, o_year
          |ORDER BY nation, o_year DESC""".stripMargin
   )

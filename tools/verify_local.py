@@ -43,6 +43,27 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); continue
     if len(got) != len(exp):
         fails.append(name); print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); continue
+    # Driver parity: the driver hashes *formatted* values, so an int column on
+    # one side vs a float column on the other (e.g. DuckDB HUGEINT -> pandas
+    # float64 when the oracle forgot a CAST) hash-mismatches even when the
+    # numbers are equal. Fail on int-vs-float dtype-kind divergence up front.
+    def kind(s):
+        k = s.dtype.kind
+        if k == "O" and len(s) and all(
+                pd.isna(v) or isinstance(v, int) for v in s):
+            return "i"  # DuckDB HUGEINT surfaces as object-of-int
+        return k
+    dbad = None
+    for c in got.columns:
+        gk, ek = kind(got[c]), kind(exp[c])
+        if {gk, ek} == {"i", "f"} or ({gk, ek} <= {"i", "u", "f"} and gk != ek
+                                      and "f" in {gk, ek}):
+            dbad = (c, gk, ek); break
+    if dbad:
+        fails.append(name)
+        print(f"FAIL {name}: dtype-kind col={dbad[0]} spark={dbad[1]} oracle={dbad[2]}"
+              " (int-vs-float: missing CAST in oracle?)")
+        continue
     # exact value compare, row order as produced (both sides ORDER BY)
     bad = None
     for c in got.columns:
