@@ -103,10 +103,14 @@ object Graph {
           Seq("g", "dst"))
         .groupBy("g", "src").agg(min("nbr_comp").as("nbr_min"))
         .select(col("g"), col("src").as("id"), col("nbr_min"))
+      // checkpoint hop: it feeds BOTH sides of the pointer-jumping
+      // self-join — un-checkpointed, the join+groupBy above would run
+      // twice per round (round-8 ADVICE)
       val hop = labels
         .join(incoming, Seq("g", "id"), "left")
         .select(col("g"), col("id"), col("comp").as("prev_comp"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .localCheckpoint(eager = true)
       val next = hop
         .join(hop.select(col("g"), col("id").as("comp"), col("comp").as("comp2")),
           Seq("g", "comp"), "left")
@@ -114,6 +118,7 @@ object Graph {
           least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
         .localCheckpoint(eager = true)
       converged = next.filter(col("comp") < col("prev_comp")).isEmpty
+      releaseLocalCheckpoint(hop)
       releaseLocalCheckpoint(labels)
       labels = next.select("g", "id", "comp")
       iter += 1
@@ -139,10 +144,15 @@ object Graph {
         .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
         .groupBy("src").agg(min("nbr_comp").as("nbr_min"))
         .select(col("src").as("id"), col("nbr_min"))
+      // checkpointed: hop feeds both sides of the pointer-jumping
+      // self-join below — without this the neighbor-min join+groupBy
+      // runs twice per round (round-8 ADVICE, grouped variant; same
+      // shape here)
       val hop = labels
         .join(incoming, Seq("id"), "left")
         .select(col("id"), col("comp").as("prev_comp"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .localCheckpoint(eager = true)
       // pointer-jumping shortcut: also adopt the label OF my label
       // (comp(comp(x)) — reachable via comp(x), so the min-reachable
       // invariant holds and the fixpoint is unchanged). One extra
@@ -157,8 +167,9 @@ object Graph {
           least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
         .localCheckpoint(eager = true)
       converged = next.filter(col("comp") < col("prev_comp")).isEmpty
-      // superseded round's label blocks are dead once `next` is
+      // superseded round's hop + label blocks are dead once `next` is
       // materialized — release eagerly instead of waiting for a driver GC
+      releaseLocalCheckpoint(hop)
       releaseLocalCheckpoint(labels)
       labels = next.select("id", "comp")
       iter += 1

@@ -20,26 +20,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object ContractStream {
 
-  private val Pointer = "_CURRENT"
-
-  /** Current per-group (n_lines, n_violations, min_lag) state. */
-  def snapshot(spark: SparkSession, statePath: String): DataFrame = {
-    val ptr = new java.io.File(statePath, Pointer)
-    if (ptr.exists()) {
-      val gen = java.nio.file.Files.readString(ptr.toPath).trim.split(':')(1)
-      spark.read.parquet(new java.io.File(statePath, gen).toString)
-    } else {
-      import spark.implicits._
-      Seq.empty[(String, Long, Long, Long)]
-        .toDF("g", "n_lines", "n_violations", "min_lag_days")
+  /** Current per-group (n_lines, n_violations, min_lag) state.
+    * Pointer format is owned by [[GenState]] (round-8 ADVICE: one
+    * owner, not three private parsers). */
+  def snapshot(spark: SparkSession, statePath: String): DataFrame =
+    GenState.currentGen(statePath) match {
+      case Some(gen) =>
+        spark.read.parquet(new java.io.File(statePath, gen).toString)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, Long, Long, Long)]
+          .toDF("g", "n_lines", "n_violations", "min_lag_days")
     }
-  }
 
-  private def lastBatchId(statePath: String): Long = {
-    val ptr = new java.io.File(statePath, Pointer)
-    if (ptr.exists()) java.nio.file.Files.readString(ptr.toPath).trim.split(':')(0).toLong
-    else -1L
-  }
+  private def lastBatchId(statePath: String): Long =
+    GenState.lastBatchId(statePath)
 
   /** The q379-shaped report off a state snapshot. */
   def report(state: DataFrame): DataFrame =

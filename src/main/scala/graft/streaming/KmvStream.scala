@@ -16,19 +16,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object KmvStream {
 
-  private val Pointer = "_CURRENT"
-
-  /** Current (group, h) bottom-k state (empty frame if none). */
-  def snapshot(spark: SparkSession, statePath: String): DataFrame = {
-    val ptr = new java.io.File(statePath, Pointer)
-    if (ptr.exists()) {
-      val gen = java.nio.file.Files.readString(ptr.toPath).trim.split(':')(1)
-      spark.read.parquet(new java.io.File(statePath, gen).toString)
-    } else {
-      import spark.implicits._
-      Seq.empty[(String, Long)].toDF("g", "h")
+  /** Current (group, h) bottom-k state (empty frame if none).
+    * Pointer format is owned by [[GenState]] (round-8 ADVICE). */
+  def snapshot(spark: SparkSession, statePath: String): DataFrame =
+    GenState.currentGen(statePath) match {
+      case Some(gen) =>
+        spark.read.parquet(new java.io.File(statePath, gen).toString)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("g", "h")
     }
-  }
 
   /** Bottom-k of a (g, h) frame — distinct hashes, k smallest per g. */
   def bottomK(df: DataFrame, k: Int): DataFrame =

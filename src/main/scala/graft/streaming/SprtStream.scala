@@ -21,25 +21,19 @@ import graft.queries.IsotonicQueries
   */
 object SprtStream {
 
-  private val Pointer = "_CURRENT"
-
-  /** Current per-day (n_trials, n_succ) state (empty frame if none). */
-  def daysSnapshot(spark: SparkSession, statePath: String): DataFrame = {
-    val ptr = new java.io.File(statePath, Pointer)
-    if (ptr.exists()) {
-      val gen = java.nio.file.Files.readString(ptr.toPath).trim.split(':')(1)
-      spark.read.parquet(new java.io.File(statePath, gen).toString)
-    } else {
-      import spark.implicits._
-      Seq.empty[(Long, Long, Long)].toDF("day", "n_trials", "n_succ")
+  /** Current per-day (n_trials, n_succ) state (empty frame if none).
+    * Pointer format is owned by [[GenState]] (round-8 ADVICE). */
+  def daysSnapshot(spark: SparkSession, statePath: String): DataFrame =
+    GenState.currentGen(statePath) match {
+      case Some(gen) =>
+        spark.read.parquet(new java.io.File(statePath, gen).toString)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long)].toDF("day", "n_trials", "n_succ")
     }
-  }
 
-  private def lastBatchId(statePath: String): Long = {
-    val ptr = new java.io.File(statePath, Pointer)
-    if (ptr.exists()) java.nio.file.Files.readString(ptr.toPath).trim.split(':')(0).toLong
-    else -1L
-  }
+  private def lastBatchId(statePath: String): Long =
+    GenState.lastBatchId(statePath)
 
   /** The llr walk + decisions over a (day, n_trials, n_succ) frame —
     * shared by the stream snapshot and the batch-equivalence spec. */
