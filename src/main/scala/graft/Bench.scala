@@ -376,13 +376,25 @@ object Bench {
         s""""heavy_ratio":$heavyRatio,"heavy_n_over_2x":$heavyOver}"""
       }
     }
+    // gc/jit/heap per section INSIDE the compact line (round-8 VERDICT
+    // #5: cross-VM streaming variance must be attributable from the
+    // tail capture alone) — the scalar triple only, not the full
+    // code-cache breakdown, to stay inside the 1.5 KB guard
+    val diagCompact = diag.map { case (k, v) =>
+      def grabD(key: String): String = {
+        val re = (key + "=([0-9]+)").r
+        re.findFirstMatchIn(v).map(_.group(1)).getOrElse("-1")
+      }
+      "\"" + k + "\":\"" +
+        s"gcMs=${grabD("gcMs")} jitMs=${grabD("jitMs")} heapMB=${grabD("heapMB")}" + "\""
+    }.mkString("{", ",", "}")
     def compactWith(slow: String): String =
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
       s""""n_queries":${names.size},""" +
       s""""stream_hdfs_events_per_sec":$evHdfs,"stream_rocksdb_events_per_sec":$evRocks,""" +
       s""""stream_hdfs_events_per_sec_10x":$evHdfs10x,"stream_rocksdb_events_per_sec_10x":$evRocks10x,""" +
       s""""cores_total_s":${f"$coresTotal%.2f"},"duck_pairing":$duckCompact,""" +
-      s""""slowest":$slow,"failed_reps":$failedReps,""" +
+      s""""slowest":$slow,"failed_reps":$failedReps,"diag":$diagCompact,""" +
       s""""queries_detail":"BENCH_LATEST.json","sf":"$sfDir"}"""
     val compactLine = {
       val c = compactWith(slowest)

@@ -81,6 +81,9 @@ object GraftFunctions {
   val Int8QuantizeName = "graft_int8_quantize"
   val SlidingMinName = "graft_sliding_min_distinct"
   val CappedCollectName = "graft_capped_collect"
+  val WinnowFpsName = "graft_winnow_fps"
+  val SortedPairsName = "graft_sorted_pairs"
+  val CdcChunksName = "graft_cdc_chunks"
 
   /** Literal-int extraction for builder lambdas (k arguments must be
     * foldable — a non-literal k is a registration-time error, not a
@@ -120,5 +123,14 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CappedCollectName)))
       reg.createOrReplaceTempFunction(
         CappedCollectName, exprs => CappedCollectLongs(exprs.head, exprs(1)), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(WinnowFpsName)))
+      reg.createOrReplaceTempFunction(
+        WinnowFpsName, exprs => WinnowFps(exprs.head, litInt(exprs(1)), litInt(exprs(2))), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(SortedPairsName)))
+      reg.createOrReplaceTempFunction(
+        SortedPairsName, exprs => SortedPairs(exprs.head), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CdcChunksName)))
+      reg.createOrReplaceTempFunction(
+        CdcChunksName, exprs => CdcChunks(exprs.head, litInt(exprs(1))), "scala_udf")
   }
 }

@@ -1,0 +1,60 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+
+/** All ordered pairs (a[i], a[j]) with i < j of a sorted `array<bigint>`
+  * as one `array<struct<id_a, id_b>>` — the in-row pair generator of the
+  * df-capped inverted index ([[graft.ops.Dedup.cappedPostingPairs]]).
+  *
+  * Replaces the HOF form `flatten(transform(sids, (x, i) ->
+  * transform(slice(sids, i + 2, size(sids)), y -> struct(x, y))))`:
+  * `slice` copies a suffix array per element (O(L²) allocation before
+  * any pair is emitted) and the nested lambdas evaluate interpreted per
+  * pair. Here the L·(L−1)/2 structs are written in one preallocated
+  * walk. Output order (lexicographic by (i, j)) and values are
+  * identical; id_a < id_b holds because the input is sorted-distinct.
+  */
+case class SortedPairs(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sorted_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = InternalRow(x, a.getLong(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedPairs =
+    copy(child = newChild)
+}

@@ -310,10 +310,12 @@ object Dedup {
         graft.expressions.GraftFunctions.CappedCollectName,
         col(idCol), lit(maxDf.toInt)).as("sids"))
       .filter(size(col("sids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(sids, (x, i) -> " +
-          "transform(slice(sids, i + 2, size(sids)), y -> struct(x AS id_a, y AS id_b))))"))
-        .as("p"))
+      // in-row pair walk via SortedPairs (round-9): the HOF form
+      // (flatten/transform/slice) copied a suffix array per element and
+      // ran interpreted per pair — same pair multiset, one prealloc'd
+      // walk (measured ~2× on the q211 posting stage)
+      .select(explode(call_function(
+        graft.expressions.GraftFunctions.SortedPairsName, col("sids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
   }
 

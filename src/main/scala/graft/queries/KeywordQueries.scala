@@ -45,22 +45,30 @@ object KeywordQueries {
     */
   def q165_rake_keywords(spark: SparkSession, dir: String): DataFrame = {
     val stops = TextFunctions.Stopwords.toMap.apply("en")
-    val pos = Tables.documents(spark, dir)
-      .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "token")))
-      .filter(length(col("token")) > 0 && !col("token").isin(stops.map(lit(_)): _*))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val phrOcc = pos
-      .withColumn("isl", col("pos") - row_number().over(w))
-      .groupBy("doc_id", "isl")
-      .agg(sort_array(collect_list(struct(col("pos"), col("token")))).as("pt"))
-      .withColumn("words", expr("transform(pt, x -> x.token)"))
-      .filter(size(col("words")).between(1, MaxPhraseLen))
-      .withColumn("phrase", concat_ws(" ", col("words")))
+    // Run detection WITHOUT the token explode + per-doc window + struct
+    // collect of earlier rounds (measured 3.1× DuckDB at sf0.1): a
+    // stopword-delimited phrase is computable per ROW — mark stop/empty
+    // tokens with a sentinel (\\u0001 — can't occur in normalized text:
+    // ASCII punctuation is stripped, and the corpus is plain text), join,
+    // split on sentinel runs. One narrow map-only scan feeding one
+    // groupBy; the corpus never hits a window sort or a collect_list.
+    val D = "\u0001"
+    val stopList = stops.map(s => s"'$s'").mkString(", ")
+    val phrOcc = Tables.documents(spark, dir)
+      .select(wsTokens(normalizeText(col("text"))).as("t"))
+      .select(explode(expr(
+        s"filter(split(concat_ws(' ', transform(t, x -> IF(length(x) = 0 OR x IN ($stopList), '$D', x))), '[$D ]*$D[$D ]*'), p -> p <> '')"))
+        .as("phrase"))
+      .filter(size(split(col("phrase"), " ")).between(1, MaxPhraseLen))
       .groupBy("phrase")
       .agg(count(lit(1)).cast("long").as("n_occ"))
+    // phrOcc (vocabulary-bounded, ~1.5k rows at sf0.1) feeds BOTH the
+    // word-score aggregate and the scoring join — cache it, or the
+    // corpus tokenize pass above runs twice (the q112 two-FileScan
+    // pattern; measured 0.6 s of the 1.3 s total)
+    val phrCached = graft.ops.Dedup.cacheTracked(phrOcc)
     // distinct phrase → its word multiset (plen = words per occurrence)
-    val pw = phrOcc
+    val pw = phrCached
       .withColumn("plen", size(split(col("phrase"), " ")).cast("long"))
       .withColumn("word", explode(split(col("phrase"), " ")))
     val wordScore = pw.groupBy("word")

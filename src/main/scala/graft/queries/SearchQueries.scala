@@ -157,21 +157,24 @@ object SearchQueries {
     * Scale: one token pass; the chunk-id assignment window partitions by
     * doc (never global); ownership is one hash-keyed shuffle. */
   def q144_cdc_chunks(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val toks = graft.ops.Dedup.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), posexplode(normTokens(col("text"))).as(Seq("pos", "token")))
-      .withColumn("cut",
-        (conv(substring(md5(col("token")), 1, 2), 16, 10).cast("long") % CdcCutMod === 0L)
-          .cast("long"))
-    val chunks = toks
-      .withColumn("chunk_id", coalesce(sum("cut").over(w), lit(0L)))
-      .groupBy("doc_id", "chunk_id")
-      .agg(md5(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("token")))),
-          x => x.getField("token")))).as("chunk_hash"),
-        count(lit(1)).as("chunk_len"))
+    // FUSED chunking (round-9): cut decision, chunk grouping and chunk
+    // hash are one [[graft.expressions.CdcChunks]] walk over the
+    // in-row token array — the composed form (posexplode of every
+    // token, per-doc WindowExec running the cut prefix-sum, groupBy
+    // with a sorted struct collect) exploded the corpus three times
+    // for values that are linear per doc. CdcChunksSpec pins the A/B
+    // bit-identical. Cached: the chunk table feeds the ownership
+    // aggregate AND the join-back (two consumers; ~|tokens|/cutMod
+    // rows, digests only — never chunk text).
+    graft.expressions.GraftFunctions.register(spark)
+    val chunks = graft.ops.Dedup.cacheTracked(
+      graft.ops.Dedup.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), normTokens(col("text")).as("t"))
+        .select(col("doc_id"), explode(call_function(
+          graft.expressions.GraftFunctions.CdcChunksName,
+          col("t"), lit(CdcCutMod.toInt))).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          col("c.chunk_hash").as("chunk_hash"), col("c.chunk_len").as("chunk_len")))
     val owner = chunks.groupBy("chunk_hash")
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("own"))
     chunks.join(owner, "chunk_hash")

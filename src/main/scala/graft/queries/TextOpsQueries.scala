@@ -50,24 +50,43 @@ object TextOpsQueries {
     * Scale: per-doc windows (corpus parallelism = docs), fingerprint
     * index is df-capped like q16's, pairs shuffle on the fingerprint —
     * never all-pairs. */
+  /** Packing base for (doc_id, nfp) → one BIGINT: id·2³¹ + nfp.
+    * Envelope (round-9, the KsDrift bound-comment discipline): nfp <
+    * 2³¹ is structural — a doc needs ≥ 2³¹ grams (≈ 8 GiB of text in
+    * ONE document) to overflow the low bits; doc_id must stay < 2³²,
+    * i.e. 4 B documents per corpus snapshot. Past either bound, revert
+    * to the unpacked sizes-join form this replaced (git: round-8). */
+  val WinnowPackBase = 2147483648L // 2^31
+
   def q211_winnow_pairs(spark: SparkSession, dir: String): DataFrame = {
-    // tracked: the fingerprint table feeds the two-pass df cap (count +
-    // semi join), the posting collect AND the per-doc sizes — one winnow
-    // pass, three consumers
-    val fps = graft.ops.Dedup.cacheTracked(
-      winnowFingerprints(graft.ops.Dedup.spread(Tables.documents(spark, dir))))
+    // Per-doc fingerprint count is known IN-ROW (it's the winnow
+    // array's size), so pack (doc_id, nfp) into the posting id and the
+    // whole sizes subtree — one groupBy(doc_id) shuffle plus two joins
+    // of round-8's form — disappears, along with the cache the extra
+    // consumers needed. Packed ids sort exactly like doc ids (distinct
+    // docs ⇒ the nfp low bits never decide an order), so
+    // cappedPostingPairs' id_a < id_b contract carries over.
+    graft.expressions.GraftFunctions.register(spark)
+    val fps = graft.ops.Dedup.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
+      .select(col("doc_id"), call_function(
+        graft.expressions.GraftFunctions.WinnowFpsName,
+        col("t"), lit(WinnowN), lit(WinnowW)).as("hs"))
+      .select((col("doc_id") * WinnowPackBase + size(col("hs"))).as("pid"),
+        explode(col("hs")).as("h"))
     // in-row pair generation off the df-capped posting lists
-    // (Dedup.cappedPostingPairs): two-pass cap prunes hot fingerprints
-    // BEFORE any list is collected, bounded sorted lists, pairs explode
-    // codegen'd with id_a < id_b by construction
-    val shared = graft.ops.Dedup.cappedPostingPairs(fps, "h", "doc_id", WinnowMaxDf)
+    // (Dedup.cappedPostingPairs): the capped collector prunes hot
+    // fingerprints inside the aggregate, bounded sorted lists, pairs
+    // walked in-row with id_a < id_b by construction
+    val shared = graft.ops.Dedup.cappedPostingPairs(fps, "h", "pid", WinnowMaxDf)
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
-    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
-    val scored = shared
-      .join(sizes.select(col("doc_id").as("id_a"), col("nfp").as("fp_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("nfp").as("fp_b")), "id_b")
-    scored.orderBy(col("n_shared").desc, col("id_a"), col("id_b")).limit(WinnowTopK)
+      .select(expr(s"id_a div ${WinnowPackBase}L").as("id_a"),
+        (col("id_a") % WinnowPackBase).as("fp_a"),
+        expr(s"id_b div ${WinnowPackBase}L").as("id_b"),
+        (col("id_b") % WinnowPackBase).as("fp_b"),
+        col("n_shared"))
+    shared.orderBy(col("n_shared").desc, col("id_a"), col("id_b")).limit(WinnowTopK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_shared").desc, col("id_a"), col("id_b"))).cast("long"))
       .select("rank", "id_a", "id_b", "n_shared", "fp_a", "fp_b")
@@ -79,6 +98,23 @@ object TextOpsQueries {
     * (any shared token run of length ≥ w+n−1 yields a shared
     * fingerprint) against planted runs. */
   private[queries] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    // FUSED form (round-9): the whole per-doc subtree below — gram md5
+    // keys, sliding-min selection, decode, dedup — is one
+    // [[graft.expressions.WinnowFps]] pass (incremental digest, no hex
+    // round-trip, no interpreted HOF lambda per gram). The composed SQL
+    // form it replaced stays in [[winnowFingerprintsReference]] and
+    // WaveThirtySpec pins the A/B bit-identical.
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
+      .select(col("doc_id"), explode(call_function(
+        graft.expressions.GraftFunctions.WinnowFpsName,
+        col("t"), lit(WinnowN), lit(WinnowW))).as("h"))
+  }
+
+  /** The pre-fusion composed form of [[winnowFingerprints]] — kept as
+    * the executable spec the fused expression is pinned against. */
+  private[queries] def winnowFingerprintsReference(docs: DataFrame): DataFrame = {
     // IN-ROW winnow (round-7): the packed keys live in one per-doc array
     // and "selected = distinct of per-full-window minima" is a transform
     // over window starts — no gram explode, no per-doc sort shuffle, no

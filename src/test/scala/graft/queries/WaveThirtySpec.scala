@@ -46,6 +46,20 @@ class WaveThirtySpec extends SparkSpec {
     assert(fps.except(again).count() == 0 && again.except(fps).count() == 0)
   }
 
+  test("winnowing: fused WinnowFps expression == composed SQL reference, bit-identical") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 60).map(i => s"w$i")
+    val docs = (1L to 40L).map { id =>
+      // lengths straddle every branch: no gram, 1 gram, < w windows, many
+      val len = rnd.nextInt(30)
+      (id, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fused = TextOpsQueries.winnowFingerprints(docs)
+    val ref = TextOpsQueries.winnowFingerprintsReference(docs)
+    assert(fused.except(ref).count() == 0 && ref.except(fused).count() == 0,
+      "fused winnow fingerprints diverge from the composed SQL form")
+  }
+
   test("removal effect: gating channel scores 10000, irrelevant channel 0, partial path pro-rata") {
     // u1: view -> click -> purchase ; u2: view -> error (no conversion) ;
     // u3: click -> purchase. 'click' gates EVERY conversion; 'error' sits
