@@ -301,6 +301,83 @@ object Multimodal {
     }
   }
 
+  /** THE VIDEO CODEC SEAM — the exact interface a native decoder
+    * (H.264/VP9/AV1 via JNI/FFM) drops into; everything Spark-side
+    * ([[sampleFrames]]'s partition iterator, row expansion, schema) is
+    * codec-agnostic and unchanged by a swap.
+    *
+    * Contract (CodecContractSpec pins every clause for BOTH shipped
+    * implementations):
+    *   1. `open` NEVER throws — it returns None for a container this
+    *      codec cannot parse (garbage bytes, foreign magic, truncation).
+    *   2. An [[OpenedVideo]] is deterministic: the same (payload,
+    *      durationMs, tsMs) yields the same digest across instances,
+    *      JVMs and executors.
+    *   3. `frameDigestAt` is total on [0, durationMs): every sampled
+    *      timestamp yields a 32-char lowercase-hex md5 — no gaps, no
+    *      exceptions at the edges (ts = 0 and ts = durationMs − 1).
+    *   4. `nFrames >= 1`, and the ts → frame mapping is monotone:
+    *      ts₁ ≤ ts₂ never maps to a later-then-earlier frame.
+    *   5. A REAL codec's digest is content-addressed (md5 of the decoded
+    *      frame bytes), so identical footage digests identically across
+    *      assets. The stub cannot satisfy 5 (it has no frames) and
+    *      documents digest = f(payload, ts) instead — which is why it
+    *      must be LAST in the chain, behind every real codec.
+    */
+  trait VideoCodec extends Serializable {
+    def name: String
+    /** Parse the container header; None when undecodable. MUST NOT throw. */
+    def open(payload: Array[Byte], durationMs: Long): Option[OpenedVideo]
+  }
+
+  /** A parsed video stream, ready for random-access frame digests. */
+  trait OpenedVideo {
+    /** Total decodable frames (≥ 1). */
+    def nFrames: Int
+    /** md5 hex of the frame nearest `tsMs` (uniform frame spacing when
+      * the container carries no per-frame timestamps). `md` is a reusable
+      * per-partition digest instance. */
+    def frameDigestAt(tsMs: Long, md: java.security.MessageDigest): String
+  }
+
+  /** [[MjpegCodec]] behind the seam: real frame extraction, digest = md5
+    * of the sampled frame's actual JPEG bytes (contract clause 5). */
+  object MjpegVideoCodec extends VideoCodec {
+    val name = "mjpeg"
+    def open(payload: Array[Byte], durationMs: Long): Option[OpenedVideo] =
+      MjpegCodec.frames(payload).map { fr =>
+        new OpenedVideo {
+          val nFrames: Int = fr.length
+          def frameDigestAt(tsMs: Long, md: java.security.MessageDigest): String = {
+            val idx = math.min(fr.length - 1,
+              (tsMs * fr.length / math.max(durationMs, 1L)).toInt)
+            val (off, len) = fr(idx)
+            md.reset(); md.update(payload, off, len)
+            md.digest().map("%02x".format(_)).mkString
+          }
+        }
+      }
+  }
+
+  /** [[FakeCodec]] behind the seam: always opens (the terminal fallback),
+    * digest = md5(payload ‖ ts) — deterministic but NOT content-addressed
+    * (clause 5 exemption; see the seam doc). Every millisecond is
+    * notionally its own frame. */
+  object FakeVideoCodec extends VideoCodec {
+    val name = "fake"
+    def open(payload: Array[Byte], durationMs: Long): Option[OpenedVideo] =
+      Some(new OpenedVideo {
+        val nFrames: Int =
+          math.max(1L, math.min(durationMs, Int.MaxValue.toLong)).toInt
+        def frameDigestAt(tsMs: Long, md: java.security.MessageDigest): String =
+          FakeCodec.frameDigest(md, payload, tsMs)
+      })
+  }
+
+  /** Default decode chain: real codecs first, stub last. An H.264 drop-in
+    * is `H264VideoCodec +: DefaultVideoCodecs` — no Spark-side change. */
+  val DefaultVideoCodecs: Seq[VideoCodec] = Seq(MjpegVideoCodec, FakeVideoCodec)
+
   /** Video frame sampling: row-expanding per-partition transform — one
     * output row per sampled timestamp (0, everyMs, 2·everyMs, … <
     * durationMs). The expansion happens inside the iterator (no
@@ -308,29 +385,27 @@ object Multimodal {
     * materializing all frames of a partition at once — the shape that
     * holds when a partition carries hours of footage.
     *
-    * Payloads that parse as MJPEG get REAL frame extraction: the sampled
-    * timestamp maps to frame index ⌊ts·nFrames/durationMs⌋ (uniform frame
-    * spacing — MJPEG carries no per-frame timestamps) and the digest is
-    * md5 of that frame's actual JPEG bytes, so identical footage produces
-    * identical digests regardless of which asset carries it. Other
-    * payloads keep the deterministic fake digest. */
-  def sampleFrames(assets: Dataset[MediaAsset], everyMs: Long): Dataset[FrameSample] = {
+    * Decoding goes through the [[VideoCodec]] chain (first codec whose
+    * `open` accepts the payload wins): MJPEG payloads get REAL frame
+    * extraction with content-addressed digests, everything else falls
+    * through to the deterministic stub. */
+  def sampleFrames(
+      assets: Dataset[MediaAsset],
+      everyMs: Long,
+      codecs: Seq[VideoCodec] = DefaultVideoCodecs): Dataset[FrameSample] = {
     import assets.sparkSession.implicits._
     require(everyMs > 0, "sampling cadence must be positive")
+    require(codecs.nonEmpty, "codec chain must not be empty")
     assets.mapPartitions { batch =>
       val md5 = java.security.MessageDigest.getInstance("MD5")
       batch.filter(_.meta.modality == "video").flatMap { a =>
         val n = ((a.meta.durationMs + everyMs - 1) / everyMs).toInt
-        val mjpeg = MjpegCodec.frames(a.payload)
+        val opened = codecs.iterator
+          .flatMap(_.open(a.payload, a.meta.durationMs)).nextOption()
         (0 until n).iterator.map { i =>
           val ts = i * everyMs
-          val digest = mjpeg match {
-            case Some(fr) =>
-              val idx = math.min(fr.length - 1,
-                (ts * fr.length / math.max(a.meta.durationMs, 1L)).toInt)
-              val (off, len) = fr(idx)
-              md5.reset(); md5.update(a.payload, off, len)
-              md5.digest().map("%02x".format(_)).mkString
+          val digest = opened match {
+            case Some(o) => o.frameDigestAt(ts, md5)
             case None => FakeCodec.frameDigest(md5, a.payload, ts)
           }
           FrameSample(a.asset_id, i, ts, digest)

@@ -45,10 +45,17 @@ object HygieneQueries {
       .agg(count(lit(1)).as("n"), sum("n2").as("sum_norm2"))
     val dimSums = emb.select(col("label"), posexplode(col("vq")).as(Seq("dim", "v")))
       .groupBy("label", "dim").agg(sum("v").as("s"))
-      .groupBy("label").agg(sum(col("s") * col("s")).as("sumvec_norm2"))
+      // s² accumulates in DECIMAL(38,0): s is a per-dim sum of int8
+      // components (≈ n·127), so Σ_dim s² ≈ dim·n²·1.6e4 — BIGINT dies
+      // near 3e6 vectors per label (round-9 envelope audit); reported
+      // column keeps its BIGINT contract
+      .groupBy("label").agg(expr(
+        "CAST(sum(CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)").as("sumvec_norm2"))
     norms.join(dimSums, "label")
       .select(col("label"), col("n"), col("sum_norm2"), col("sumvec_norm2"),
-        expr("(1000 * (n * sum_norm2 - sumvec_norm2)) div (n * n)").as("dispersion_x1k"))
+        // DECIMAL(38,0): n·sum_norm2 ≈ n²·dim·127² — BIGINT dies near
+        // n ≈ 1e5 vectors per label (round-9 envelope audit)
+        expr("CAST((1000 * (CAST(n AS DECIMAL(38,0)) * sum_norm2 - sumvec_norm2)) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("dispersion_x1k"))
       .orderBy("label")
   }
 

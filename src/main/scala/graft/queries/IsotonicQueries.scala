@@ -58,7 +58,10 @@ object IsotonicQueries {
         (col("cpos") - col("pos")).as("cposj"))
       .join(pre.select(col("i").as("k"), col("cn").as("cnk"), col("cpos").as("cposk")),
         expr("j <= k"))
-      .withColumn("m_x1m", expr("(1000000 * (cposk - cposj)) div (cnk - cnj)"))
+      // DECIMAL(38,0): cumulative positives × 1e6 passes BIGINT once the
+      // PAV pool spans ~9e12 rows (round-9 envelope audit)
+      .withColumn("m_x1m", expr(
+        "CAST((1000000 * (CAST(cposk AS DECIMAL(38,0)) - cposj)) div (cnk - cnj) AS BIGINT)"))
     val iso = pre.select(col("i"), col("bucket"), col("n"), col("pos"))
       .join(jk, expr("j <= i AND k >= i"))
       .groupBy("i", "bucket", "n", "pos", "j")

@@ -62,13 +62,13 @@ object KeywordQueries {
       .filter(size(split(col("phrase"), " ")).between(1, MaxPhraseLen))
       .groupBy("phrase")
       .agg(count(lit(1)).cast("long").as("n_occ"))
-    // phrOcc (vocabulary-bounded, ~1.5k rows at sf0.1) feeds BOTH the
-    // word-score aggregate and the scoring join — cache it, or the
-    // corpus tokenize pass above runs twice (the q112 two-FileScan
-    // pattern; measured 0.6 s of the 1.3 s total)
-    val phrCached = graft.ops.Dedup.cacheTracked(phrOcc)
+    // NOT cached (round-9 A/B at sf0.1, min of 3: uncached 0.86 s vs
+    // cached 1.22 s): the word-score aggregate and the scoring join
+    // both sit on phrOcc's groupBy(phrase) exchange, which ReuseExchange
+    // computes once — the corpus pass does NOT run twice uncached, and
+    // the cache only added materialization.
     // distinct phrase → its word multiset (plen = words per occurrence)
-    val pw = phrCached
+    val pw = phrOcc
       .withColumn("plen", size(split(col("phrase"), " ")).cast("long"))
       .withColumn("word", explode(split(col("phrase"), " ")))
     val wordScore = pw.groupBy("word")

@@ -63,17 +63,17 @@ object KmvQueries {
     // spread before the trigram explode: a single parquet file would
     // otherwise normalize + slice the whole corpus on one task (the
     // q343 lesson)
-    // tracked: the (source, g, c) profile table feeds BOTH the norms
-    // aggregate and the posting collect — uncached, the corpus explode
-    // pass above ran twice (round-9; the q112 two-FileScan pattern).
-    // Vocabulary-bounded: ≤ |sources| · |trigram alphabet| rows.
-    val grams = graft.ops.Dedup.cacheTracked(
-      graft.ops.Dedup.spread(Tables.documents(spark, dir))
-        .select(col("source"), normalizeText(col("text")).as("s"))
-        .filter(length(col("s")) >= 3)
-        .select(col("source"), explode(expr(
-          "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")).as("g"))
-        .groupBy("source", "g").agg(count(lit(1)).as("c")))
+    // NOT cached (round-9 A/B at sf0.1, min of 3: uncached 1.44 s vs
+    // cached 1.96 s): the norms and postings branches share the
+    // (source, g) aggregate's exchange via ReuseExchange, so the corpus
+    // explode already runs once — the cache only added a columnar
+    // materialization of the profile table on top.
+    val grams = graft.ops.Dedup.spread(Tables.documents(spark, dir))
+      .select(col("source"), normalizeText(col("text")).as("s"))
+      .filter(length(col("s")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")).as("g"))
+      .groupBy("source", "g").agg(count(lit(1)).as("c"))
     val norms = grams.groupBy("source")
       .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("n2"),
         count(lit(1)).as("n_grams"))

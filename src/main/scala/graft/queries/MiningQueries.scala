@@ -65,7 +65,9 @@ object MiningQueries {
       .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
       .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
-        expr("(1000 * c_xy * n_total) div (c_x * c_y)").as("lift_x1k"))
+        // DECIMAL(38,0): c_xy·n_total overflows BIGINT once pair and
+        // token counts both pass ~3e9 (round-9 envelope audit)
+        expr("CAST((1000 * CAST(c_xy AS DECIMAL(38,0)) * n_total) div (c_x * c_y) AS BIGINT)").as("lift_x1k"))
       .orderBy("w1", "w2")
   }
 
@@ -77,17 +79,19 @@ object MiningQueries {
     * (source, gram) — bounded by source-count², never corpus²; per-source
     * set sizes and the pair frame are |sources|-sized broadcasts. */
   def q112_source_overlap(spark: SparkSession, dir: String): DataFrame = {
-    // tracked: the (source, gram) set feeds its own self-join AND the
-    // per-source size aggregate. ReuseExchange already dedups the
-    // self-join sides, but the SIZES branch re-ran the whole 8-gram
-    // explode from the parquet scan (2 FileScans in the executed plan);
-    // the cache makes the corpus single-pass — marginal at sf0.1,
-    // structural at 100 TB
-    val sg = graft.ops.Dedup.cacheTracked(Tables.documents(spark, dir)
+    // NOT cached (round-9, reversing the round-8 cache): A/B at sf0.1,
+    // min of 3 — cached 2.61 s vs uncached 1.65 s. Materializing ~3e5
+    // 8-gram STRINGS into the block store costs more than the second
+    // codegen'd pass recomputing them, and ReuseExchange already dedups
+    // the self-join sides (the r8 two-FileScan reading was the SIZES
+    // branch, whose recompute is the cheap scan+explode, not the join).
+    // At 100 TB the equivalent is a staged DISTINCT gram table on disk,
+    // not an executor-memory cache — same conclusion.
+    val sg = Tables.documents(spark, dir)
       .select(col("source"), col("text"))
       .withColumn("t", toksOf(col("text")))
       .select(col("source"), explode(shinglesFromTokens(col("t"), OverlapN)).as("gram"))
-      .distinct())
+      .distinct()
     val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
     val inter = sg.select(col("source").as("src_a"), col("gram"))
       .join(sg.select(col("source").as("src_b"), col("gram")), "gram")
@@ -170,7 +174,9 @@ object MiningQueries {
       .agg(count(lit(1)).as("n"), sum("v").as("sum_q"),
         sum(col("v") * col("v")).as("sumsq_q"))
       .withColumn("var_x1k",
-        expr("(1000 * (n * sumsq_q - sum_q * sum_q)) div (n * n)"))
+        // DECIMAL(38,0): n·sumsq_q ≈ n²·(max q)² — BIGINT dies near
+        // n ≈ 1e5 rows per group (round-9 envelope audit)
+        expr("CAST((1000 * (CAST(n AS DECIMAL(38,0)) * sumsq_q - CAST(sum_q AS DECIMAL(38,0)) * sum_q)) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
     agg.withColumn("var_rank",
         row_number().over(Window.partitionBy(pmod(col("dim"), lit(1)))
           .orderBy(col("var_x1k").desc, col("dim"))).cast("long"))

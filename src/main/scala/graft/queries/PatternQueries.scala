@@ -56,7 +56,9 @@ object PatternQueries {
         col("n_baskets"),
         expr("(10000 * n_ab) div n_baskets").as("support_x10k"),
         expr("(1000 * n_ab) div n_a").as("conf_ab_x1k"),
-        expr("(1000 * n_ab * n_baskets) div (n_a * n_b)").as("lift_x1k"))
+        // DECIMAL(38,0): n_ab·n_baskets overflows BIGINT once both pass
+        // ~3e9 baskets (round-9 envelope audit)
+        expr("CAST((1000 * CAST(n_ab AS DECIMAL(38,0)) * n_baskets) div (n_a * n_b) AS BIGINT)").as("lift_x1k"))
       .orderBy("item_a", "item_b")
   }
 

@@ -31,18 +31,19 @@ object ProjectionQueries {
     * this is the co-engagement artifact its analytics twin publishes.
     */
   def q161_brand_copurchase(spark: SparkSession, dir: String): DataFrame = {
-    // tracked (round-9): ib feeds the order total, the brand counts AND
-    // both self-join sides — ReuseExchange dedups the join pair, but the
-    // two aggregates re-ran the lineitem⋈part+distinct from the scan
-    // (three corpus passes measured in the executed plan). Distinct
-    // (order, brand) rows are a small fraction of lineitem — cacheable
-    // at any SF; at 100 TB this is the staged co-purchase base table.
-    val ib = graft.ops.Dedup.cacheTracked(Tables.lineitem(spark, dir)
+    // NOT cached (round-9 A/B at sf0.1, min of 3: uncached 1.74 s vs
+    // cached 3.35 s — same shape as the q112 finding): ReuseExchange
+    // dedups the self-join pair's exchange, the aggregate branches
+    // recompute only the cheap scan+broadcast-join, and the columnar
+    // cache materialization of ~5e5 distinct rows costs more than both.
+    // At 100 TB the multi-consumer base is a staged DISTINCT table on
+    // disk, not an executor-memory cache.
+    val ib = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey"))
       .join(broadcast(Tables.part(spark, dir)
         .select(col("p_partkey"), col("p_brand").as("brand"))),
         col("l_partkey") === col("p_partkey"))
-      .select("okey", "brand").distinct())
+      .select("okey", "brand").distinct()
     val total = ib.select(countDistinct("okey").cast("long").as("n_orders"))
     val brandCnt = ib.groupBy("brand").agg(count(lit(1)).cast("long").as("cnt"))
     val pairs = ib.as("a")
@@ -57,7 +58,9 @@ object ProjectionQueries {
         .withColumnRenamed("cnt", "cnt_b"), Seq("brand_b"))
       .crossJoin(broadcast(total))
       .withColumn("lift_x1000",
-        expr("(1000 * support * n_orders) div (cnt_a * cnt_b)"))
+        // DECIMAL(38,0): support·n_orders overflows BIGINT once both
+        // pass ~3e9 orders (round-9 envelope audit)
+        expr("CAST((1000 * CAST(support AS DECIMAL(38,0)) * n_orders) div (cnt_a * cnt_b) AS BIGINT)"))
       .select("brand_a", "brand_b", "support", "lift_x1000")
       .orderBy("brand_a", "brand_b")
   }

@@ -131,7 +131,11 @@ object ProvenanceQueries {
       .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
       .crossJoin(broadcast(tot))
-      .filter(expr(s"(1000 * c_xy * n_total) div (c_x * c_y) >= $ConceptLiftX1k"))
+      // c_xy·n_total is corpus-pairs × corpus-tokens — BIGINT overflows
+      // past ~3e15 combined (round-9 envelope audit); DECIMAL(38,0) holds
+      // to 10^38, same integers at any feasible SF
+      .filter(expr(
+        s"CAST((1000 * CAST(c_xy AS DECIMAL(38,0)) * n_total) div (c_x * c_y) AS BIGINT) >= $ConceptLiftX1k"))
       .select("w1", "w2")
     val ids = Relational.globalIndex(uni.select("w"), Seq(col("w")), "wid")
     val eIds = edges

@@ -71,7 +71,9 @@ object QteQueries {
       .crossJoin(broadcast(tot))
       .withColumn("share_x10k", expr("(10000 * n_vectors) div n_total"))
       .withColumn("rel_dev_x10k",
-        expr(s"(10000 * n_vectors * $KmeansK) div n_total - 10000"))
+        // DECIMAL(38,0): 10⁴·k·n_vectors passes BIGINT near 1e12 vectors
+        // per cell at k=64 (round-9 envelope audit)
+        expr(s"CAST((10000 * CAST(n_vectors AS DECIMAL(38,0)) * $KmeansK) div n_total AS BIGINT) - 10000"))
       .select("cluster", "n_vectors", "share_x10k", "rel_dev_x10k")
       .orderBy("cluster")
   }

@@ -163,18 +163,19 @@ object SearchQueries {
     // token, per-doc WindowExec running the cut prefix-sum, groupBy
     // with a sorted struct collect) exploded the corpus three times
     // for values that are linear per doc. CdcChunksSpec pins the A/B
-    // bit-identical. Cached: the chunk table feeds the ownership
-    // aggregate AND the join-back (two consumers; ~|tokens|/cutMod
-    // rows, digests only — never chunk text).
+    // bit-identical. NOT cached (round-9 A/B at sf0.1, min of 3:
+    // uncached 1.15 s vs cached 1.41 s): the ownership aggregate and
+    // the join-back both require the same exchange(chunk_hash), which
+    // ReuseExchange computes once — the chunking pass runs once either
+    // way, and the cache only added materialization.
     graft.expressions.GraftFunctions.register(spark)
-    val chunks = graft.ops.Dedup.cacheTracked(
-      graft.ops.Dedup.spread(Tables.documents(spark, dir))
-        .select(col("doc_id"), normTokens(col("text")).as("t"))
-        .select(col("doc_id"), explode(call_function(
-          graft.expressions.GraftFunctions.CdcChunksName,
-          col("t"), lit(CdcCutMod.toInt))).as("c"))
-        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
-          col("c.chunk_hash").as("chunk_hash"), col("c.chunk_len").as("chunk_len")))
+    val chunks = graft.ops.Dedup.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), normTokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(call_function(
+        graft.expressions.GraftFunctions.CdcChunksName,
+        col("t"), lit(CdcCutMod.toInt))).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.chunk_hash").as("chunk_hash"), col("c.chunk_len").as("chunk_len"))
     val owner = chunks.groupBy("chunk_hash")
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("own"))
     chunks.join(owner, "chunk_hash")

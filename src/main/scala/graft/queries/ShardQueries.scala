@@ -49,7 +49,9 @@ object ShardQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       .crossJoin(broadcast(tot))
       .select(col("shard"), col("n_docs"), col("sum_chars"),
-        expr(s"(10000 * $SnakeShards * sum_chars) div total_chars - 10000")
+        // DECIMAL(38,0): 10⁴·shards·sum_chars passes BIGINT once a shard
+        // holds ~6e13 chars — a 100 TB corpus is right there (round-9)
+        expr(s"CAST((10000 * $SnakeShards * CAST(sum_chars AS DECIMAL(38,0))) div total_chars AS BIGINT) - 10000")
           .as("dev_x10k"))
       .orderBy("shard")
   }

@@ -81,12 +81,19 @@ object SketchQueries {
       .groupBy("source", "token")
       .agg(count(lit(1)).cast("long").as("c"))
       .groupBy("source")
+      // Σc² accumulates in DECIMAL(38,0): a skewed vocabulary drives a
+      // single c toward the group's token count, so the BIGINT square
+      // dies at ~3e9 tokens per source (round-9 envelope audit). The
+      // reported sum_c2 column keeps its BIGINT contract (its own
+      // envelope); the ×1e6 metric derives from the wide sum.
       .agg(sum("c").cast("long").as("n_tokens"),
         count(lit(1)).cast("long").as("n_types"),
-        sum(col("c") * col("c")).cast("long").as("sum_c2"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("__sum_c2_d"),
         max("c").cast("long").as("max_c"))
+      .withColumn("sum_c2", expr("CAST(__sum_c2_d AS BIGINT)"))
       .withColumn("simpson_x1m",
-        expr("((1000000 * sum_c2) div n_tokens) div n_tokens"))
+        expr("CAST(((1000000 * __sum_c2_d) div n_tokens) div n_tokens AS BIGINT)"))
+      .drop("__sum_c2_d")
       .withColumn("top_share_x10k", expr("(10000 * max_c) div n_tokens"))
       .select("source", "n_tokens", "n_types", "simpson_x1m", "top_share_x10k")
       .orderBy("source")

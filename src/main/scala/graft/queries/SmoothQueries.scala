@@ -45,7 +45,9 @@ object SmoothQueries {
       .na.fill(0L, Seq("n_r_next"))
       .crossJoin(broadcast(tot))
       .select(col("r"), col("n_r"), col("n_r_next"),
-        expr("((r + 1) * n_r_next * 1000000) div n_r").as("gt_star_x1m"),
+        // DECIMAL(38,0): n_{r+1}·1e6·(r+1) passes BIGINT once a count-of-
+        // counts bucket holds ~9e12 types (round-9 envelope audit)
+        expr("CAST((CAST(r + 1 AS DECIMAL(38,0)) * n_r_next * 1000000) div n_r AS BIGINT)").as("gt_star_x1m"),
         expr("(r * n_r * 1000000) div n_tokens").as("mass_x1m"))
       .orderBy("r")
   }

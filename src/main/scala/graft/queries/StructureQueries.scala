@@ -64,7 +64,9 @@ object StructureQueries {
         col("n_abc"),
         expr("(10000 * n_abc) div n_baskets").as("support_x10k"),
         expr("(1000 * n_abc) div n_ab").as("conf_ab_c_x1k"),
-        expr("(1000 * n_abc * n_baskets) div (n_ab * n_c)").as("lift_x1k"))
+        // DECIMAL(38,0): n_abc·n_baskets overflows BIGINT once both pass
+        // ~3e9 baskets (round-9 envelope audit)
+        expr("CAST((1000 * CAST(n_abc AS DECIMAL(38,0)) * n_baskets) div (n_ab * n_c) AS BIGINT)").as("lift_x1k"))
       .orderBy("item_a", "item_b", "item_c")
   }
 

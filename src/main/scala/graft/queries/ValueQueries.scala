@@ -231,7 +231,9 @@ object ValueQueries {
     val tot = buckets.agg(sum("padded_tokens").as("bucketed_padded"))
     buckets.crossJoin(broadcast(g)).crossJoin(broadcast(tot))
       .withColumn("savings_vs_uniform_x10k",
-        expr("(10000 * (n_total * max_tok - bucketed_padded)) div (n_total * max_tok)"))
+        // DECIMAL(38,0): 10⁴·n_total·max_tok ≈ 10⁴·corpus tokens — BIGINT
+        // dies at ~9e14 tokens, inside 100 TB range (round-9 audit)
+        expr("CAST((10000 * (CAST(n_total AS DECIMAL(38,0)) * max_tok - bucketed_padded)) div (CAST(n_total AS DECIMAL(38,0)) * max_tok) AS BIGINT)"))
       .select("bucket", "n_docs", "sum_tokens", "padded_tokens", "waste_x10k",
         "savings_vs_uniform_x10k")
       .orderBy("bucket")
