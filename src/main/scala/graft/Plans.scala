@@ -87,7 +87,7 @@ object Plans {
     "q136_dedup_masks" -> "dup-span masks: spread gram pass, equijoin -> bounded position explode -> WINDOW-FREE per-doc array island merge",
     "q138_vocab_growth" -> "Heaps curve: two-phase doc index, min-decile per gram type, constant-partition cumsum over 10 rows",
     "q142_bm25_topk" -> "BM25 retrieval: probe-term filter BEFORE any shuffle, df + totals broadcast, TakeOrderedAndProject top-k",
-    "q144_cdc_chunks" -> "content-defined chunks: spread token pass, doc-partitioned chunk-id window, ownership on the digest shuffle",
+    "q144_cdc_chunks" -> "content-defined chunks: fused in-row CdcChunks walk (no token explode, no window), ownership on the digest shuffle",
     "q145_knn_triangles" -> "kNN triangles: cached canonical edge set, wedge equijoins bounded by deg<=2k, never |V|^2",
     "q146_knn_outliers" -> "kth-neighbor outliers: per-query max-of-struct argmax, one global exact percentile, broadcast threshold",
     "q152_market_share" -> "TPC-H Q8 star: fact streams once, both nation roles + region + supplier broadcast, AQE re-plans the customer join",
@@ -111,7 +111,7 @@ object Plans {
     "q205_cumulative_gains" -> "gains: explicit-floor decile bucketing on the two-phase index, 10-row cumulative tail",
     "q206_frequent_triples" -> "A-priori triples: frequent-pair candidate generation, basket re-scan counts candidates only",
     "q208_bfs_layers" -> "BFS layers: bounded frontier-expand/anti-join rounds off the pinned edge core, localCheckpoint per round",
-    "q211_winnow_pairs" -> "winnowing: map-only in-row fingerprints (O(n) deque sliding-min expression, in-row h dedup), single capped-collect equijoin, never all-pairs",
+    "q211_winnow_pairs" -> "winnowing: fused WinnowFps pass (incremental gram md5 + deque sliding-min), (doc,nfp) packed ids kill the sizes joins, capped-collect equijoin, never all-pairs",
     "q214_blocklist_screen" -> "blocklist: broadcast pattern tables; phrase sides broadcast-semi prefiltered BEFORE the positional equijoin",
     "q215_contrastive_triplets" -> "triplets: pinned kNN artifact + <=k-row rank windows per (anchor, side), two bounded joins",
     "q216_brier_reliability" -> "brier: pinned classifier core, 1-row + |bins|-row aggregates, everything else broadcast",

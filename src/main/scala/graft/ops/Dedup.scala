@@ -589,8 +589,13 @@ object Dedup {
       wsTokens(normalizeText(col(textCol))).as("t"))
     val grams = base.select(col("id"),
       posexplode(ngramsAll(col("t"), n)).as(Seq("s", "gram")))
+    // countDistinct >= 2 ⟺ min < max: O(1)-per-gram min/max partials
+    // instead of the distinct expand whose partial buffers the doc set
+    // of a corpus-hot gram (round-9; same reasoning as q136 — local
+    // timings tie, the bound is the point)
     val crossDoc = grams.groupBy("gram")
-      .agg(countDistinct("id").as("nd")).filter(col("nd") >= 2)
+      .agg(min("id").as("d0"), max("id").as("d1"))
+      .filter(col("d0") < col("d1"))
       .select("gram")
     val hits = grams.join(crossDoc, "gram")
     val perDoc = hits

@@ -43,8 +43,15 @@ object MaskQueries {
     val grams = base.select(col("doc_id"),
       posexplode(ngramStrings(col("t"), MaskN)).as(Seq("s0", "gram")))
       .select(col("doc_id"), (col("s0") + 1).as("s"), col("gram"))
+    // "shared with ANOTHER doc" needs only a 2-distinct-docs test, and
+    // countDistinct >= 2 ⟺ min(doc_id) < max(doc_id). At sf0.1 the two
+    // tie (A/B min-of-3: 1.58 vs 1.43 — inside this VM's noise band);
+    // the swap is for the 100 TB posture: countDistinct's partial
+    // buffers the distinct doc SET per gram per task (unbounded on a
+    // corpus-hot gram), min/max partials are O(1) per gram per task.
     val crossDoc = grams.groupBy("gram")
-      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") < col("d1"))
       .select("gram")
     val pos = grams.join(crossDoc, "gram")
       .select(col("doc_id"),
