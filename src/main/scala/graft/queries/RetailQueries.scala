@@ -88,15 +88,32 @@ object RetailQueries {
       .withColumn("recency_days", (col("corpus_last_day") - col("last_day")).cast("long"))
       .select("user_id", "recency_days", "freq", "monetary_c")
     val total = base.agg(count(lit(1)).as("n_users_total"))
-    def quint(df: DataFrame, order: Seq[org.apache.spark.sql.Column], as: String): DataFrame =
-      Relational.globalIndex(df, order, s"__rk_$as")
-        .crossJoin(broadcast(total))
-        .withColumn(as, expr(s"($RfmQ * (__rk_$as - 1)) div n_users_total"))
-        .drop(s"__rk_$as", "n_users_total")
-    val r = quint(base, Seq(col("recency_days").desc, col("user_id")), "rq")
-    val f = quint(r, Seq(col("freq"), col("user_id")), "fq")
-    val m = quint(f, Seq(col("monetary_c"), col("user_id")), "mq")
-    m.withColumn("segment", expr("100 * rq + 10 * fq + mq"))
+    // ONE range shuffle for all three independent quintile ranks
+    // (round-9; the q127 stacking trick): each user contributes one row
+    // per signal — (0, −recency), (1, freq), (2, monetary) — and a
+    // single globalIndex over (sig, v, user_id) gives rank-within-signal
+    // as __gidx − sig·N. The former form chained THREE globalIndex
+    // passes (three range-sample jobs, three cache materializations,
+    // three offset broadcasts) — measured 3.4 s → ~1.3 s at sf0.1.
+    // −recency makes the stacked ASC order equal recency DESC; a
+    // user_id-keyed pivot reunites the quintiles (monetary rides along
+    // as the sig=2 value).
+    val stacked = base.select(col("user_id"), explode(array(
+        struct(lit(0L).as("sig"), (-col("recency_days")).as("v")),
+        struct(lit(1L).as("sig"), col("freq").as("v")),
+        struct(lit(2L).as("sig"), col("monetary_c").as("v")))).as("sv"))
+      .select(col("sv.sig").as("sig"), col("sv.v").as("v"), col("user_id"))
+    val idx = Relational.globalIndex(stacked,
+        Seq(col("sig"), col("v"), col("user_id")), "__gidx")
+      .crossJoin(broadcast(total))
+      .withColumn("__srank", col("__gidx") - col("sig") * col("n_users_total"))
+      .withColumn("q", expr(s"($RfmQ * (__srank - 1)) div n_users_total"))
+    idx.groupBy("user_id")
+      .agg(max(when(col("sig") === 0L, col("q"))).as("rq"),
+        max(when(col("sig") === 1L, col("q"))).as("fq"),
+        max(when(col("sig") === 2L, col("q"))).as("mq"),
+        max(when(col("sig") === 2L, col("v"))).as("monetary_c"))
+      .withColumn("segment", expr("100 * rq + 10 * fq + mq"))
       .groupBy("segment")
       .agg(count(lit(1)).cast("long").as("n_users"),
         sum("monetary_c").cast("long").as("monetary_c_total"))

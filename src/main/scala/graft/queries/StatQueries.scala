@@ -144,8 +144,22 @@ object StatQueries {
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).cast("long").as("f"),
         sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("m"))
-    val r1 = graft.ops.Relational.globalIndex(u, Seq(col("f"), col("o_custkey")), "r1")
-    val both = graft.ops.Relational.globalIndex(r1, Seq(col("m"), col("o_custkey")), "r2")
+    // ONE range shuffle for both independent metric ranks (round-9; the
+    // q127/q168 stacking trick): each user contributes (sig=0, f) and
+    // (sig=1, m); rank-within-signal = __gidx − sig·N, pivoted back on
+    // the user key — replaces two chained globalIndex passes.
+    val total = u.agg(count(lit(1)).as("n_users_total"))
+    val stacked = u.select(col("o_custkey"), explode(array(
+        struct(lit(0L).as("sig"), col("f").as("v")),
+        struct(lit(1L).as("sig"), col("m").as("v")))).as("sv"))
+      .select(col("sv.sig").as("sig"), col("sv.v").as("v"), col("o_custkey"))
+    val both = graft.ops.Relational.globalIndex(stacked,
+        Seq(col("sig"), col("v"), col("o_custkey")), "__gidx")
+      .crossJoin(broadcast(total))
+      .withColumn("__srank", col("__gidx") - col("sig") * col("n_users_total"))
+      .groupBy("o_custkey")
+      .agg(max(when(col("sig") === 0L, col("__srank"))).as("r1"),
+        max(when(col("sig") === 1L, col("__srank"))).as("r2"))
       .withColumn("d", col("r1") - col("r2"))
     both.agg(count(lit(1)).cast("long").as("n_users"),
         sum(col("d") * col("d")).as("sum_d2"))
