@@ -32,7 +32,11 @@ object ScaleRehearsal {
     "q200_ppjoin_pairs", "q114_neardup_flow", "q138_vocab_growth",
     "q196_degree_assortativity", "q222_blocking_linkage",
     "q369_bipartite_audit", "q349_percolation_sweep",
-    "q388_semantic_percolation")
+    "q388_semantic_percolation",
+    // round-9 fused subtrees: the packed-id winnow pipeline and the
+    // in-row CDC chunker — rehearse so the fusion's memory behavior
+    // (per-row buffers instead of exploded rows) is covered at 10×
+    "q211_winnow_pairs", "q144_cdc_chunks")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
