@@ -84,6 +84,7 @@ object GraftFunctions {
   val WinnowFpsName = "graft_winnow_fps"
   val SortedPairsName = "graft_sorted_pairs"
   val CdcChunksName = "graft_cdc_chunks"
+  val CharGramsName = "graft_char_grams"
 
   /** Literal-int extraction for builder lambdas (k arguments must be
     * foldable — a non-literal k is a registration-time error, not a
@@ -132,5 +133,8 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CdcChunksName)))
       reg.createOrReplaceTempFunction(
         CdcChunksName, exprs => CdcChunks(exprs.head, litInt(exprs(1))), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CharGramsName)))
+      reg.createOrReplaceTempFunction(
+        CharGramsName, exprs => CharGrams(exprs.head, litInt(exprs(1))), "scala_udf")
   }
 }

@@ -60,6 +60,7 @@ object KmvQueries {
     * cosine ×10⁴ over 3-gram count profiles (squares/dots in
     * DECIMAL(38,0) — profile masses overflow BIGINT at corpus scale). */
   def q372_trigram_affinity(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     // spread before the trigram explode: a single parquet file would
     // otherwise normalize + slice the whole corpus on one task (the
     // q343 lesson)
@@ -71,8 +72,10 @@ object KmvQueries {
     val grams = graft.ops.Dedup.spread(Tables.documents(spark, dir))
       .select(col("source"), normalizeText(col("text")).as("s"))
       .filter(length(col("s")) >= 3)
-      .select(col("source"), explode(expr(
-        "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")).as("g"))
+      // fused CharGrams walk (round-9): the HOF form ran an interpreted
+      // substring lambda per position — one expression pass, same grams
+      .select(col("source"), explode(org.apache.spark.sql.functions.call_function(
+        graft.expressions.GraftFunctions.CharGramsName, col("s"), lit(3))).as("g"))
       .groupBy("source", "g").agg(count(lit(1)).as("c"))
     val norms = grams.groupBy("source")
       .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("n2"),

@@ -79,15 +79,25 @@ object SweepQueries {
     // vocabulary) candidate set, broadcast. Measured 1.6 s → ~0.9 s.
     // the pinned retrieval token core: explode off cached arrays, no
     // re-tokenize for either consumer below
+    // ONE pass over the pinned token core (round-9; was two: fbTf's
+    // feedback-doc aggregate, then a semi-filtered df pass): flag each
+    // token row as feedback via a broadcast join against the 10-doc
+    // topR, aggregate sum_tf (feedback rows) and df (distinct docs,
+    // min/max-free exact count on the term key) in the SAME groupBy,
+    // and keep candidate terms afterwards. df is computed for the full
+    // vocabulary instead of the candidate slice — vocabulary-bounded
+    // partials, and one fewer corpus-token explode + semi join wins at
+    // every SF (measured 1.8 → 1.3 s at sf0.1).
     val toks = SearchQueries.bm25Docs(spark, dir)
       .select(col("doc_id"), explode(col("toks")).as("term"))
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-    val fbTf = toks.join(broadcast(topR), "doc_id")
-      .groupBy("term").agg(count(lit(1)).as("sum_tf"))
-      .filter(!col("term").isin(SearchQueries.Bm25Terms: _*))
-    val dfT = toks.join(broadcast(fbTf.select("term")), Seq("term"), "left_semi")
-      .groupBy("term").agg(countDistinct("doc_id").as("df"))
-    val scored = fbTf.join(dfT, "term").crossJoin(broadcast(nDocs))
+    val flagged = toks.join(broadcast(topR.withColumn("__fb", lit(1L))),
+        Seq("doc_id"), "left")
+    val stats = flagged.groupBy("term")
+      .agg(sum(coalesce(col("__fb"), lit(0L))).as("sum_tf"),
+        countDistinct("doc_id").as("df"))
+      .filter(col("sum_tf") > 0 && !col("term").isin(SearchQueries.Bm25Terms: _*))
+    val scored = stats.crossJoin(broadcast(nDocs))
       .withColumn("rarity_x1k", expr("(1000 * n_docs) div df"))
       .withColumn("weight_x1k", col("sum_tf") * col("rarity_x1k"))
     scored.orderBy(col("weight_x1k").desc, col("term")).limit(PrfExpK)
