@@ -133,6 +133,23 @@ object Bpe {
       vocab: DataFrame,
       rounds: Seq[Int],
       wordCol: String = "word",
+      countCol: String = "n"): Seq[(Int, DataFrame)] =
+    segmentationSweepPositional(vocab, rounds, wordCol, countCol).map {
+      case (target, seg) =>
+        target -> seg.groupBy("word", "n")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")).as("seg"))
+    }
+
+  /** The sweep's cached POSITIONAL tables `(word, n, pos, tok)` — for
+    * consumers whose per-arm metrics are plain aggregates (q278's
+    * fertility = sum(n) over rows, vocab size = countDistinct(tok)):
+    * the grouped [[segmentationSweep]] form re-runs a struct
+    * collect_list per CONSUMER per arm on top of these (round-9). */
+  def segmentationSweepPositional(
+      vocab: DataFrame,
+      rounds: Seq[Int],
+      wordCol: String = "word",
       countCol: String = "n"): Seq[(Int, DataFrame)] = {
     require(rounds.nonEmpty && rounds.forall(_ >= 0), "rounds must be >= 0")
     var seg = charSeg(vocab, wordCol, countCol)
@@ -143,9 +160,7 @@ object Bpe {
         done += 1
       }
       seg = Dedup.cacheTracked(seg)
-      target -> seg.groupBy("word", "n")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")).as("seg"))
+      target -> seg
     }
   }
 }

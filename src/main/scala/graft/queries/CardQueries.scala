@@ -114,13 +114,17 @@ object CardQueries {
     val vocab = Dedup.cacheTracked(Tables.documents(spark, dir)
       .select(explode(wsTokens(normalizeText(col("text")))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n")))
-    val arms = graft.ops.Bpe.segmentationSweep(vocab, BpeSweepRounds).map {
-      case (r, segs) =>
-        val fert = segs.agg(
-          sum(col("n") * size(col("seg"))).as("wsum"), sum("n").as("ntot"))
-        val vsz = segs.select(explode(col("seg")).as("symbol"))
-          .agg(countDistinct("symbol").as("vocab_size"))
-        fert.crossJoin(broadcast(vsz))
+    // Per arm ONE aggregate over the cached POSITIONAL table (round-9):
+    // wsum = Σ_word n·|seg| is just sum(n) over positional rows, vocab
+    // size is countDistinct(tok), and ntot = Σ_word n is arm-INDEPENDENT
+    // (the cached vocab's own total). The former grouped form re-ran a
+    // struct collect_list per consumer per arm (two consumers × three
+    // arms) plus a re-explode for the vocab count.
+    val ntot = vocab.agg(sum("n").as("ntot"))
+    val arms = graft.ops.Bpe.segmentationSweepPositional(vocab, BpeSweepRounds).map {
+      case (r, seg) =>
+        seg.agg(sum("n").as("wsum"), countDistinct("tok").as("vocab_size"))
+          .crossJoin(broadcast(ntot))
           .select(lit(r.toLong).as("rounds"), col("vocab_size"),
             expr("(1000 * wsum) div ntot").as("fertility_x1k"))
     }
