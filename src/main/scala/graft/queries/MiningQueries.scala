@@ -53,7 +53,14 @@ object MiningQueries {
     * headroom: c_xy·N ≤ N² needs N ≤ 3e9 tokens ×1000; beyond that swap
     * the product to decimal(38,0) (documented, not needed at bench SF). */
   def q111_collocations(spark: SparkSession, dir: String): DataFrame = {
-    val tk = Tables.documents(spark, dir).select(toksOf(col("text")).as("t"))
+    // tracked (round-9 A/B on the q227 twin: 1.69 s uncached vs 1.03 s
+    // cached, min of 3 at sf0.1): the unigram and bigram consumers need
+    // DIFFERENT exchanges, so ReuseExchange cannot share the tokenize —
+    // and the recomputed subtree is the expensive normalize regex. This
+    // is the criterion that separates the winning caches from the five
+    // reverted ones (identical-exchange consumers).
+    val tk = graft.ops.Dedup.cacheTracked(
+      Tables.documents(spark, dir).select(toksOf(col("text")).as("t")))
     val uni = tk.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val tot = uni.agg(sum("c").as("n_total"))
