@@ -115,7 +115,21 @@ object Relational {
     * consuming action, or MEMORY_AND_DISK entries accumulate without
     * bound (round-6 ADVICE).
     */
-  def globalIndex(df: DataFrame, ordering: Seq[Column], as: String): DataFrame = {
+  def globalIndex(df: DataFrame, ordering: Seq[Column], as: String): DataFrame =
+    globalIndexWithTotal(df, ordering, as, totalAs = None)
+
+  /** [[globalIndex]] that ALSO emits the input's total row count as a
+    * column (`totalAs`) — for FREE: the total is the sum of the
+    * per-partition counts the two-phase index already aggregates and
+    * broadcasts, so consumers that previously ran a separate count
+    * aggregate + crossJoin(broadcast(tot)) just to normalize their rank
+    * (the q127/q168/q189 stacked-rank shape) drop one job and one
+    * broadcast (round-9). */
+  def globalIndexWithTotal(
+      df: DataFrame,
+      ordering: Seq[Column],
+      as: String,
+      totalAs: Option[String]): DataFrame = {
     // persisted (tracked): the counts side and the join side BOTH read
     // `sorted`, and correctness requires they see the SAME partition
     // layout. An un-persisted recompute is only deterministic while the
@@ -136,16 +150,20 @@ object Relational {
     // pmod(__pid, 1) not lit(0): Spark 4's EliminateWindowPartitions folds
     // a LITERAL partition key to the empty spec, resurrecting the warning —
     // a column-referencing constant is not foldable, so the spec survives
+    val wAll = Window.partitionBy(pmod(col("__pid"), lit(1)))
     val offsets = counts.withColumn(
       "__offset",
       coalesce(
         sum(col("__cnt")).over(
-          Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy("__pid")
-            .rowsBetween(Window.unboundedPreceding, -1)),
+          wAll.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-    sorted
-      .join(broadcast(offsets.select("__pid", "__base", "__offset")), "__pid")
+      .withColumn("__tot", sum(col("__cnt")).over(
+        wAll.orderBy("__pid").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val joined = sorted
+      .join(broadcast(offsets.select("__pid", "__base", "__offset", "__tot")), "__pid")
       .withColumn(as, col("__offset") + (col("__mid") - col("__base")) + lit(1L))
+    totalAs.fold(joined.drop("__tot"))(t => joined.withColumnRenamed("__tot", t))
       .drop("__pid", "__mid", "__base", "__offset", "__cnt")
   }
 

@@ -80,7 +80,6 @@ object HygieneQueries {
     // tracked: `both` is read by the first rank chain AND the n_docs
     // total — one tokenize/stopword pass, not two (round-7)
     val both = graft.ops.Dedup.cacheTracked(fluency.join(scored, "doc_id"))
-    val tot = both.agg(count(lit(1)).as("n_docs"))
     // ONE range shuffle for the two independent signal ranks (round-8):
     // stack each doc twice — (sig=0, fluency) and (sig=1, cls) — and
     // global-index the stack ordered by (sig, value DESC, doc_id). Every
@@ -94,17 +93,19 @@ object HygieneQueries {
         struct(lit(0L).as("sig"), col("fluency_x10k").as("v")),
         struct(lit(1L).as("sig"), col("cls_score").as("v")))).as("sv"))
       .select(col("sv.sig").as("sig"), col("sv.v").as("v"), col("doc_id"))
-    val idx = Relational.globalIndex(stacked,
-      Seq(col("sig"), col("v").desc, col("doc_id")), "__gidx")
-      .crossJoin(broadcast(tot))
+    // n_docs rides out of the index's own offsets (globalIndexWithTotal,
+    // round-9) — no separate count aggregate + broadcast per chain
+    val idx = Relational.globalIndexWithTotal(stacked,
+      Seq(col("sig"), col("v").desc, col("doc_id")), "__gidx", Some("__tot"))
+      .withColumn("n_docs", expr("__tot div 2"))
       .withColumn("__srank", col("__gidx") - col("sig") * col("n_docs"))
     val r2 = idx.groupBy("doc_id")
       .agg(max(when(col("sig") === 0L, col("__srank"))).as("fluency_rank"),
         max(when(col("sig") === 1L, col("__srank"))).as("cls_rank"))
       .withColumn("rank_sum", col("fluency_rank") + col("cls_rank"))
       .join(both, "doc_id")
-    Relational.globalIndex(r2, Seq(col("rank_sum"), col("doc_id")), "blend_rank")
-      .crossJoin(broadcast(tot))
+    Relational.globalIndexWithTotal(r2, Seq(col("rank_sum"), col("doc_id")),
+        "blend_rank", Some("n_docs"))
       .withColumn("keep",
         (col("blend_rank") <= expr(s"n_docs div $EnsembleKeepShare")).cast("int"))
       .select("doc_id", "fluency_x10k", "cls_score", "fluency_rank", "cls_rank",

@@ -87,7 +87,6 @@ object RetailQueries {
     val base = perUser.crossJoin(broadcast(maxDay))
       .withColumn("recency_days", (col("corpus_last_day") - col("last_day")).cast("long"))
       .select("user_id", "recency_days", "freq", "monetary_c")
-    val total = base.agg(count(lit(1)).as("n_users_total"))
     // ONE range shuffle for all three independent quintile ranks
     // (round-9; the q127 stacking trick): each user contributes one row
     // per signal — (0, −recency), (1, freq), (2, monetary) — and a
@@ -103,9 +102,11 @@ object RetailQueries {
         struct(lit(1L).as("sig"), col("freq").as("v")),
         struct(lit(2L).as("sig"), col("monetary_c").as("v")))).as("sv"))
       .select(col("sv.sig").as("sig"), col("sv.v").as("v"), col("user_id"))
-    val idx = Relational.globalIndex(stacked,
-        Seq(col("sig"), col("v"), col("user_id")), "__gidx")
-      .crossJoin(broadcast(total))
+    // N rides out of the index's own offsets table (globalIndexWithTotal,
+    // round-9): no separate count aggregate + broadcast just to normalize
+    val idx = Relational.globalIndexWithTotal(stacked,
+        Seq(col("sig"), col("v"), col("user_id")), "__gidx", Some("__tot"))
+      .withColumn("n_users_total", expr("__tot div 3"))
       .withColumn("__srank", col("__gidx") - col("sig") * col("n_users_total"))
       .withColumn("q", expr(s"($RfmQ * (__srank - 1)) div n_users_total"))
     idx.groupBy("user_id")

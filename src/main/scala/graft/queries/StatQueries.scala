@@ -148,15 +148,13 @@ object StatQueries {
     // q127/q168 stacking trick): each user contributes (sig=0, f) and
     // (sig=1, m); rank-within-signal = __gidx − sig·N, pivoted back on
     // the user key — replaces two chained globalIndex passes.
-    val total = u.agg(count(lit(1)).as("n_users_total"))
     val stacked = u.select(col("o_custkey"), explode(array(
         struct(lit(0L).as("sig"), col("f").as("v")),
         struct(lit(1L).as("sig"), col("m").as("v")))).as("sv"))
       .select(col("sv.sig").as("sig"), col("sv.v").as("v"), col("o_custkey"))
-    val both = graft.ops.Relational.globalIndex(stacked,
-        Seq(col("sig"), col("v"), col("o_custkey")), "__gidx")
-      .crossJoin(broadcast(total))
-      .withColumn("__srank", col("__gidx") - col("sig") * col("n_users_total"))
+    val both = graft.ops.Relational.globalIndexWithTotal(stacked,
+        Seq(col("sig"), col("v"), col("o_custkey")), "__gidx", Some("__tot"))
+      .withColumn("__srank", col("__gidx") - col("sig") * expr("__tot div 2"))
       .groupBy("o_custkey")
       .agg(max(when(col("sig") === 0L, col("__srank"))).as("r1"),
         max(when(col("sig") === 1L, col("__srank"))).as("r2"))
