@@ -35,8 +35,29 @@ object Bench {
       .map(p => s"${p.getName.stripPrefix("CodeHeap '").stripSuffix("'")}=" +
         s"${p.getUsage.getUsed >> 20}/${p.getUsage.getMax >> 20}MB")
       .mkString(" ")
-    s"gcMs=$gcMs jitMs=$compMs heapMB=$heapMb $code"
+    // CUMULATIVE host steal/total jiffies: deltas between consecutive diag
+    // sections attribute a slow section to hypervisor CPU steal from the
+    // artifact alone (round-9 VERDICT: the 1× stream halving was plausible
+    // CPU steal but "not yet attributed" — now it's in the record)
+    val (st, tot) = cpuSample()
+    s"gcMs=$gcMs jitMs=$compMs heapMB=$heapMb stealJf=$st totJf=$tot $code"
   }
+
+  /** Host CPU counters from `/proc/stat`: (steal jiffies, total jiffies)
+    * across all CPUs since boot. Steal is the hypervisor-runnable-but-not-
+    * scheduled time — the direct measure of the interference the min-of-
+    * reps discipline defends against. (-1, -1) where unreadable. */
+  private def cpuSample(): (Long, Long) = try {
+    val line = Files.readAllLines(Paths.get("/proc/stat")).get(0)
+    val vals = line.trim.split("\\s+").drop(1).map(_.toLong)
+    (if (vals.length > 7) vals(7) else 0L, vals.sum)
+  } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Steal share (percent) of the host-CPU time that elapsed between two
+    * [[cpuSample]]s; -1 when unreadable. */
+  private def stealPct(before: (Long, Long), after: (Long, Long)): Double =
+    if (before._1 < 0 || after._1 < 0 || after._2 <= before._2) -1.0
+    else 100.0 * (after._1 - before._1) / (after._2 - before._2)
 
   /** Throughput of the stateful streaming path (flatMapGroupsWithState
     * merge ladder) under a given state-store provider, in events/sec.
@@ -157,12 +178,22 @@ object Bench {
     // 1× loop IN-ARTIFACT — a best-of hides how far apart the reps were,
     // which is exactly the cross-VM-variance question)
     val streamReps = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
+    // per-rep steal share (round-9 VERDICT #2): each rep carries the host
+    // steal% measured across exactly its own wall window, so a halved rate
+    // with elevated steal is attributed IN the artifact, not in a postmortem
+    val streamSteal = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     def bestOf2(label: String, provider: Option[String], nTx: Int): Long = {
-      val a = safeThroughput(provider, nTx)
+      def rep(): (Double, Double) = {
+        val c0 = cpuSample()
+        val r = safeThroughput(provider, nTx)
+        (r, stealPct(c0, cpuSample()))
+      }
+      val (a, sa) = rep()
       gcBetweenSections()
-      val b = safeThroughput(provider, nTx)
+      val (b, sb) = rep()
       gcBetweenSections()
       streamReps(label) = Vector(a.round, b.round)
+      streamSteal(label) = Vector(sa, sb)
       math.max(a, b).round
     }
     val evHdfs = bestOf2("hdfs_1x", None, nTx = 10000)
@@ -281,6 +312,9 @@ object Bench {
       .mkString("{", ",", "}")
     val streamRepsJson = streamReps.map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val streamStealJson = streamSteal.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(p => f"$p%.1f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val streamAttribJson =
       f"""{"hdfs_batch_overhead_ms":$hdfsBatchMs%.1f,"hdfs_per_event_us":$hdfsEvUs%.2f,""" +
       f""""rocksdb_batch_overhead_ms":$rocksBatchMs%.1f,"rocksdb_per_event_us":$rocksEvUs%.2f,""" +
@@ -342,15 +376,24 @@ object Bench {
     val streamJson =
       s""""stream_hdfs_events_per_sec":$evHdfs,"stream_rocksdb_events_per_sec":$evRocks,""" +
       s""""stream_hdfs_events_per_sec_10x":$evHdfs10x,"stream_rocksdb_events_per_sec_10x":$evRocks10x,""" +
-      s""""stream_reps":$streamRepsJson,"stream_attrib":$streamAttribJson,""" +
+      s""""stream_reps":$streamRepsJson,"stream_steal_pct":$streamStealJson,""" +
+      s""""stream_attrib":$streamAttribJson,""" +
       s""""cores_detail":$coresJson,"cores_total_s":${f"$coresTotal%.2f"},""" +
       s""""duck_pairing":$duckJson"""
     // the ten slowest queries inline in the COMPACT line, so even a
     // tail-truncated capture still attributes where the time went
     val slowest = results.sortBy(-_._2._1).take(10)
       .map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    // per-query rep spreads for the 20 largest spark-time queries (round-9
+    // VERDICT #5): over-2× verdicts are made on per-query mins while
+    // same-VM runs disagree by ~15% — the spread puts that variance in the
+    // artifact, so a boundary call is readable as weather vs structure
+    val repsDetail = results.sortBy(-_._2._1).take(20).map { case (k, _) =>
+      "\"" + k + "\":" + byName(k).map(t => f"$t%.2f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed_reps":$failedReps,$streamJson,"diag":$diagJson,"sf":"$sfDir"}"""
+      s""""failed_reps":$failedReps,"reps_detail":$repsDetail,$streamJson,""" +
+      s""""diag":$diagJson,"sf":"$sfDir"}"""
     // COMPACT line: scalar summaries ONLY. The driver's tail capture is
     // 2000 bytes (measured from BENCH_r07.json, whose parsed:null was this
     // line outgrowing the window once duck_pairing/cores/diag moved in) —
@@ -393,6 +436,7 @@ object Bench {
       s""""n_queries":${names.size},""" +
       s""""stream_hdfs_events_per_sec":$evHdfs,"stream_rocksdb_events_per_sec":$evRocks,""" +
       s""""stream_hdfs_events_per_sec_10x":$evHdfs10x,"stream_rocksdb_events_per_sec_10x":$evRocks10x,""" +
+      s""""stream_steal_pct":$streamStealJson,""" +
       s""""cores_total_s":${f"$coresTotal%.2f"},"duck_pairing":$duckCompact,""" +
       s""""slowest":$slow,"failed_reps":$failedReps,"diag":$diagCompact,""" +
       s""""queries_detail":"BENCH_LATEST.json","sf":"$sfDir"}"""

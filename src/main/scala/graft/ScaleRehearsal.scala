@@ -36,7 +36,11 @@ object ScaleRehearsal {
     // round-9 fused subtrees: the packed-id winnow pipeline and the
     // in-row CDC chunker — rehearse so the fusion's memory behavior
     // (per-row buffers instead of exploded rows) is covered at 10×
-    "q211_winnow_pairs", "q144_cdc_chunks")
+    "q211_winnow_pairs", "q144_cdc_chunks",
+    // round-10: the single-exchange shingle sweep (3 orders in one
+    // posting shuffle — its union shingle table is the round's largest
+    // new cached intermediate, so pressure-test it)
+    "q366_shingle_sweep")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -118,6 +118,64 @@ object CdcDecode {
     parsed.as[CdcEvent](eventEncoder)
   }
 
+  /** O1 — decode a MongoDB change-stream envelope, the reference's OWN wire
+    * shape (it tails the collection directly:
+    * `EcommerceTransactionsLogEventsStream.kt:74-94`; envelope fields per
+    * its mock builder `EcommerceChangeStreamDocumentUtil.kt:35-49` —
+    * `operationType` + `raw.fullDocument`, plus the server `clusterTime`).
+    * Input is one JSON column holding the change-stream document in
+    * extended-JSON form:
+    *
+    * {{{ {"operationType":"insert",
+    *      "clusterTime":{"$timestamp":{"t":1712000000,"i":1}},
+    *      "fullDocument":{...event...}} }}}
+    *
+    * Faithful to the reference's applicative contracts, in order:
+    *   - operation filter: insert/update/replace pass (the reference's
+    *     configurable `operationType` match stage; replace folds into
+    *     update downstream exactly like the Debezium connector does);
+    *     delete/invalidate carry no fullDocument and drop;
+    *   - ttl skip (`EcommerceTransactionsLogEventsStream.kt:98-121`): a
+    *     fullDocument with the `ttl` field set is the data-migration
+    *     touch, not a new event — skipped;
+    *   - bad-record skip (`...kt:122-135`): unparseable envelopes and
+    *     documents missing required fields are dropped, log-and-continue.
+    *
+    * A document omitting `tsMs` inherits the envelope's clusterTime
+    * seconds (×1000), so resume/dedup ordering still rides the server
+    * clock — the same fallback discipline as [[fromDebeziumEnvelope]]. */
+  def fromMongoChangeStream(raw: DataFrame, jsonCol: String = "json"): Dataset[CdcEvent] = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val envSchema = StructType(Seq(
+      StructField("operationType", StringType),
+      StructField("clusterTime", StructType(Seq(
+        StructField("$timestamp", StructType(Seq(
+          StructField("t", LongType), StructField("i", LongType))))))),
+      StructField("fullDocument", eventEncoder.schema)))
+    val parsed = raw
+      .withColumn("p", from_json(col(jsonCol), envSchema))
+      .filter(col("p.operationType").isin("insert", "update", "replace") &&
+        col("p.fullDocument").isNotNull)
+      // ttl applicative skip: the reference cannot filter server-side on
+      // operationType alone (the driver reports null for some stores), so
+      // any document carrying ttl is the migration update and is skipped
+      .filter(col("p.fullDocument.ttl").isNull)
+      .select(col("p.fullDocument.*"),
+        col("p.operationType").as("__op"),
+        col("p.clusterTime.`$timestamp`.t").as("__ct"))
+      .filter(col("id").isNotNull && col("transactionId").isNotNull &&
+        col("eventCode").isNotNull)
+      .withColumn("tsMs", coalesce(col("tsMs"), col("__ct") * lit(1000L)))
+      .filter(col("tsMs").isNotNull)
+      .withColumn("operationType",
+        when(col("__op") === "insert", lit("insert")).otherwise(lit("update")))
+      .withColumn("creationDate",
+        coalesce(col("creationDate"),
+          date_format(timestamp_millis(col("tsMs")), "yyyy-MM-dd'T'HH:mm:ss.SSSX")))
+      .drop("__op", "__ct")
+    parsed.as[CdcEvent](eventEncoder)
+  }
+
   /** [[fromKafkaEnvelope]] plus the broker-side lineage columns. */
   def fromKafkaEnvelopeWithMeta(kafka: DataFrame): DataFrame = {
     val parsed = kafka.filter(col("value").isNotNull)

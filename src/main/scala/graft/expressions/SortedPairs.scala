@@ -39,10 +39,25 @@ case class SortedPairs(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // pair count in Long: at n ≈ 65536+ the Int product overflows to a
+    // negative allocation size. The board's inputs are df-capped far below
+    // that, but the function is registered as a general SQL UDF — fail
+    // loudly past the bound instead of NegativeArraySizeException (and the
+    // emitted array must itself stay addressable).
+    val nPairs = n.toLong * (n - 1L) / 2L
+    if (nPairs > Int.MaxValue - 8) throw new IllegalArgumentException(
+      s"$prettyName: $n elements produce $nPairs pairs, beyond the max array size; " +
+        "cap the input list (see CappedCollectLongs) before pairing")
+    val out = new Array[Any](nPairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {
+      // the type check accepts containsNull arrays (aggregate outputs often
+      // carry the permissive type); getLong on a null slot silently yields 0
+      // and corrupts pair identities — fail fast instead (one branch per
+      // ELEMENT, not per pair)
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null element at index $i; input must be a sorted non-null id list")
       val x = a.getLong(i)
       var j = i + 1
       while (j < n) {

@@ -130,6 +130,13 @@ object Relational {
       ordering: Seq[Column],
       as: String,
       totalAs: Option[String]): DataFrame = {
+    // withColumnRenamed on a name the input already carries would emit a
+    // frame with DUPLICATE column names — later resolution fails ambiguously
+    // far from the cause (ADVICE r9). `as` is safe: withColumn replaces.
+    totalAs.foreach { t =>
+      require(!df.columns.contains(t),
+        s"globalIndexWithTotal: totalAs '$t' collides with an input column")
+    }
     // persisted (tracked): the counts side and the join side BOTH read
     // `sorted`, and correctness requires they see the SAME partition
     // layout. An un-persisted recompute is only deterministic while the

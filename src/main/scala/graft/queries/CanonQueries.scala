@@ -174,6 +174,7 @@ object CanonQueries {
     // the gain pass stays a single distributed map-only scan of the
     // cached per-doc bigram sets cut by TakeOrderedAndProject. Measured
     // 2.1 s → ~0.9 s at sf0.1, identical rows.
+    import spark.implicits._
     val sets = Dedup.cacheTracked(
       Dedup.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
@@ -185,11 +186,21 @@ object CanonQueries {
     var saturated = false
     (1 to CoverRounds).foreach { r =>
       if (!saturated) {
+        // covered set ships as a BROADCAST single-row frame, not a plan
+        // literal (ADVICE r9): a typedlit embeds every accumulated bigram
+        // in each subsequent round's analyzed plan and every task binary,
+        // so one bigram-rich pick inflates all later rounds; the broadcast
+        // ships the set once per executor and keeps plans constant-size.
+        // Still one job per round (the round-9 invariant).
+        val withCov =
+          if (covered.isEmpty) sets
+          else sets.crossJoin(broadcast(Seq(Tuple1(covered.toSeq)).toDF("__cov")))
         val fresh =
           if (covered.isEmpty) col("bg")
-          else array_except(col("bg"), typedlit(covered))
+          else array_except(col("bg"), col("__cov"))
         val eligible =
-          if (picked.isEmpty) sets else sets.filter(!col("doc_id").isin(picked.toSeq: _*))
+          if (picked.isEmpty) withCov
+          else withCov.filter(!col("doc_id").isin(picked.toSeq: _*))
         val top = eligible
           .select(col("doc_id"), fresh.as("fresh"))
           .select(col("doc_id"), col("fresh"), size(col("fresh")).as("gain"))

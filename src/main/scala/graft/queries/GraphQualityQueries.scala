@@ -175,9 +175,15 @@ object GraphQualityQueries {
       .withColumn("a1n",
         floor(lit(1000L) * col("a1") / max("a1").over(wAll)).cast("long"))
       .select("brand", "a1n")
-    // round 1 hubs: sum of incident normalized authorities, rescaled
-    val h1 = edges.join(broadcast(a1n), "brand")
-      .groupBy("cust").agg(sum("a1n").as("h1"))
+    // round 1 hubs: sum of incident normalized authorities, rescaled.
+    // Cached (tracked): BOTH the 1-row max job and the round-2 join read
+    // this |custs|-row frame — uncached, each re-ran the edges⋈a1n
+    // aggregate (one extra job in the 5-job sequential chain, round-10).
+    // The cust-side max itself stays a broadcast aggregate, NOT a window:
+    // customers are entity-scaled (billions at 100 TB), so a single-task
+    // all-rows window here would be the q10-class scale-killer.
+    val h1 = graft.ops.Dedup.cacheTracked(edges.join(broadcast(a1n), "brand")
+      .groupBy("cust").agg(sum("a1n").as("h1")))
     val h1max = h1.agg(max("h1").as("h1max"))
     val h1n = h1.crossJoin(broadcast(h1max))
       .select(col("cust"), floor(lit(1000L) * col("h1") / col("h1max"))

@@ -58,6 +58,12 @@ object TextOpsQueries {
     * to the unpacked sizes-join form this replaced (git: round-8). */
   val WinnowPackBase = 2147483648L // 2^31
 
+  /** Pack envelope on the id side: doc_id ∈ [0, 2³²) keeps id·2³¹ + nfp
+    * inside a signed BIGINT. Guarded at runtime in q211 (ADVICE r9): an
+    * out-of-envelope corpus fails loudly instead of silently corrupting
+    * pair identities. */
+  val WinnowPackIdMax = 4294967296L // 2^32
+
   def q211_winnow_pairs(spark: SparkSession, dir: String): DataFrame = {
     // Per-doc fingerprint count is known IN-ROW (it's the winnow
     // array's size), so pack (doc_id, nfp) into the posting id and the
@@ -72,7 +78,14 @@ object TextOpsQueries {
       .select(col("doc_id"), call_function(
         graft.expressions.GraftFunctions.WinnowFpsName,
         col("t"), lit(WinnowN), lit(WinnowW)).as("hs"))
-      .select((col("doc_id") * WinnowPackBase + size(col("hs"))).as("pid"),
+      // envelope guard (ADVICE r9): a doc_id ≥ 2³² or < 0 would silently
+      // corrupt packed pair identities — fail the job instead. One codegen'd
+      // comparison per row; nfp < 2³¹ stays structural (see WinnowPackBase).
+      .select((when(col("doc_id") < 0 || col("doc_id") >= WinnowPackIdMax,
+          raise_error(concat(
+            lit(s"q211: doc_id outside the [0, $WinnowPackIdMax) pack envelope: "),
+            col("doc_id").cast("string"))).cast("long"))
+        .otherwise(col("doc_id") * WinnowPackBase + size(col("hs")))).as("pid"),
         explode(col("hs")).as("h"))
     // in-row pair generation off the df-capped posting lists
     // (Dedup.cappedPostingPairs): the capped collector prunes hot

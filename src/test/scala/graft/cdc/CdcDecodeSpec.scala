@@ -161,6 +161,63 @@ class CdcDecodeSpec extends SparkSpec {
     assert(result.passed, result.status.toString)
   }
 
+  test("mongo change-stream envelope decode: parity with the debezium path, " +
+      "ttl-skip and bad-record-skip contracts (O1)") {
+    val good = EventGen.generate(nTx = 3, seed = 29L, noise = false)
+      .filter(_.ttl.isEmpty)
+    val wire = CdcDecode.toJson(good.toDS()).collect().map(_.getString(0))
+    def mongoEnv(doc: String, op: String, ct: Long = 8888L) =
+      s"""{"operationType":"$op","clusterTime":{"$$timestamp":{"t":$ct,"i":1}},""" +
+        s""""fullDocument":$doc}"""
+    // op mix covering the mapping table: insert -> insert, update/replace -> update
+    val ops = Seq("insert", "update", "replace")
+    val mongoWire = wire.zipWithIndex.map { case (doc, i) => mongoEnv(doc, ops(i % 3)) }
+    val polluted = (mongoWire.toSeq :+
+      // ttl-skip (EcommerceTransactionsLogEventsStream.kt:98-121): the
+      // migration touch carries ttl and must be skipped, not decoded
+      mongoEnv("""{"id":"ttl1","transactionId":"tttl","eventCode":"TRANSACTION_ACTIVATED_EVENT","tsMs":1000,"ttl":3600}""", "update") :+
+      // delete carries no fullDocument -> dropped
+      """{"operationType":"delete","documentKey":{"_id":"gone"}}""" :+
+      // invalidate -> dropped
+      """{"operationType":"invalidate"}""" :+
+      // bad records (…kt:122-135): corrupt envelope, doc missing required fields
+      "{ not an envelope" :+
+      mongoEnv("""{"tsMs":5,"eventCode":"X"}""", "insert") :+
+      // clusterTime fallback: doc without its own tsMs inherits ct seconds ×1000
+      mongoEnv("""{"id":"m1","transactionId":"tm1","eventCode":"TRANSACTION_ACTIVATED_EVENT"}""", "insert", ct = 7777L))
+      .toDF("json")
+    val out = CdcDecode.fromMongoChangeStream(polluted).collect()
+    val byId = out.map(e => e.id -> e).toMap
+    assert(out.length == good.size + 1)
+    assert(!byId.contains("ttl1"), "ttl-marked migration document must be skipped")
+    assert(byId("m1").tsMs == 7777000L, "clusterTime seconds x1000 must backfill tsMs")
+    good.zipWithIndex.foreach { case (g, i) =>
+      val e = byId(g.id)
+      assert(e.tsMs == g.tsMs, "document tsMs must win over clusterTime")
+      assert(e.operationType == (if (ops(i % 3) == "insert") "insert" else "update"),
+        s"op mapping wrong for ${e.id} (${ops(i % 3)})")
+    }
+    // decode parity with the Debezium twin on the SAME documents and the
+    // same op semantics (insert/update/replace ≍ c/u/u)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val dzWire = wire.zipWithIndex.map { case (doc, i) =>
+      val op = if (ops(i % 3) == "insert") "c" else "u"
+      s"""{"payload":{"before":null,"after":"${esc(doc)}","op":"$op","ts_ms":8888000}}"""
+    }.toSeq.toDF("json")
+    val viaMongo = CdcDecode.fromMongoChangeStream(mongoWire.toSeq.toDF("json"))
+      .collect().map(e => e.id -> e).toMap
+    val viaDz = CdcDecode.fromDebeziumEnvelope(dzWire)
+      .collect().map(e => e.id -> e).toMap
+    assert(viaMongo == viaDz, "mongo and debezium decodes must agree on the same events")
+    // and the view ladder composes identically over the mongo path
+    val viaStream = ViewReplay.replay(
+      CdcDecode.fromMongoChangeStream(mongoWire.toSeq.toDF("json")).toDF())
+      .as[TransactionView].collect().map(v => v.transactionId -> v).toMap
+    val direct = ViewReplay.replay(good.toDF())
+      .as[TransactionView].collect().map(v => v.transactionId -> v).toMap
+    assert(viaStream == direct)
+  }
+
   test("decode composes with the replay pipeline end-to-end") {
     val events = EventGen.generate(nTx = 8, seed = 41L)
     val viaWire = ViewReplay.replay(

@@ -3,6 +3,7 @@
 scale factor, then replay each oracle SQL in DuckDB on the same parquet
 tables and compare (column names sorted, exact values). Dev tool only — the
 engine itself is pure Scala/Spark."""
+import decimal
 import json, sys, subprocess, os
 import duckdb
 import pandas as pd
@@ -49,9 +50,20 @@ for name, sql in sorted(oracle.items()):
     # numbers are equal. Fail on int-vs-float dtype-kind divergence up front.
     def kind(s):
         k = s.dtype.kind
-        if k == "O" and len(s) and all(
-                pd.isna(v) or isinstance(v, int) for v in s):
-            return "i"  # DuckDB HUGEINT surfaces as object-of-int
+        # object-of-int columns: DuckDB HUGEINT surfaces as object of int OR
+        # of Decimal (zero exponent). isinstance(True, int) is True in
+        # Python, so bools must be excluded or a boolean column reads as
+        # int-kind and int-vs-float divergences slip to the opaque
+        # hash-mismatch path (ADVICE r9).
+        def int_like(v):
+            if isinstance(v, bool):
+                return False
+            if isinstance(v, int):
+                return True
+            return (isinstance(v, decimal.Decimal)
+                    and v == v.to_integral_value())
+        if k == "O" and len(s) and all(pd.isna(v) or int_like(v) for v in s):
+            return "i"
         return k
     dbad = None
     for c in got.columns:
