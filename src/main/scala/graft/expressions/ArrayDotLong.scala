@@ -85,6 +85,7 @@ object GraftFunctions {
   val SortedPairsName = "graft_sorted_pairs"
   val CdcChunksName = "graft_cdc_chunks"
   val CharGramsName = "graft_char_grams"
+  val CharGramCountsName = "graft_char_gram_counts"
 
   /** Literal-int extraction for builder lambdas (k arguments must be
     * foldable — a non-literal k is a registration-time error, not a
@@ -136,5 +137,8 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CharGramsName)))
       reg.createOrReplaceTempFunction(
         CharGramsName, exprs => CharGrams(exprs.head, litInt(exprs(1))), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CharGramCountsName)))
+      reg.createOrReplaceTempFunction(
+        CharGramCountsName, exprs => CharGramCounts(exprs.head, litInt(exprs(1))), "scala_udf")
   }
 }

@@ -72,11 +72,14 @@ object KmvQueries {
     val grams = graft.ops.Dedup.spread(Tables.documents(spark, dir))
       .select(col("source"), normalizeText(col("text")).as("s"))
       .filter(length(col("s")) >= 3)
-      // fused CharGrams walk (round-9): the HOF form ran an interpreted
-      // substring lambda per position — one expression pass, same grams
+      // fused CharGramCounts walk (round-10, was CharGrams in round-9):
+      // within-row gram repetition collapses BEFORE the explode — one row
+      // per distinct gram per doc instead of one per occurrence, so the
+      // (source, g) partial aggregate hashes proportionally fewer rows;
+      // sum(c) ≡ the occurrence count by associativity, profile unchanged
       .select(col("source"), explode(org.apache.spark.sql.functions.call_function(
-        graft.expressions.GraftFunctions.CharGramsName, col("s"), lit(3))).as("g"))
-      .groupBy("source", "g").agg(count(lit(1)).as("c"))
+        graft.expressions.GraftFunctions.CharGramCountsName, col("s"), lit(3))).as("e"))
+      .groupBy(col("source"), col("e.g").as("g")).agg(sum(col("e.c")).as("c"))
     val norms = grams.groupBy("source")
       .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("n2"),
         count(lit(1)).as("n_grams"))

@@ -310,33 +310,47 @@ object TextOpsQueries {
 
   /** Core of q214 over any (doc_id, text) frame — split out so the
     * streaming twin ([[graft.streaming.BlocklistStream]]) screens each
-    * micro-batch through the identical plan. Unordered. */
+    * micro-batch through the identical plan. Unordered.
+    *
+    * ONE map-side pass (round-10; was tokenize ×3 + a positional
+    * self-equijoin + two aggregates): the policy lists are FIXED literals
+    * (a handful of terms/phrases per category), so per (doc, category)
+    * the term-hit count is an in-row `filter(tokens, ...)` size and the
+    * 2-token phrase-hit count an in-row adjacent-pair scan — no token
+    * explode, no corpus shuffle anywhere (the per-doc rollup the explode
+    * form needed no longer exists). A policy list too large to inline
+    * (thousands of patterns) would return to the broadcast-join form —
+    * that boundary is the same plan-literal discipline as q274. */
   private[graft] def screenDocs(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val terms = BlockTerms.toDF("category", "term")
-    val phrases = BlockPhrases.toDF("category", "w1", "w2")
-    val tk = docs
-      .select(col("doc_id"), posexplode(wsTokens(normalizeText(col("text")))).as(Seq("p", "token")))
-    val termHits = tk.join(broadcast(terms), col("token") === col("term"))
-      .groupBy("doc_id", "category").agg(count(lit(1)).as("n_term_hits"))
-    // prefilter BOTH sides of the positional join to phrase-word
-    // occurrences (broadcast left-semi) BEFORE joining on (doc, p+1):
-    // the full token stream never self-shuffles — only the (rare)
-    // pattern-word rows carry position keys to the equijoin
-    val starts = tk.join(broadcast(phrases.select(col("w1").as("token")).distinct()),
-      Seq("token"), "left_semi")
-    val nexts = tk.join(broadcast(phrases.select(col("w2").as("token")).distinct()),
-      Seq("token"), "left_semi")
-    val phraseHits = starts.as("x")
-      .join(nexts.as("y"), col("x.doc_id") === col("y.doc_id") && col("y.p") === col("x.p") + 1)
-      .join(broadcast(phrases), col("x.token") === col("w1") && col("y.token") === col("w2"))
-      .groupBy(col("x.doc_id").as("doc_id"), col("category"))
-      .agg(count(lit(1)).as("n_phrase_hits"))
-    termHits.join(phraseHits, Seq("doc_id", "category"), "full")
-      .select(col("doc_id"), col("category"),
-        coalesce(col("n_term_hits"), lit(0L)).as("n_term_hits"),
-        coalesce(col("n_phrase_hits"), lit(0L)).as("n_phrase_hits"))
+    val cats = (BlockTerms.map(_._1) ++ BlockPhrases.map(_._1)).distinct.sorted
+    val perCat = cats.map { c =>
+      val terms = BlockTerms.filter(_._1 == c).map(_._2)
+      val phrases = BlockPhrases.collect { case (`c`, a, b) => (a, b) }
+      val termCnt =
+        if (terms.isEmpty) lit(0L)
+        else size(filter(col("t"),
+          x => terms.map(x === lit(_)).reduce(_ || _))).cast("long")
+      val phraseCnt =
+        if (phrases.isEmpty) lit(0L)
+        // sequence(1, 0) DESCENDS in Spark — guard the 0/1-token doc
+        else when(size(col("t")) < 2, lit(0L)).otherwise(
+          size(filter(sequence(lit(1), size(col("t")) - 1), i =>
+            phrases.map { case (a, b) =>
+              element_at(col("t"), i) === lit(a) &&
+                element_at(col("t"), i + 1) === lit(b)
+            }.reduce(_ || _))).cast("long"))
+      struct(lit(c).as("category"), termCnt.as("n_term_hits"),
+        phraseCnt.as("n_phrase_hits"))
+    }
+    docs
+      .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
+      .select(col("doc_id"), explode(array(perCat: _*)).as("h"))
+      .select(col("doc_id"), col("h.category").as("category"),
+        col("h.n_term_hits").as("n_term_hits"),
+        col("h.n_phrase_hits").as("n_phrase_hits"))
+      // the explode-form emitted only (doc, category) pairs with ≥1 hit
+      // on either side — identical to sum > 0 here
+      .filter(col("n_term_hits") + col("n_phrase_hits") > 0)
       .withColumn("n_hits", col("n_term_hits") + col("n_phrase_hits"))
       .withColumn("flagged", (col("n_hits") >= BlockFlagAt).cast("int"))
   }

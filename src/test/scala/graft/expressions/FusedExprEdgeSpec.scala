@@ -63,6 +63,33 @@ class FusedExprEdgeSpec extends SparkSpec {
     assert(lens.sum == 100L, "chunk lengths must partition the token stream")
   }
 
+  test("CharGramCounts: totals equal CharGrams occurrence counts; first-occurrence order; " +
+      "multi-byte and below-n inputs") {
+    registered()
+    val df = Seq("abcabcab", "héllo héllo", "ab", "").toDF("s")
+    // A/B: summed per-gram counts == explode-and-count over CharGrams
+    val got = df.select(col("s"), explode(call_function(
+        GraftFunctions.CharGramCountsName, col("s"), lit(3))).as("e"))
+      .groupBy("s", "e.g").agg(sum("e.c").as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ref = df.select(col("s"), explode(call_function(
+        GraftFunctions.CharGramsName, col("s"), lit(3))).as("g"))
+      .groupBy("s", "g").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == ref, "CharGramCounts totals diverge from CharGrams occurrence counts")
+    // first-occurrence order and in-row totals on a repeating string
+    val rows = df.filter(col("s") === "abcabcab")
+      .select(call_function(GraftFunctions.CharGramCountsName, col("s"), lit(3)).as("e"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.map(_.getString(0)) == Seq("abc", "bca", "cab"))
+    assert(rows.map(_.getLong(1)) == Seq(2L, 2L, 2L))
+    // below-n and empty: empty array
+    val empties = df.filter(length(col("s")) < 3)
+      .select(call_function(GraftFunctions.CharGramCountsName, col("s"), lit(3)).as("e"))
+      .collect().map(_.getSeq[Any](0))
+    assert(empties.forall(_.isEmpty))
+  }
+
   test("CharGrams: code-point indexing matches SQL substring on multi-byte text") {
     registered()
     val df = Seq("héllo wörld", "ab", "").toDF("s")
