@@ -38,10 +38,16 @@ object IsotonicQueries {
     * equal-width buckets. Only non-empty buckets participate; their
     * index order is the isotonic order. */
   def q361_isotonic_calibration(spark: SparkSession, dir: String): DataFrame = {
-    val sc = TrainPrepQueries.classifierScores(spark, dir)
-      .join(Tables.documents(spark, dir).select("doc_id", "n_chars"), "doc_id")
-      .select(col("score"),
-        (col("n_chars") >= IsoLongChars).cast("long").as("y"))
+    // tracked cache: the (score, y) frame is read TWICE — the min/max
+    // extent pass and the bucket aggregate — and the consumers aggregate
+    // under DIFFERENT shapes (global vs keyed), so ReuseExchange cannot
+    // share the scores⋈documents join subtree between them (the q111/q227
+    // different-keys criterion). Two longs per doc — small either way.
+    val sc = graft.ops.Dedup.cacheTracked(
+      TrainPrepQueries.classifierScores(spark, dir)
+        .join(Tables.documents(spark, dir).select("doc_id", "n_chars"), "doc_id")
+        .select(col("score"),
+          (col("n_chars") >= IsoLongChars).cast("long").as("y")))
     val ext = sc.agg(min("score").as("mn"), max("score").as("mx"))
     val b = sc.crossJoin(broadcast(ext))
       .withColumn("bucket", expr(
