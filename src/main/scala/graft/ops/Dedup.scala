@@ -175,28 +175,14 @@ object Dedup {
     * the expensive query-independent prefix (normalize regex + tokenize)
     * of every shingle-family operator. Callers sweeping a parameter
     * across several arms (q366's three shingle orders) cache ONE of
-    * these and derive each arm via [[jaccardPairsFromTokens]], instead
-    * of re-running the normalize pass per arm. */
+    * these and derive each arm's shingling from it, instead of
+    * re-running the normalize pass per arm. */
   def tokensBase(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), wsTokens(normalizeText(col("__text"))).as("__toks"))
-
-  /** [[jaccardPairs]] over a pre-tokenized `(id, __toks)` frame (see
-    * [[tokensBase]]) — the arms of a sweep share one cached tokenize pass
-    * and pay only their own n-specific shingling. Cache tiers are
-    * per-query (tracked), not session-pinned: a sweep's (n, maxDf) combos
-    * are its own, so pinning would hold memory with no cross-query reader.
-    * `inter` is consumed exactly once here, so only the twice-read
-    * shingle and sizes frames persist. */
-  def jaccardPairsFromTokens(
-      toks: DataFrame, n: Int, minJaccardX10k: Long, maxDf: Int): DataFrame = {
-    val sh = cacheTracked(toks.select(
-      col("id"), explode(shinglesFromTokens(col("__toks"), n)).as("shingle")))
-    jaccardFrom(interFrom(sh, maxDf), cacheTracked(sizesFrom(sh)), minJaccardX10k)
-  }
 
   /** [[jaccardPairs]] over the SESSION-PINNED intersection core of the
     * `documents` table under `dir` — the board call sites (q16/q114/
