@@ -112,7 +112,7 @@ object Plans {
     "q206_frequent_triples" -> "A-priori triples: frequent-pair candidate generation, basket re-scan counts candidates only",
     "q208_bfs_layers" -> "BFS layers: bounded frontier-expand/anti-join rounds off the pinned edge core, localCheckpoint per round",
     "q211_winnow_pairs" -> "winnowing: fused WinnowFps pass (incremental gram md5 + deque sliding-min), (doc,nfp) packed ids kill the sizes joins, capped-collect equijoin, never all-pairs",
-    "q214_blocklist_screen" -> "blocklist: broadcast pattern tables; phrase sides broadcast-semi prefiltered BEFORE the positional equijoin",
+    "q214_blocklist_screen" -> "blocklist: literal pattern lists evaluated in-row over the token array (term + adjacent-pair counts) - NO corpus shuffle, output sort only",
     "q215_contrastive_triplets" -> "triplets: pinned kNN artifact + <=k-row rank windows per (anchor, side), two bounded joins",
     "q216_brier_reliability" -> "brier: pinned classifier core, 1-row + |bins|-row aggregates, everything else broadcast",
     "q217_removal_effect" -> "removal effect: q118-shape distributed transition aggregate; iteration on the collected |types|^2 matrix (bounded)",
@@ -151,7 +151,10 @@ object Plans {
     "q335_histogram_fidelity" -> "histogram fidelity: per-side key-count tables cached, feed BOTH exact join total and |buckets|-row histogram estimate - facts read once",
     "q336_bloom_calibration" -> "bloom calibration: per-budget position rows joined on bit only, member bitset distinct-reduced before the probe join",
     "q337_er_operating_curve" -> "ER curve: pinned blocking+scores vs pinned jaccard truth, cumulative P/R over a <=|scores| frame",
-    "q340_activity_streaks" -> "streaks: distinct (user,day), user-partitioned island windows, |streak-lengths|-row histogram"
+    "q340_activity_streaks" -> "streaks: distinct (user,day), user-partitioned island windows, |streak-lengths|-row histogram",
+    "q361_isotonic_calibration" -> "isotonic: cached (score,y) frame feeds extent + bucket passes once; PAV via <=B^2 lattice join, everything after the bucket agg is 16-row",
+    "q366_shingle_sweep" -> "shingle sweep: one cached tokenize base, all three orders in ONE packed-key posting exchange (order in key AND id), per-order unpack after the pair aggregate",
+    "q372_trigram_affinity" -> "trigram affinity: CharGramCounts pre-aggregates per-doc gram repetition in-row before the explode, (source,g) profile aggregate, in-row posting pairs - no gram self-join"
   )
 
   def main(args: Array[String]): Unit = {
