@@ -5,14 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Dev-loop timer (NOT the driver contract — that's [[Bench]]): time a
   * handful of named queries at an SF dir, min-of-reps, same session
   * conf as Bench. Usage: runMain graft.BenchDev <sfDir> <reps> q1 q2 …
-  * (names are prefixes; "q165" matches q165_rake_keywords). */
+  * (names are prefixes; "q165" matches q165_rake_keywords). Args of the
+  * form `conf:key=value` are applied to the session builder — the A/B
+  * hook for session-conf experiments (e.g.
+  * `conf:spark.sql.adaptive.coalescePartitions.minPartitionSize=256k`). */
 object BenchDev {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val reps = args(1).toInt
-    val prefixes = args.drop(2).toSeq
+    val (confArgs, prefixes) = args.drop(2).toSeq.partition(_.startsWith("conf:"))
+    val extraConf = confArgs.map { a =>
+      val kv = a.stripPrefix("conf:").split("=", 2); (kv(0), kv(1))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = Sessions.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -21,6 +27,7 @@ object BenchDev {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.cleaner.periodicGC.interval", "30s")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted

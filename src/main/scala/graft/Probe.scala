@@ -51,6 +51,56 @@ object Probe {
       .parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** [[replicate]] extended to EVERY driver table — the full-board
+    * sf1 (10×) corpus for round-10 VERDICT #3's whole-395-query scale
+    * run, not just the document/embedding heavies. Construction is the
+    * same disjoint-replica discipline: replica r shifts every primary
+    * key by r·(max+1) of its own domain and every foreign key by
+    * r·(max+1) of the REFERENCED domain, so the join/FK structure
+    * repeats exactly N× (each replica joins only its own rows) while
+    * group-by-name/category cardinalities stay realistic (names repeat
+    * across replicas — a 10× corpus has 10× rows per category, not 10×
+    * categories). Timestamps keep the base range: a 10× corpus over the
+    * same observation window (densities grow, windows don't). */
+  def replicateAll(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
+    replicate(spark, baseDir, outDir, factor) // documents + embeddings
+    def maxPlus1(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).collect()(0).getLong(0) + 1
+    def shifted(name: String, shifts: (String, Long)*): Unit = {
+      val df = spark.read.parquet(s"$baseDir/$name.parquet")
+      val reps = (0 until factor).map { r =>
+        shifts.foldLeft(df) { case (d, (c, base)) =>
+          d.withColumn(c, col(c) + lit(r * base)) }
+      }.reduce(_ unionByName _)
+      reps.repartition(32).write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/$name.parquet")
+    }
+    val nReg = maxPlus1(spark.read.parquet(s"$baseDir/region.parquet"), "r_regionkey")
+    val nNat = maxPlus1(spark.read.parquet(s"$baseDir/nation.parquet"), "n_nationkey")
+    val nCust = maxPlus1(spark.read.parquet(s"$baseDir/customer.parquet"), "c_custkey")
+    val nSupp = maxPlus1(spark.read.parquet(s"$baseDir/supplier.parquet"), "s_suppkey")
+    val nPart = maxPlus1(spark.read.parquet(s"$baseDir/part.parquet"), "p_partkey")
+    val nOrd = maxPlus1(spark.read.parquet(s"$baseDir/orders.parquet"), "o_orderkey")
+    shifted("region", "r_regionkey" -> nReg)
+    shifted("nation", "n_nationkey" -> nNat, "n_regionkey" -> nReg)
+    shifted("customer", "c_custkey" -> nCust, "c_nationkey" -> nNat)
+    shifted("supplier", "s_suppkey" -> nSupp, "s_nationkey" -> nNat)
+    shifted("part", "p_partkey" -> nPart)
+    shifted("orders", "o_orderkey" -> nOrd, "o_custkey" -> nCust)
+    shifted("lineitem", "l_orderkey" -> nOrd, "l_partkey" -> nPart,
+      "l_suppkey" -> nSupp)
+    // events: user domain shifts, event ids shift, the clock doesn't
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    val nEv = maxPlus1(ev, "event_id")
+    val nUser = maxPlus1(ev, "user_id")
+    val evReps = (0 until factor).map { r =>
+      ev.withColumn("event_id", col("event_id") + lit(r * nEv))
+        .withColumn("user_id", col("user_id") + lit(r * nUser))
+    }.reduce(_ unionByName _)
+    evReps.repartition(32).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/events.parquet")
+  }
+
   private def time(f: => Long): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
@@ -61,7 +111,7 @@ object Probe {
     val names = if (args.length > 2) args.drop(2).toSeq
       else Seq("q112_source_overlap", "q114_neardup_flow", "q119_ann_recall",
         "q131_pagerank")
-    val spark = SparkSession.builder()
+    val spark = Sessions.tune(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-probe")
       .config("spark.sql.shuffle.partitions", "32")

@@ -46,7 +46,7 @@ object ScaleRehearsal {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val names = if (args.length > 2) args.drop(2).toSeq else HeavyFive
-    val spark = SparkSession.builder()
+    val spark = Sessions.tune(SparkSession.builder())
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scale-rehearsal")
       .config("spark.sql.shuffle.partitions", "32")

@@ -13,8 +13,29 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Footer-schema memo keyed by (dir, table): the first read of a table
+    * pays Spark's schema-inference pass (a 1-task footer job per
+    * `spark.read.parquet` call — JobProfile shows it as ~30-40 ms plus a
+    * scheduling gap on EVERY query execution); subsequent reads pass the
+    * memoized schema explicitly and skip that job. The schema is a
+    * property of the files, not the session, so a plain process-wide
+    * memo is safe; testdata dirs are immutable for a session's lifetime.
+    * At cluster scale the same trick is "declare your table schemas"
+    * (metastore/catalog) instead of per-query inference.
+    */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (dir, name)
+    val known = schemaMemo.get(key)
+    if (known != null) spark.read.schema(known).parquet(s"$dir/$name.parquet")
+    else {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      schemaMemo.put(key, df.schema)
+      df
+    }
+  }
 
   /** The `events` table normalized to `ts_ms` (epoch millis, == DuckDB
     * `epoch_ms(ts)`) which is also the reference's watermark unit
@@ -29,7 +50,7 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = table(spark, dir, "events")
     val tsMs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000000") // nanos-as-long
       case org.apache.spark.sql.types.TimestampType => unix_millis(col("ts"))

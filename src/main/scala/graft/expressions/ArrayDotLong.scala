@@ -86,6 +86,7 @@ object GraftFunctions {
   val CdcChunksName = "graft_cdc_chunks"
   val CharGramsName = "graft_char_grams"
   val CharGramCountsName = "graft_char_gram_counts"
+  val CharGramCodesName = "graft_char_gram_codes"
 
   /** Literal-int extraction for builder lambdas (k arguments must be
     * foldable — a non-literal k is a registration-time error, not a
@@ -140,5 +141,8 @@ object GraftFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CharGramCountsName)))
       reg.createOrReplaceTempFunction(
         CharGramCountsName, exprs => CharGramCounts(exprs.head, litInt(exprs(1))), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(CharGramCodesName)))
+      reg.createOrReplaceTempFunction(
+        CharGramCodesName, exprs => CharGramCodes(exprs.head, litInt(exprs(1))), "scala_udf")
   }
 }

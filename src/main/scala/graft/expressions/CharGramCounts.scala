@@ -46,8 +46,11 @@ case class CharGramCounts(child: Expression, n: Int)
     val cnt = m - n + 1
     if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
     // first-occurrence order; values boxed once per DISTINCT gram (the
-    // per-row domain is bounded by the document length)
-    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]](cnt * 2)
+    // per-row domain is bounded by the document length). The capacity is
+    // only a sizing hint — clamp it so a >=2^30-char string can't
+    // overflow Int into a negative capacity (ADVICE r10).
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]](
+      math.min(cnt.toLong * 2, 1L << 26).toInt)
     var i = 0
     while (i < cnt) {
       val g = s.substringSQL(i + 1, n)

@@ -53,9 +53,20 @@ object ClusterSweepQueries {
       .select(col("id_a"), col("id_b"),
         explode(expr(s"filter(sequence(0, ${nArms - 1}), " +
           s"i -> jaccard_x10k >= element_at($tauArr, i + 1))")).as("arm")))
+    // pack envelope (round-11 guard sweep, the q211/q366 discipline):
+    // id·nArms + arm needs id < 2⁶³/nArms — out-of-envelope ids would
+    // silently alias across arms. One codegen'd comparison per pair row
+    // (the pair table is df-capped, so this is off the corpus path).
+    val packIdMax = Long.MaxValue / nArms
+    def packed(c: org.apache.spark.sql.Column) =
+      when(c < 0 || c >= packIdMax,
+        raise_error(concat(
+          lit(s"q260: doc id outside the [0, $packIdMax) pack envelope: "),
+          c.cast("string"))).cast("long"))
+        .otherwise(c * nArms + col("arm"))
     val comp = Graph.connectedComponents(
-      tagged.select((col("id_a") * nArms + col("arm")).as("id_a"),
-        (col("id_b") * nArms + col("arm")).as("id_b")))
+      tagged.select(packed(col("id_a")).as("id_a"),
+        packed(col("id_b")).as("id_b")))
       .select(pmod(col("id"), lit(nArms.toLong)).as("arm"),
         col("component_id"))
     val pc = tagged.groupBy("arm").agg(count(lit(1)).as("n_pairs"))

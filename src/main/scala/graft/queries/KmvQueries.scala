@@ -58,47 +58,77 @@ object KmvQueries {
 
   /** X404 — char-trigram affinity matrix between sources: squared
     * cosine ×10⁴ over 3-gram count profiles (squares/dots in
-    * DECIMAL(38,0) — profile masses overflow BIGINT at corpus scale). */
+    * DECIMAL(38,0) — profile masses overflow BIGINT at corpus scale).
+    *
+    * Round-11 single-walk plan (was: separate norms and postings
+    * branches, each recomputing the corpus gram walk because their
+    * pruned exchanges are not tree-identical — JobProfile showed two
+    * 6-14 s task-time walks behind a 1.1-1.4 s wall at sf0.1):
+    *
+    *  1. the walk runs ONCE into the (source, g) profile, with grams
+    *     packed to BIGINT by [[graft.expressions.CharGramCodes]] (21
+    *     bits per code point — exact bijection, so counts are identical
+    *     to the string-keyed form while the aggregate hashes fixed-width
+    *     longs; A/B in README);
+    *  2. per-gram posting lists (vocabulary-sized input — ≤ charset³
+    *     rows at ANY corpus scale) emit in-row ordered pair products
+    *     INCLUDING the diagonal, so the norms n2 = Σc² arrive as the
+    *     (s, s) cells of the SAME pair aggregate — the whole norms
+    *     branch (its aggregate, its exchange, its second corpus walk)
+    *     is gone;
+    *  3. the vocabulary-bounded tail (postings → pair cells → norms →
+    *     sort) runs in ONE single-partition stage: `repartition(1)`
+    *     above the parallel profile aggregate yields SinglePartition,
+    *     which satisfies every downstream groupBy/window/sort
+    *     distribution — zero further exchanges, zero broadcasts, and
+    *     the diagonal reaches the off-diagonal rows through two
+    *     in-partition window maxes instead of self-joins.
+    *
+    * Single-partition envelope: the repartitioned input is the
+    * (source, g) profile, ≤ |sources| × |observed trigram vocabulary|
+    * rows at ANY corpus scale (alphabet-script corpora: ~10⁴-10⁵ grams;
+    * ~10⁶ rows is comfortably one task). For ideographic corpora whose
+    * observed trigram vocabulary reaches 10⁷+, widen the repartition and
+    * reinstate the exchange-per-aggregate tail — the plan above this
+    * point is unchanged.
+    */
   def q372_trigram_affinity(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     // spread before the trigram explode: a single parquet file would
     // otherwise normalize + slice the whole corpus on one task (the
     // q343 lesson)
-    // NOT cached (round-9 A/B at sf0.1, min of 3: uncached 1.44 s vs
-    // cached 1.96 s): the norms and postings branches share the
-    // (source, g) aggregate's exchange via ReuseExchange, so the corpus
-    // explode already runs once — the cache only added a columnar
-    // materialization of the profile table on top.
     val grams = graft.ops.Dedup.spread(Tables.documents(spark, dir))
       .select(col("source"), normalizeText(col("text")).as("s"))
       .filter(length(col("s")) >= 3)
-      // fused CharGramCounts walk (round-10, was CharGrams in round-9):
       // within-row gram repetition collapses BEFORE the explode — one row
       // per distinct gram per doc instead of one per occurrence, so the
       // (source, g) partial aggregate hashes proportionally fewer rows;
       // sum(c) ≡ the occurrence count by associativity, profile unchanged
       .select(col("source"), explode(org.apache.spark.sql.functions.call_function(
-        graft.expressions.GraftFunctions.CharGramCountsName, col("s"), lit(3))).as("e"))
+        graft.expressions.GraftFunctions.CharGramCodesName, col("s"), lit(3))).as("e"))
       .groupBy(col("source"), col("e.g").as("g")).agg(sum(col("e.c")).as("c"))
-    val norms = grams.groupBy("source")
-      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("n2"),
-        count(lit(1)).as("n_grams"))
     // pairs generated IN-ROW off per-gram posting lists (≤|sources|
     // entries each) — the Dedup posting idiom: no gram self-join
-    // shuffle, the pair stream partial-aggregates map-side
-    val postings = grams.groupBy("g")
+    // shuffle, the pair stream partial-aggregates map-side. slice from
+    // i+1 (not i+2): the leading self-pair carries c² into the (s, s)
+    // diagonal, which IS the norms table.
+    val cells = grams
+      .repartition(1) // vocabulary-bounded tail — see envelope note above
+      .groupBy("g")
       .agg(sort_array(collect_list(struct(col("source"), col("c")))).as("ps"))
-    val dots = postings
       .select(explode(expr(
         """flatten(transform(ps, (a, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), b -> named_struct(
+          |  transform(slice(ps, i + 1, size(ps)), b -> named_struct(
           |    'sa', a.source, 'sb', b.source,
           |    'p', CAST(a.c AS DECIMAL(38,0)) * b.c))))""".stripMargin)).as("e"))
       .groupBy(col("e.sa").as("source_a"), col("e.sb").as("source_b"))
       .agg(sum(col("e.p")).as("dot"), count(lit(1)).as("n_shared_grams"))
-    dots
-      .join(norms.select(col("source").as("source_a"), col("n2").as("n2a")), "source_a")
-      .join(norms.select(col("source").as("source_b"), col("n2").as("n2b")), "source_b")
+    import org.apache.spark.sql.expressions.Window
+    val diagDot = max(when(col("source_a") === col("source_b"), col("dot")))
+    cells
+      .withColumn("n2a", diagDot.over(Window.partitionBy("source_a")))
+      .withColumn("n2b", diagDot.over(Window.partitionBy("source_b")))
+      .filter(col("source_a") =!= col("source_b"))
       .select(col("source_a"), col("source_b"), col("n_shared_grams"),
         expr("CAST((10000 * dot * dot) div (n2a * n2b) AS BIGINT)").as("cos2_x10k"))
       .orderBy("source_a", "source_b")

@@ -49,6 +49,12 @@ object LifecycleQueries {
   def q327_rendezvous_rebalance(spark: SparkSession, dir: String): DataFrame = {
     val keys = Tables.documents(spark, dir).select("doc_id")
     val n1 = OldShards + 1
+    // pack envelope (round-11 guard sweep): `w·16 + (15−s)` needs every
+    // candidate shard id s < 16 — raising OldShards past 15 would
+    // silently alias shards instead of failing. Build-time check: the
+    // shard count is a constant, so the envelope is too.
+    require(n1 <= 16,
+      s"q327: $n1 shard candidates exceed the w*16+(15-s) pack envelope (max 16)")
     val mod = keys
       .withColumn("h",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))

@@ -74,7 +74,13 @@ object OpsAuditQueries {
       .withColumn("u",
         conv(substring(md5(concat(lit(s"$PrioritySeed:"), col("doc_id").cast("string"))),
           1, 8), 16, 10).cast("long") + 1L)
-      .withColumn("priority", expr("(weight * 4294967296) div u"))
+      // shared guarded formula (round-11 envelope sweep): weight ≥ 2³¹
+      // would overflow the ·2³² scale and silently corrupt the top-k
+      .withColumn("priority", expr(
+        "CASE WHEN weight < 0 OR weight >= 2147483648 " +
+        "THEN CAST(raise_error(concat('q149: weight outside the [0, 2^31) envelope: ', " +
+        "CAST(weight AS STRING))) AS BIGINT) " +
+        "ELSE (weight * 4294967296) div u END"))
     val top = scored.orderBy(col("priority").desc, col("doc_id")).limit(PriorityK)
     top.withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window

@@ -282,8 +282,9 @@ object TextOpsQueries {
   /** The screening lists: single terms and 2-token phrases per
     * category, chosen from the corpus vocabulary so the screen
     * exercises both match paths. Real deployments swap these for their
-    * policy lists — the PLAN is the operator (broadcast pattern table +
-    * positional phrase equijoin), not the words. */
+    * policy lists — the PLAN is the operator (an in-row pass over the
+    * literal lists: `filter(tokens, ...)` term counts + an adjacent-pair
+    * scan for phrases), not the words. */
   val BlockTerms: Seq[(String, String)] = Seq(
     "latency" -> "slow", "latency" -> "fast",
     "engine" -> "spark", "engine" -> "scan",
@@ -293,17 +294,18 @@ object TextOpsQueries {
   val BlockFlagAt = 5L
 
   /** X235 — blocklist screening: per (doc, category) the term-hit and
-    * phrase-hit counts against a BROADCAST policy list, plus the flag
+    * phrase-hit counts against the literal policy lists, plus the flag
     * verdict at [[BlockFlagAt]] total hits — the safety/compliance
-    * filter stage of a corpus pipeline. Terms match map-side against
-    * the exploded normalized token stream; 2-token phrases ride the
-    * q190 positional discipline generalized to a PATTERN TABLE (the
-    * (p, p+1) self-equijoin joins the phrase list, so one pass screens
-    * every phrase at once).
+    * filter stage of a corpus pipeline. Both match paths run IN-ROW
+    * over the tokenized document (see [[screenDocs]]): term hits as a
+    * `filter(tokens, ...)` size, 2-token phrase hits as an
+    * adjacent-pair scan — no token explode, no pattern join, zero
+    * corpus shuffles (plan-pinned in RoundTenPlanSpec).
     *
-    * Scale: pattern lists broadcast; the token stream shuffles only for
-    * the per-doc rollup; phrase candidates are bounded by first-word
-    * matches. */
+    * Scale: the screen is a map-side pass over documents; a
+    * 10⁴+-pattern production list would graduate to the broadcast
+    * pattern-table + positional-equijoin form this replaced
+    * (git: round-9). */
   def q214_blocklist_screen(spark: SparkSession, dir: String): DataFrame =
     screenDocs(graft.ops.Dedup.spread(Tables.documents(spark, dir)))
       .orderBy("doc_id", "category")

@@ -40,10 +40,18 @@ object PrioritySampleStream {
   }
 
   /** Priority column for a row with `idCol`/`weightCol` (the q149
-    * formula — shared so the spec can assert stream ≡ batch). */
+    * formula — shared so the spec can assert stream ≡ batch).
+    * Envelope guard (round-11 sweep): `weight·2³²` overflows BIGINT at
+    * weight ≥ 2³¹, silently flipping the priority sign and corrupting
+    * the top-k order — fail loudly instead. One comparison per row;
+    * weights are per-document magnitudes (char/token counts), so 2³¹
+    * is a one-doc bound, not a corpus bound. */
   def priorityExpr(seed: Long, idCol: String, weightCol: String) =
-    expr(s"($weightCol * 4294967296) div " +
-      s"(CAST(conv(substring(md5(concat('$seed', ':', CAST($idCol AS STRING))), 1, 8), 16, 10) AS BIGINT) + 1)")
+    expr(s"CASE WHEN $weightCol < 0 OR $weightCol >= 2147483648 " +
+      s"THEN CAST(raise_error(concat('priority weight outside the [0, 2^31) envelope: ', " +
+      s"CAST($weightCol AS STRING))) AS BIGINT) " +
+      s"ELSE ($weightCol * 4294967296) div " +
+      s"(CAST(conv(substring(md5(concat('$seed', ':', CAST($idCol AS STRING))), 1, 8), 16, 10) AS BIGINT) + 1) END")
 
   /** Start maintaining a k-row sample at `statePath` from a STREAMING
     * frame with (`idCol`, `weightCol`). */

@@ -90,6 +90,37 @@ class FusedExprEdgeSpec extends SparkSpec {
     assert(empties.forall(_.isEmpty))
   }
 
+  test("CharGramCodes: 21-bit pack is a bijection onto CharGramCounts — decoded " +
+      "(gram, count) sets match on multi-byte, repeating, below-n and empty inputs") {
+    registered()
+    val df = Seq("abcabcab", "héllo héllo wörld", "日本語のテキスト日本語", "ab", "")
+      .toDF("s")
+    // decode each packed code back to its 3 code points and compare with
+    // the string-keyed counts (order-insensitive: codes sort numerically,
+    // strings by first occurrence)
+    val got = df.select(col("s"), explode(call_function(
+        GraftFunctions.CharGramCodesName, col("s"), lit(3))).as("e"))
+      .collect().map { r =>
+        val code = r.getStruct(1).getLong(0)
+        val gram = new String(Array(
+          ((code >> 42) & 0x1FFFFF).toInt,
+          ((code >> 21) & 0x1FFFFF).toInt,
+          (code & 0x1FFFFF).toInt), 0, 3)
+        (r.getString(0), gram) -> r.getStruct(1).getLong(1)
+      }.toMap
+    val ref = df.select(col("s"), explode(call_function(
+        GraftFunctions.CharGramCountsName, col("s"), lit(3))).as("e"))
+      .collect().map(r =>
+        (r.getString(0), r.getStruct(1).getString(0)) -> r.getStruct(1).getLong(1))
+      .toMap
+    assert(got == ref, "packed gram counts diverge from string-keyed gram counts")
+    // below-n and empty yield empty arrays
+    val empties = df.filter(length(col("s")) < 3)
+      .select(call_function(GraftFunctions.CharGramCodesName, col("s"), lit(3)).as("e"))
+      .collect().map(_.getSeq[Any](0))
+    assert(empties.forall(_.isEmpty))
+  }
+
   test("CharGrams: code-point indexing matches SQL substring on multi-byte text") {
     registered()
     val df = Seq("héllo wörld", "ab", "").toDF("s")
