@@ -65,12 +65,15 @@ object Probe {
   def replicateAll(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
     replicate(spark, baseDir, outDir, factor) // documents + embeddings
     def maxPlus1(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).collect()(0).getLong(0) + 1
+      df.agg(max(col(c).cast("long"))).collect()(0).getLong(0) + 1
     def shifted(name: String, shifts: (String, Long)*): Unit = {
       val df = spark.read.parquet(s"$baseDir/$name.parquet")
       val reps = (0 until factor).map { r =>
         shifts.foldLeft(df) { case (d, (c, base)) =>
-          d.withColumn(c, col(c) + lit(r * base)) }
+          // cast back to the column's ORIGINAL physical type: replica
+          // parquet must be schema-identical to the base (key domains at
+          // any feasible replica factor stay far inside Int range)
+          d.withColumn(c, (col(c) + lit(r * base)).cast(df.schema(c).dataType)) }
       }.reduce(_ unionByName _)
       reps.repartition(32).write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/$name.parquet")
@@ -94,8 +97,10 @@ object Probe {
     val nEv = maxPlus1(ev, "event_id")
     val nUser = maxPlus1(ev, "user_id")
     val evReps = (0 until factor).map { r =>
-      ev.withColumn("event_id", col("event_id") + lit(r * nEv))
-        .withColumn("user_id", col("user_id") + lit(r * nUser))
+      ev.withColumn("event_id",
+          (col("event_id") + lit(r * nEv)).cast(ev.schema("event_id").dataType))
+        .withColumn("user_id",
+          (col("user_id") + lit(r * nUser)).cast(ev.schema("user_id").dataType))
     }.reduce(_ unionByName _)
     evReps.repartition(32).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/events.parquet")

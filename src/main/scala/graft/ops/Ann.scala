@@ -43,7 +43,12 @@ object Ann {
       vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    // spread: the per-candidate dot products run in the corpus SCAN stage
+    // (broadcast join — no shuffle of the big side), so a single-file
+    // corpus would score every pair on one task. Scale-aware no-op once
+    // the scan has ≥ parallelism splits (round 11; q20 profile).
+    val c = Dedup.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", call_function(GraftFunctions.DotLong, col("qv"), col("cv")))
@@ -77,8 +82,14 @@ object Ann {
       }: _*)).as("tb"))
         .withColumn("tbl", col("tb.t")).withColumn("bucket", col("tb.b"))
         .drop("tb")
+    // spread: bucket hashing (nBits × tables HOF projections per vector)
+    // and the joined candidates' dot products all run in the corpus scan
+    // stage — a single-file corpus serializes them on one task (round-11
+    // q21 profile: a 0.6-1.2 s 1-task stage). Scale-aware no-op on real
+    // multi-split corpora.
     val c = buckets(
-      corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
+      Dedup.spread(corpus)
+        .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
       "cv", probe = false)
     val q = buckets(
       queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
@@ -223,8 +234,10 @@ object Ann {
         .withColumn("cdot", call_function(GraftFunctions.DotLong, col(qv), col("centv")))
         .drop("centv")
     // corpus → nearest centroid (argmax dot, tie → lower cent_id);
-    // max(struct) partial-aggregates, so only one row per vector shuffles
-    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    // max(struct) partial-aggregates, so only one row per vector shuffles.
+    // spread: the |C|·K centroid dots run in the scan stage (round 11).
+    val c = Dedup.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
     val assigned = scoredAgainstCentroids(c, "neighbor_id", "cv")
       .groupBy("neighbor_id")
       .agg(

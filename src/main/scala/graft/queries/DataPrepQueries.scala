@@ -115,12 +115,17 @@ object DataPrepQueries {
     * ([[Ann.lshTopK]], recall-pinned in AnnSpec), but the plane signs are
     * reproducible in DuckDB, so the approximate result is hash-exact
     * oracle-verified — candidate generation AND rerank, end to end. */
+  /** Embedding dimensionality per dir — a 1-row probe job per call
+    * otherwise (the dimension is a property of the dataset, so one probe
+    * per session suffices; round-11 job audit). */
+  private val dimMemo = new java.util.concurrent.ConcurrentHashMap[String, Int]
   def q21_ann_lsh_topk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // plane-table width from the data's fixed dimensionality (1-row probe;
     // any positive width works when the table is empty)
-    val dim = emb.select(size(col("embedding"))).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(1)
+    val dim = dimMemo.computeIfAbsent(dir, _ =>
+      emb.select(size(col("embedding"))).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(1))
     Ann.mdLshTopK(
       emb.filter(pmod(col("vec_id"), lit(AnnQueryMod)) === 0), emb, AnnK,
       dim = dim, nBits = LshBits, probes = LshProbes, tables = LshTables)

@@ -157,12 +157,21 @@ object GraphQualityQueries {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand")
     // the distinct edge list feeds THREE aggregates (a¹, h¹, a²) — cache
-    // it so the lineitem⋈orders fact join runs once, not three times
-    val edges = graft.ops.Dedup.cacheTracked(li
+    // it so the lineitem⋈orders fact join runs once, not three times.
+    // spread (round 11): the build stage's parallelism was bound by the
+    // fact file's split count (3 tasks, 700 ms at sf0.1) — scale-aware
+    // no-op on multi-split corpora. Cached PARTITIONED BY brand: the two
+    // brand-keyed rounds (a¹ count, a² sum — h1n rides a broadcast join
+    // that preserves partitioning) then aggregate with ZERO further
+    // exchange of the edge list; only h¹ pays its cust-keyed shuffle.
+    // The re-partition is one |edges|-row exchange at build time, paid
+    // once, against two |edges| exchanges per consume.
+    val edges = graft.ops.Dedup.cacheTracked(graft.ops.Dedup.spread(li)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
-      .distinct())
+      .distinct()
+      .repartition(col("brand")))
 
     // brand-side maxima ride a window over the |brands|-bounded frame
     // (the "|dims| rows" bounded-window class) — each saved broadcast
@@ -188,7 +197,12 @@ object GraphQualityQueries {
     val h1n = h1.crossJoin(broadcast(h1max))
       .select(col("cust"), floor(lit(1000L) * col("h1") / col("h1max"))
         .cast("long").as("h1n"))
-    // round 2 authority from round-1 hubs
+    // round 2 authority from round-1 hubs. h1n's join stays auto-planned
+    // deliberately: locally the |custs|-row frame broadcasts (preserving
+    // the cached brand partitioning, so the aggregate below adds no
+    // exchange); at 100 TB customers are entity-scaled and the planner's
+    // shuffle fallback is the correct plan — forcing broadcast here would
+    // be the scale-killer the cust-side-max comment above warns about.
     edges.join(h1n, "cust")
       .groupBy("brand").agg(sum("h1n").as("a2"), count(lit(1)).as("deg"))
       .withColumn("auth_x1000",
