@@ -63,8 +63,7 @@ object Bpe {
     * right half of each merged pair drops. */
   private def mergeRound(seg: DataFrame, chosen: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("word").orderBy("pos")
-    val wf = Window.partitionBy("word", "f").orderBy("pos")
-    val wg = Window.partitionBy("word", "grp").orderBy("pos")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     seg
       .withColumn("nxt", lead("tok", 1).over(wOrd))
       // LEFT against the 1-row winner: when merges are exhausted (no
@@ -74,11 +73,23 @@ object Bpe {
       .join(broadcast(chosen), lit(true), "left")
       .withColumn("f",
         (col("tok") === col("lhs") && col("nxt") === col("rhs")).cast("int"))
-      .withColumn("grp",
-        when(col("f") === 1, col("pos") - row_number().over(wf)))
-      // 1-based rank inside the run: odd rank ⇔ even offset ⇔ merge start
+      // Run-rank parity WITHOUT the (word, f) / (word, grp) partition keys
+      // (round 11): every window below rides the SAME word partitioning as
+      // wOrd, so one merge round costs ONE exchange instead of three — the
+      // stacked WindowExecs share the sort. A run is a maximal stretch of
+      // consecutive f = 1 positions; its start is an f = 1 row whose
+      // predecessor is not (lag), the row's offset inside the run is
+      // pos − run_start (positions inside a run are consecutive), and
+      // even offset ⇔ odd 1-based rank ⇔ merge start — exactly the
+      // row_number().over(word, grp) % 2 = 1 rule this replaces.
+      .withColumn("newrun",
+        (col("f") === 1 && coalesce(lag("f", 1).over(wOrd), lit(0)) === 0)
+          .cast("int"))
+      .withColumn("run_start",
+        max(when(col("newrun") === 1, col("pos"))).over(wRun))
       .withColumn("s",
-        when(col("f") === 1 && row_number().over(wg) % 2 === 1, 1).otherwise(0))
+        when(col("f") === 1 && (col("pos") - col("run_start")) % 2 === 0, 1)
+          .otherwise(0))
       .withColumn("prev_s", coalesce(lag("s", 1).over(wOrd), lit(0)))
       .filter(col("prev_s") === 0) // right half of a merged pair drops
       .select(col("word"), col("n"), col("pos"),

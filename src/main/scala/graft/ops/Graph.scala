@@ -92,8 +92,12 @@ object Graph {
     val sym = e.union(e.select(col("g"), col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(eager = true)
     releaseLocalCheckpoint(e)
-    var labels = sym.select(col("g"), col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed comp = min(id, min in-group neighbor): the node enumeration
+    // needs the (g, src) exchange anyway, so the 1-hop min is free and the
+    // loop starts one round ahead (round 11, same as the ungrouped loop)
+    var labels = sym.groupBy("g", "src").agg(min("dst").as("m"))
+      .select(col("g"), col("src").as("id"),
+        least(col("src"), col("m")).as("comp"))
       .localCheckpoint(eager = true)
     var iter = 0
     var converged = false
@@ -111,6 +115,8 @@ object Graph {
         .select(col("g"), col("id"), col("comp").as("prev_comp"),
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
         .localCheckpoint(eager = true)
+      // (round 11: a second jump per round A/B'd and reverted — see the
+      // ungrouped loop's comment)
       val next = hop
         .join(hop.select(col("g"), col("id").as("comp"), col("comp").as("comp2")),
           Seq("g", "comp"), "left")
@@ -125,6 +131,8 @@ object Graph {
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsBy did not converge within maxIter=$maxIter rounds")
+    if (sys.env.contains("GRAFT_CC_VERBOSE"))
+      System.err.println(s"[cc-by] converged in $iter rounds")
     labels.select(col("g").as(groupCol), col("id"), col("comp").as("component_id"))
   }
 
@@ -133,8 +141,13 @@ object Graph {
       .localCheckpoint(eager = true)
     // e's blocks are dead once sym is materialized
     releaseLocalCheckpoint(e)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed comp = min(id, min neighbor id): the node enumeration needs a
+    // groupBy(src) exchange anyway (it was a distinct), so the 1-hop
+    // neighbor min is FREE here and the loop starts one propagation round
+    // ahead (round 11: q312/q369/q33 family, one round ≈ 5 jobs of chain
+    // depth at local[32])
+    var labels = sym.groupBy("src").agg(min("dst").as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("comp"))
       .localCheckpoint(eager = true)
     var iter = 0
     var converged = false
@@ -160,6 +173,10 @@ object Graph {
       // ~log(diameter) rounds — on long near-dup chains this is the
       // difference between 30 rounds and 6 (measured 10.5 s → 3.5 s on
       // the q232 sweep's three CC runs).
+      // (round 11 A/B: a SECOND jump per round was tried and reverted —
+      // rounds 6 → 5 on q312 but one more checkpoint+join per round, net
+      // 7.1 → 7.8 s on the same JobProfile; fewer-but-fatter rounds lose
+      // at this chain depth)
       val next = hop
         .join(hop.select(col("id").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")

@@ -75,25 +75,31 @@ object LayoutQueries {
       .unionByName(und.select(col("v").as("node"), col("u").as("nbr")))
       .localCheckpoint(eager = true)
     def bfs(seed: DataFrame): DataFrame = {
-      var visited = seed.select(col("node")).withColumn("hop", lit(0L))
-        .localCheckpoint(eager = true)
-      var frontier = visited.select("node")
+      // per-hop FRONTIER checkpoints; visited is their lazy union (round
+      // 11): re-checkpointing the growing visited set each hop was one
+      // more job per hop on a chain-depth-bound query — the anti-join
+      // reads the already-materialized frontier blocks through the union
+      // either way, and the union plan is ≤ DiamMaxHops branches.
+      var frontiers = List(seed.select(col("node")).withColumn("hop", lit(0L))
+        .localCheckpoint(eager = true))
+      var frontier = frontiers.head.select("node")
       var hops = 0
       var done = false
       while (!done && hops < DiamMaxHops) {
         hops += 1
+        val visitedNodes = frontiers.map(_.select("node")).reduce(_.unionByName(_))
         val next = frontier.join(adj, "node")
           .select(col("nbr").as("node")).distinct()
-          .join(visited.select("node"), Seq("node"), "left_anti")
+          .join(visitedNodes, Seq("node"), "left_anti")
           .withColumn("hop", lit(hops.toLong))
           .localCheckpoint(eager = true)
         if (next.isEmpty) done = true
         else {
-          visited = visited.unionByName(next).localCheckpoint(eager = true)
+          frontiers = next :: frontiers
           frontier = next.select("node")
         }
       }
-      visited
+      frontiers.reduce(_.unionByName(_))
     }
     def summarize(sweep: Long, seed: DataFrame, visited: DataFrame): DataFrame =
       visited.agg(count(lit(1)).as("n_reached"), max("hop").as("ecc"))

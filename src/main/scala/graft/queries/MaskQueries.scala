@@ -130,16 +130,23 @@ object MaskQueries {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val idx = Relational.globalIndex(docs, Seq(col("doc_id")), "idx")
     val tot = docs.agg(count(lit(1)).as("n_docs"))
-    val toks = Tables.documents(spark, dir)
+    // Join the doc-level index BEFORE exploding (round 11): the old shape
+    // exploded first and joined idx on token-level rows — at scale that
+    // shuffles the n-gram stream instead of doc-sized rows, and locally the
+    // tokenize+ngram walk ran serialized in the single-split scan stage
+    // (JobProfile: one 1-task 1.1 s stage). `spread` keeps the walk at full
+    // parallelism even when AQE broadcasts the idx side (no-op on real
+    // multi-split corpora).
+    val toks = graft.ops.Dedup.spread(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
+      .join(idx, "doc_id").crossJoin(broadcast(tot))
       // bind the token array BEFORE ngramStrings: element_at over an
       // unbound normalize+split expression re-evaluates it per element
       // (the shinglesFromTokens trap — measured 68 s → ~1 s at sf0.1)
-      .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
-      .select(col("doc_id"), explode(ngramStrings(col("t"), MaskN)).as("token"))
-      .join(idx, "doc_id").crossJoin(broadcast(tot))
-      .select(col("token"),
+      .select(wsTokens(normalizeText(col("text"))).as("t"),
         least(lit(GrowthBuckets - 1L),
           expr(s"($GrowthBuckets * (idx - 1)) div n_docs")).as("decile"))
+      .select(explode(ngramStrings(col("t"), MaskN)).as("token"), col("decile"))
     val firstSeen = toks.groupBy("token").agg(min("decile").as("decile"))
     val perDecile = firstSeen.groupBy("decile")
       .agg(count(lit(1)).as("new_types"))

@@ -94,8 +94,12 @@ object MiningQueries {
     // branch, whose recompute is the cheap scan+explode, not the join).
     // At 100 TB the equivalent is a staged DISTINCT gram table on disk,
     // not an executor-memory cache — same conclusion.
-    val sg = Tables.documents(spark, dir)
-      .select(col("source"), col("text"))
+    // spread (round 11): the tokenize+shingle walk runs in the SCAN stage,
+    // and a single-split local corpus serialized all of it on one task
+    // (JobProfile: one 1-task 2.1 s stage = the whole query cost); the
+    // round-robin exchange is a no-op on real multi-split corpora.
+    val sg = graft.ops.Dedup.spread(Tables.documents(spark, dir)
+        .select(col("source"), col("text")))
       .withColumn("t", toksOf(col("text")))
       .select(col("source"), explode(shinglesFromTokens(col("t"), OverlapN)).as("gram"))
       .distinct()

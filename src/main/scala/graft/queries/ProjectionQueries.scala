@@ -38,18 +38,32 @@ object ProjectionQueries {
     // cache materialization of ~5e5 distinct rows costs more than both.
     // At 100 TB the multi-consumer base is a staged DISTINCT table on
     // disk, not an executor-memory cache.
-    val ib = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey"))
+    // ONE okey exchange instead of three (round 11): the old shape ran
+    // distinct (okey,brand) then self-joined on okey — a second full
+    // re-shuffle of the distinct rows plus a 2× shuffle read for the pair
+    // stage (JobProfile: 0.9 s pair-exchange write + 25 s task-time across
+    // the distinct/join reduce stages). Folding to per-order sorted brand
+    // SETS makes the okey aggregate the only corpus-sized exchange
+    // (collect_set partial-aggregates map-side); pairs explode IN-ROW from
+    // the sorted set (bounded by distinct-brands-per-order², same bound as
+    // the join fan-out), and all three consumers (total, per-brand order
+    // counts, pair supports) read the same exchange via ReuseExchange.
+    // Results identical: sort_array(collect_set) = the distinct brand set,
+    // so in-row (i < j) pairs ≡ the a.brand < b.brand equijoin.
+    val ob = graft.ops.Dedup.spread(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey")))
       .join(broadcast(Tables.part(spark, dir)
         .select(col("p_partkey"), col("p_brand").as("brand"))),
         col("l_partkey") === col("p_partkey"))
-      .select("okey", "brand").distinct()
-    val total = ib.select(countDistinct("okey").cast("long").as("n_orders"))
-    val brandCnt = ib.groupBy("brand").agg(count(lit(1)).cast("long").as("cnt"))
-    val pairs = ib.as("a")
-      .join(ib.as("b"), col("a.okey") === col("b.okey") &&
-        col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .groupBy("okey").agg(sort_array(collect_set(col("brand"))).as("bs"))
+    val total = ob.select(count(lit(1)).cast("long").as("n_orders"))
+    val brandCnt = ob.select(explode(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).cast("long").as("cnt"))
+    val pairs = ob.select(explode(expr(
+        "flatten(transform(bs, (x, i) -> " +
+          "transform(slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"
+      )).as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
       .agg(count(lit(1)).cast("long").as("support"))
     pairs
       .join(broadcast(brandCnt).withColumnRenamed("brand", "brand_a")
