@@ -34,18 +34,23 @@ object KMeans {
   private def quantized(embs: DataFrame, idCol: String, vecCol: String) =
     embs.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
 
-  // the argmin carries the vector through, so the centroid update never
-  // joins the corpus back to the assignment (that join would be a
-  // corpus-size shuffle join per iteration); map-side combine reduces
-  // the k candidate rows per id to one before the groupBy shuffle
-  private def assign(vq: DataFrame, c: DataFrame): DataFrame =
-    vq.crossJoin(broadcast(c))
-      .withColumn("__d2", qdist2(col("vq"), col("cvq")))
-      .groupBy("id")
-      .agg(min_by(struct(col("cluster"), col("vq")),
-        struct(col("__d2"), col("cluster"))).as("__best"))
-      .select(col("id"), col("__best.cluster").as("cluster"),
-        col("__best.vq").as("vq"))
+  // In-row argmin against a ONE-ROW broadcast centroid array (round 11):
+  // the former k-row crossJoin + groupBy(id) min_by re-shuffled the corpus
+  // by id EVERY iteration (narrow rows, but a corpus-sized exchange the
+  // object doc promised not to pay). Collapsing the centroids to one
+  // array row makes assignment a pure map: per vector, sort the
+  // (qdist2, cluster) struct array and take the head — identical argmin
+  // and tie-break to min_by(struct(cluster, vq), struct(d2, cluster)).
+  private def assign(vq: DataFrame, c: DataFrame): DataFrame = {
+    val carr = c.agg(collect_list(struct(col("cluster"), col("cvq"))).as("__cs"))
+    vq.crossJoin(broadcast(carr))
+      .select(col("id"),
+        element_at(array_sort(transform(col("__cs"),
+          cc => struct(qdist2(col("vq"), cc.getField("cvq")).as("d2"),
+            cc.getField("cluster").as("cluster")))), 1)
+          .getField("cluster").as("cluster"),
+        col("vq"))
+  }
 
   private def update(a: DataFrame): DataFrame =
     a.select(col("cluster"), posexplode(col("vq")).as(Seq("pos", "v")))

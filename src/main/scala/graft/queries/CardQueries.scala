@@ -111,7 +111,11 @@ object CardQueries {
     * one corpus pass to build); per arm two vocabulary-sized
     * aggregates. */
   def q278_bpe_budget_sweep(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = Dedup.cacheTracked(Tables.documents(spark, dir)
+    // spread (round 11): the tokenize+explode walk runs in the scan stage
+    // and a single-split corpus serialized it on one task; the cache
+    // itself is post-shuffle (fine), this parallelizes the BUILD
+    val vocab = Dedup.cacheTracked(Dedup.spread(Tables.documents(spark, dir)
+        .select(col("text")))
       .select(explode(wsTokens(normalizeText(col("text")))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n")))
     // Per arm ONE aggregate over the cached POSITIONAL table (round-9):

@@ -59,8 +59,13 @@ object MiningQueries {
     // and the recomputed subtree is the expensive normalize regex. This
     // is the criterion that separates the winning caches from the five
     // reverted ones (identical-exchange consumers).
-    val tk = graft.ops.Dedup.cacheTracked(
-      Tables.documents(spark, dir).select(toksOf(col("text")).as("t")))
+    // spread before the cache (round 11): a single-split corpus caches as
+    // ONE partition, so every consumer of tk ran 1-task (~200 ms each,
+    // serial); round-robin first makes the cached layout 32-way — no-op
+    // on real multi-split corpora
+    val tk = graft.ops.Dedup.cacheTracked(graft.ops.Dedup.spread(
+        Tables.documents(spark, dir).select(col("text")))
+      .select(toksOf(col("text")).as("t")))
     val uni = tk.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val tot = uni.agg(sum("c").as("n_total"))

@@ -122,7 +122,10 @@ object ProvenanceQueries {
     // tracked (round-9 A/B: edge subtree 1.69 s uncached vs 1.03 s
     // cached at sf0.1): uni and edges exchange on different keys, so the
     // normalize+tokenize pass re-ran per consumer uncached
-    val tk = graft.ops.Dedup.cacheTracked(Tables.documents(spark, dir)
+    // spread before the cache (round 11, same as q111): a single-split
+    // corpus caches as ONE partition and serializes every consumer
+    val tk = graft.ops.Dedup.cacheTracked(graft.ops.Dedup.spread(
+        Tables.documents(spark, dir).select(col("text")))
       .select(wsTokens(normalizeText(col("text"))).as("t")))
     val uni = tk.select(explode(col("t")).as("w")).groupBy("w").agg(count(lit(1)).as("c"))
     val tot = uni.agg(sum("c").as("n_total"))
