@@ -76,14 +76,21 @@ object Bpe {
       // Run-rank parity WITHOUT the (word, f) / (word, grp) partition keys
       // (round 11): every window below rides the SAME word partitioning as
       // wOrd, so one merge round costs ONE exchange instead of three — the
-      // stacked WindowExecs share the sort. A run is a maximal stretch of
-      // consecutive f = 1 positions; its start is an f = 1 row whose
-      // predecessor is not (lag), the row's offset inside the run is
-      // pos − run_start (positions inside a run are consecutive), and
-      // even offset ⇔ odd 1-based rank ⇔ merge start — exactly the
-      // row_number().over(word, grp) % 2 = 1 rule this replaces.
+      // stacked WindowExecs share the sort. Exact replay of the
+      // grp = pos − rank(f=1) / row_number().over(word, grp) % 2 = 1 rule
+      // (the algebra the DuckDB oracle runs): two f = 1 rows share a grp
+      // iff they are adjacent f = 1 rows AND their positions differ by
+      // exactly 1 — after earlier rounds have merged multi-char symbols,
+      // adjacent f = 1 rows can sit L > 1 positions apart and the old rule
+      // puts each in its OWN group (every occurrence s = 1). So a run
+      // breaks on EITHER a non-f predecessor OR a position gap (ADVICE
+      // r11: the lag(f)-only rule merged odd-L repeated-symbol runs
+      // pairwise and diverged from the oracle; BpeSpec pins the
+      // 'abcabcabc' case). Within a run positions ARE consecutive, so
+      // pos − run_start even ⇔ odd 1-based rank ⇔ merge start.
       .withColumn("newrun",
-        (col("f") === 1 && coalesce(lag("f", 1).over(wOrd), lit(0)) === 0)
+        (col("f") === 1 && !(coalesce(lag("f", 1).over(wOrd), lit(0)) === 1 &&
+          lag("pos", 1).over(wOrd) === col("pos") - 1))
           .cast("int"))
       .withColumn("run_start",
         max(when(col("newrun") === 1, col("pos"))).over(wRun))
@@ -170,7 +177,7 @@ object Bpe {
         seg = mergeRound(seg, chosenPair(seg))
         done += 1
       }
-      seg = Dedup.cacheTracked(seg)
+      seg = Dedup.checkpointTracked(seg)
       target -> seg
     }
   }

@@ -41,6 +41,37 @@ object Dedup {
     df
   }
 
+  /** Tracked EAGER local checkpoint (round 12): materialize `df` once
+    * into block-manager storage and hand consumers a LogicalRDD leaf.
+    *
+    * Why not [[cacheTracked]] for fan-out intermediates: with AQE on,
+    * a multi-consumer plan re-executes a persisted subtree once per
+    * consuming query stage instead of scanning the built cache —
+    * JobProfile (round 12) showed q312's strong-edge frame recomputed
+    * ~12× per run (~10 s of duplicated stage task-time each, 58 s of
+    * summed job wall → 7 s checkpointed), and an eager count() before
+    * the consumers did NOT stop the re-execution (39.8 s). A local
+    * checkpoint sidesteps the CacheManager entirely: every consumer
+    * streams the materialized blocks, and the leaf also truncates
+    * lineage (smaller plans to canonicalize per round — the
+    * [[graft.ops.Graph]] loop discipline).
+    *
+    * Blocks live at the RDD layer, so [[unpersistIntermediates]]
+    * releases them through the tracked frame's LogicalRDD (a plain
+    * `Dataset.unpersist` would miss them). Same production caveat as
+    * the CC loops: on a cluster, a reliable `checkpoint` replaces this
+    * where executor loss must not recompute. */
+  def checkpointTracked(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(eager = true)
+    trackedCkpt.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(out)
+    out
+  }
+
+  private val trackedCkpt =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
   /** Release every intermediate this session's dedup operators persisted.
     * Call after the consuming action; safe anytime (a later re-execution
     * just recomputes). Pinned intermediates (see [[cachePinned]]) survive —
@@ -48,6 +79,12 @@ object Dedup {
   def unpersistIntermediates(spark: org.apache.spark.sql.SparkSession): Unit = {
     val q = tracked.remove(spark)
     if (q != null) q.forEach(df => df.unpersist(blocking = false))
+    val ck = trackedCkpt.remove(spark)
+    if (ck != null) ck.forEach { df =>
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Session-lifetime cache tier for intermediates SHARED BETWEEN QUERIES.
@@ -273,7 +310,7 @@ object Dedup {
     // spread before the shingle build: without it, an under-split input
     // (one parquet file locally) computes every doc's sorted shingle set
     // on one task before the first shuffle (see spread())
-    val sh = cacheTracked(shinglePlan(docs, n, idCol, textCol))
+    val sh = checkpointTracked(shinglePlan(docs, n, idCol, textCol))
     // (inter, sizes) are the expensive, query-independent core shared by
     // the Jaccard/containment/near-dup-flow family — pin them for the
     // session so a later query with the same (input, n, maxDf) reuses the
@@ -401,7 +438,7 @@ object Dedup {
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = cacheTracked(
+    val sh = checkpointTracked(
       spread(docs.select(col(idCol).as("id"), col(textCol).as("__text"),
         col(evalCol).cast("boolean").as("__eval")))
         .select(col("id"), col("__eval"),
@@ -438,7 +475,7 @@ object Dedup {
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = cacheTracked(shinglePlan(docs, n, idCol, textCol))
+    val sh = checkpointTracked(shinglePlan(docs, n, idCol, textCol))
     // per-doc shingles are DISTINCT (shinglesFromTokens dedups), so
     // count(*) per shingle IS the distinct-doc frequency
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -527,7 +564,7 @@ object Dedup {
     // persist (tracked): the self-join would otherwise recompute the whole
     // shingle→signature subtree for both sides (measured 2× cost);
     // the banded table is bands-per-doc rows, tiny relative to input
-    cacheTracked(banded)
+    checkpointTracked(banded)
     banded.as("a").join(banded.as("b"), Seq("band", "band_key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -558,7 +595,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val tagged = cacheTracked(
+    val tagged = checkpointTracked(
       minhashBands(docs, n, bands, rowsPerBand, idCol, textCol)
         .join(docs.select(col(idCol).as("id"), isNew.as("__new")), "id"))
     val nb = tagged.filter(col("__new"))
@@ -683,7 +720,7 @@ object Dedup {
       .select(col("id"), col("simhash"), col("s.seg").as("seg"), col("s.key").as("key"))
     // persist (tracked): self-joined below; avoids recomputing the
     // signature twice
-    cacheTracked(bySeg)
+    checkpointTracked(bySeg)
     // hamming filter BEFORE the distinct: candidates from the 4 segments
     // are much denser than survivors, and hamming is deterministic per
     // pair, so dedup over the filtered set is equivalent and cheaper

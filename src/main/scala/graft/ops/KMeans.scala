@@ -41,6 +41,13 @@ object KMeans {
   // array row makes assignment a pure map: per vector, sort the
   // (qdist2, cluster) struct array and take the head — identical argmin
   // and tie-break to min_by(struct(cluster, vq), struct(d2, cluster)).
+  // Assumes unique ids (the old groupBy(id) collapsed duplicates; this
+  // keeps one row per INPUT row — every caller feeds a keyed embedding
+  // table, where the two coincide). The null-cluster filter guards the
+  // empty-centroid edge: element_at over an empty centroid array yields
+  // a null cluster per vector, and update() would fold those into a
+  // spurious null centroid (ADVICE r11) — with ≥1 centroid the filter
+  // matches every row and the result is unchanged.
   private def assign(vq: DataFrame, c: DataFrame): DataFrame = {
     val carr = c.agg(collect_list(struct(col("cluster"), col("cvq"))).as("__cs"))
     vq.crossJoin(broadcast(carr))
@@ -50,6 +57,7 @@ object KMeans {
             cc.getField("cluster").as("cluster")))), 1)
           .getField("cluster").as("cluster"),
         col("vq"))
+      .filter(col("cluster").isNotNull)
   }
 
   private def update(a: DataFrame): DataFrame =

@@ -145,7 +145,7 @@ object Relational {
     // RangePartitioner samples a differently-partitioned input, the two
     // sides disagree on __pid, and the inner join silently DROPS rows.
     // One shared InMemoryRelation removes the recompute entirely.
-    val sorted = Dedup.cacheTracked(df.repartitionByRange(ordering: _*)
+    val sorted = Dedup.checkpointTracked(df.repartitionByRange(ordering: _*)
       .sortWithinPartitions(ordering: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id()))
@@ -194,7 +194,7 @@ object Relational {
   def globalCumSum(df: DataFrame, ordering: Seq[Column], valueCol: Column, as: String): DataFrame = {
     // persisted (tracked) for the same two-consumer layout-consistency
     // reason as globalIndex
-    val sorted = Dedup.cacheTracked(df.repartitionByRange(ordering: _*)
+    val sorted = Dedup.checkpointTracked(df.repartitionByRange(ordering: _*)
       .sortWithinPartitions(ordering: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", valueCol.cast("long")))

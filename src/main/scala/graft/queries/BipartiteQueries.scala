@@ -33,30 +33,37 @@ object BipartiteQueries {
     val doubled = und.select((col("u") * 2).as("id_a"), (col("v") * 2 + 1).as("id_b"))
       .unionByName(und.select(
         (col("u") * 2 + 1).as("id_a"), (col("v") * 2).as("id_b")))
-    // ONE full-size CC (the doubled graph); the ORIGINAL components are
-    // recovered from it by a CC over the component-PAIR graph — each
-    // node links its two copies' doubled components, and that meta
-    // graph has one node per doubled component, so the second loop is
-    // component-count-sized, not corpus-sized (7.8 s → the doubled
-    // loop alone at sf0.1)
-    val ldbl = graft.ops.Dedup.cacheTracked(Graph.connectedComponents(doubled))
+    // ONE full-size CC (the doubled graph); the ORIGINAL component label
+    // of node u is read DIRECTLY off it (round 12) — no second CC loop:
+    // every doubled path u⁺ → w^± projects to an original path u → w, and
+    // every original path u → w lifts to a doubled path from u⁺ ending at
+    // w⁺ or w⁻, so {id div 2 : id ∈ comp(u⁺)} is EXACTLY u's original
+    // component (each member present as one copy if the component is
+    // bipartite, both if odd). min(id div 2) over the doubled component
+    // is therefore the original min-reachable label — the same label the
+    // former component-pair meta-CC computed, for the price of ONE
+    // |nodes|-sized aggregate + one component-keyed join instead of a
+    // full pointer-jumping loop (the meta loop was component-count-sized
+    // data but still paid seed + rounds × (2 checkpoints + fixpoint
+    // check) of sequential driver-loop jobs).
+    val ldbl = graft.ops.Dedup.checkpointTracked(Graph.connectedComponents(doubled))
+    val dmin = ldbl.groupBy("component_id")
+      .agg(min(expr("id div 2")).as("oc"))
     val plus = ldbl.filter(pmod(col("id"), lit(2L)) === 0)
       .select((col("id") / 2).cast("long").as("id"), col("component_id").as("cp"))
     val minus = ldbl.filter(pmod(col("id"), lit(2L)) === 1)
       .select(((col("id") - 1) / 2).cast("long").as("id"), col("component_id").as("cm"))
-    val both = graft.ops.Dedup.cacheTracked(plus.join(minus, "id"))
-    val odd = both.filter(col("cp") === col("cm")).select("id")
-    val meta = Graph.connectedComponents(
-      both.select(col("cp").as("id_a"), col("cm").as("id_b")).distinct())
-    val origComp = both.join(meta.select(col("id").as("cp"),
-      col("component_id").as("oc")), "cp")
-    val oddComps = origComp.filter(col("cp") === col("cm"))
-      .select("oc").distinct()
-    origComp.agg(count(lit(1)).as("n_nodes"),
-        countDistinct("oc").as("n_components"))
+    // one aggregate computes all four node-side stats: odd nodes are
+    // copies co-located (cp = cm), odd components are the distinct
+    // original labels among them (countDistinct ignores the when's nulls)
+    val both = plus.join(minus, "id")
+      .join(dmin.withColumnRenamed("component_id", "cp"), "cp")
+    both.agg(count(lit(1)).as("n_nodes"),
+        countDistinct("oc").as("n_components"),
+        sum(when(col("cp") === col("cm"), 1L).otherwise(0L)).as("n_odd_nodes"),
+        countDistinct(when(col("cp") === col("cm"), col("oc")))
+          .as("n_odd_components"))
       .crossJoin(und.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(odd.agg(count(lit(1)).as("n_odd_nodes")))
-      .crossJoin(oddComps.agg(count(lit(1)).as("n_odd_components")))
       .withColumn("bipartite", (col("n_odd_nodes") === 0).cast("int"))
       .select("n_nodes", "n_edges", "n_components", "n_odd_nodes",
         "n_odd_components", "bipartite")

@@ -34,21 +34,26 @@ object CalibQueries {
     * Scale: one distinct pass, an equijoin on user over df-bounded
     * edges, an |items|²-bounded aggregate, per-item top-k heap. */
   def q242_item_item_cf(spark: SparkSession, dir: String): DataFrame = {
-    val ui = Tables.events(spark, dir)
+    // checkpointTracked (round 12): ui feeds the item counts AND both
+    // sides of the co-occurrence self-join; sym feeds the top-k rank and
+    // the support join-back — uncached, each consuming stage re-ran the
+    // JSON-parse distinct / the pair aggregate under AQE
+    val ui = graft.ops.Dedup.checkpointTracked(Tables.events(spark, dir)
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"))
       .filter(col("item").isNotNull)
-      .distinct()
+      .distinct())
     val cnt = ui.groupBy("item").agg(count(lit(1)).as("n"))
     val co = ui.as("a").join(ui.as("b"),
         col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .agg(count(lit(1)).as("co"))
-    val sym = co.select(col("item_a").as("item"), col("item_b").as("other"), col("co"))
+    val sym = graft.ops.Dedup.checkpointTracked(
+      co.select(col("item_a").as("item"), col("item_b").as("other"), col("co"))
       .union(co.select(col("item_b").as("item"), col("item_a").as("other"), col("co")))
       .join(broadcast(cnt.select(col("item"), col("n").as("n_i"))), "item")
       .join(broadcast(cnt.select(col("item").as("other"), col("n").as("n_o"))), "other")
-      .withColumn("cos2_x1m", expr("(1000000 * co * co) div (n_i * n_o)"))
+      .withColumn("cos2_x1m", expr("(1000000 * co * co) div (n_i * n_o)")))
     // TopKDot keeps only (group, rank, id, score) — join the co support
     // back from the (|items|²-bounded) scored table
     Relational.topKPerGroup(sym, Seq("item"), "cos2_x1m", "other", CfTopK)

@@ -42,7 +42,7 @@ object CanonQueries {
       .select("id_a", "id_b")
     val comp = Graph.connectedComponents(pairs)
       .withColumnRenamed("id", "doc_id")
-    val mem = Dedup.cacheTracked(Tables.documents(spark, dir)
+    val mem = Dedup.checkpointTracked(Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_chars").cast("long").as("n_chars"))
       .join(comp, "doc_id"))
@@ -125,7 +125,7 @@ object CanonQueries {
     * Scale: one (source, lang) count pass; every subsequent step is
     * |S|- or |L|-sized aggregates and broadcast joins. */
   def q273_raking_weights(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Dedup.cacheTracked(Tables.documents(spark, dir)
+    val cells = Dedup.checkpointTracked(Tables.documents(spark, dir)
       .groupBy("source", "lang").agg(count(lit(1)).as("n_docs")))
     val tot = cells.agg(sum("n_docs").as("n_total"),
       countDistinct("source").as("n_src"), countDistinct("lang").as("n_lang"))
@@ -175,7 +175,7 @@ object CanonQueries {
     // cached per-doc bigram sets cut by TakeOrderedAndProject. Measured
     // 2.1 s → ~0.9 s at sf0.1, identical rows.
     import spark.implicits._
-    val sets = Dedup.cacheTracked(
+    val sets = Dedup.checkpointTracked(
       Dedup.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
         .select(col("doc_id"), shinglesFromTokens(col("t"), 2).as("bg")))
@@ -244,7 +244,7 @@ object CanonQueries {
       .select(col("source"), explode(wsTokens(normalizeText(col("text")))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("token").asc)
-    val top = Dedup.cacheTracked(counts
+    val top = Dedup.checkpointTracked(counts
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= VocabTopM)
       .select("source", "token"))

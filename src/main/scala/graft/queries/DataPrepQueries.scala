@@ -456,7 +456,7 @@ object DataPrepQueries {
     // and the contaminated branch — uncached, the full shingle→MinHash
     // signature subtree would execute twice (the same measured 2× cost
     // minhashLshPairs persists against)
-    val banded = Dedup.cacheTracked(Dedup.minhashBands(docs,
+    val banded = Dedup.checkpointTracked(Dedup.minhashBands(docs,
       n = ShingleN, bands = MinhashBands, rowsPerBand = MinhashRows))
     val evalKeys = banded.filter(pmod(col("id"), lit(EvalMod)) === 0)
       .select("band", "band_key").distinct()

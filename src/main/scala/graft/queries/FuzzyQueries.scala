@@ -118,20 +118,35 @@ object FuzzyQueries {
     * Scale: degrees are one edge-list aggregate; the moment sums are
     * one more pass over 2|E| rows — never |V|². */
   def q196_degree_assortativity(spark: SparkSession, dir: String): DataFrame = {
+    // Edge-sum algebra off the DEGREE table (round 12): the former shape
+    // joined deg onto the directed edges twice and consumed that frame
+    // twice (the 1-row moment aggregate AND the centered-product
+    // aggregate), so the edge⋈deg⋈deg chain executed twice per run. All
+    // moments except Σ_edges da·db are node-local — n = Σd, sx = Σ_edges
+    // da = Σd², Σ_edges da² = Σd³ — and Σ_edges da·db = Σ_a d(a)·sn(a)
+    // with sn(a) = Σ_{b∈N(a)} d(b), so ONE edges⋈deg join (the sn
+    // aggregate) replaces the four edge-sized join passes. With
+    // μ = sx div n (integer, exactly the old expr):
+    //   num = Σ(da−μ)(db−μ) = s2 − 2μ·sx + n·μ²
+    //   den = Σ(da−μ)²      = s3 − 2μ·sx + n·μ²
+    // — same integers, same floor-div result.
     val und = OlapQueries.knnUndirectedPinned(spark, dir)
     val dirEdges = und.select(col("u").as("a"), col("v").as("b"))
       .union(und.select(col("v").as("a"), col("u").as("b")))
     val deg = dirEdges.groupBy("a").agg(count(lit(1)).cast("long").as("d"))
-    val withDeg = dirEdges
-      .join(deg.toDF("a", "da"), "a")
-      .join(deg.toDF("b", "db"), "b")
-    val m = withDeg.agg(count(lit(1)).as("n"), sum("da").as("sx"))
-    withDeg.crossJoin(broadcast(m))
-      .withColumn("cda", col("da") - expr("sx div n"))
-      .withColumn("cdb", col("db") - expr("sx div n"))
-      .agg(max("n").as("n_endpoints"),
-        sum(col("cda") * col("cdb")).as("num"),
-        sum(col("cda") * col("cda")).as("den"))
+    val sn = dirEdges.join(deg.toDF("b", "db"), "b")
+      .groupBy("a").agg(sum("db").as("snd"))
+    // every node has ≥1 neighbor, so the inner join keeps every node
+    deg.join(sn, "a")
+      .agg(sum("d").as("n"), sum(col("d") * col("d")).as("sx"),
+        sum(col("d") * col("d") * col("d")).as("s3"),
+        sum(col("d") * col("snd")).as("s2"))
+      .withColumn("mu", expr("sx div n"))
+      .select(col("n").as("n_endpoints"),
+        (col("s2") - lit(2L) * col("mu") * col("sx") +
+          col("n") * col("mu") * col("mu")).as("num"),
+        (col("s3") - lit(2L) * col("mu") * col("sx") +
+          col("n") * col("mu") * col("mu")).as("den"))
       .withColumn("assort_x1e6",
         expr("CASE WHEN den = 0 THEN 0 ELSE (1000000 * num) div den END"))
       .select("n_endpoints", "num", "den", "assort_x1e6")

@@ -59,7 +59,7 @@ object LinkageQueries {
         element_at(col("t"), 1).as("ft"), element_at(col("t"), -1).as("lt"))
     // tracked: the key table feeds the two-pass df cap (count + semi
     // join) and the posting collect — one tokenize pass, not three
-    val keys = graft.ops.Dedup.cacheTracked(heads
+    val keys = graft.ops.Dedup.checkpointTracked(heads
       .select(col("doc_id"), concat_ws(":", lit("F"),
         expr(s"CAST(ntok div $BlockBucket AS STRING)"), col("ft")).as("bkey"))
       .union(heads.select(col("doc_id"), concat_ws(":", lit("L"),

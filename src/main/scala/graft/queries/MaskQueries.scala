@@ -35,14 +35,15 @@ object MaskQueries {
     // 0.9 s at sf0.1; a no-op when the input already has >= cores splits
     val base = graft.ops.Dedup.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), wsTokens(normalizeText(col("text"))).as("t"))
-    // NOT cached: the gram table feeds both the df aggregate and the
-    // position join-back, but materializing 5·10⁵ gram strings costs more
-    // than the second codegen'd pass recomputing them (measured 2.5 s
-    // cached vs 0.9 s recomputed at sf0.1 — the q103 head, structurally
-    // identical and uncached, confirms)
-    val grams = base.select(col("doc_id"),
-      posexplode(ngramStrings(col("t"), MaskN)).as(Seq("s0", "gram")))
-      .select(col("doc_id"), (col("s0") + 1).as("s"), col("gram"))
+    // checkpointTracked (round 12, reversing the round-9 "NOT cached"
+    // A/B, which compared against cacheTracked — a persisted subtree AQE
+    // re-executes per consuming stage): the gram table feeds the df
+    // aggregate AND the position join-back; the eager checkpoint builds
+    // the explode walk once and both consumers stream the blocks.
+    val grams = graft.ops.Dedup.checkpointTracked(
+      base.select(col("doc_id"),
+        posexplode(ngramStrings(col("t"), MaskN)).as(Seq("s0", "gram")))
+      .select(col("doc_id"), (col("s0") + 1).as("s"), col("gram")))
     // "shared with ANOTHER doc" needs only a 2-distinct-docs test, and
     // countDistinct >= 2 ⟺ min(doc_id) < max(doc_id). At sf0.1 the two
     // tie (A/B min-of-3: 1.58 vs 1.43 — inside this VM's noise band);

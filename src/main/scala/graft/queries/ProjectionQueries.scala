@@ -31,13 +31,15 @@ object ProjectionQueries {
     * this is the co-engagement artifact its analytics twin publishes.
     */
   def q161_brand_copurchase(spark: SparkSession, dir: String): DataFrame = {
-    // NOT cached (round-9 A/B at sf0.1, min of 3: uncached 1.74 s vs
-    // cached 3.35 s — same shape as the q112 finding): ReuseExchange
-    // dedups the self-join pair's exchange, the aggregate branches
-    // recompute only the cheap scan+broadcast-join, and the columnar
-    // cache materialization of ~5e5 distinct rows costs more than both.
-    // At 100 TB the multi-consumer base is a staged DISTINCT table on
-    // disk, not an executor-memory cache.
+    // checkpointTracked (round 12, reversing the round-9 "NOT cached"
+    // A/B): that A/B compared against cacheTracked, whose persisted
+    // subtree AQE re-executes once per consuming stage (the round-12
+    // JobProfile finding) — the 3.35 s "cached" number was paying the
+    // build ~3× plus materialization. An eager local checkpoint builds
+    // the per-order brand sets ONCE and all three consumers (total,
+    // per-brand counts, pair supports) stream the blocks. At 100 TB the
+    // multi-consumer base is a staged DISTINCT table on disk — same
+    // shape, durable medium.
     // ONE okey exchange instead of three (round 11): the old shape ran
     // distinct (okey,brand) then self-joined on okey — a second full
     // re-shuffle of the distinct rows plus a 2× shuffle read for the pair
@@ -50,12 +52,17 @@ object ProjectionQueries {
     // counts, pair supports) read the same exchange via ReuseExchange.
     // Results identical: sort_array(collect_set) = the distinct brand set,
     // so in-row (i < j) pairs ≡ the a.brand < b.brand equijoin.
-    val ob = graft.ops.Dedup.spread(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("okey"), col("l_partkey")))
-      .join(broadcast(Tables.part(spark, dir)
-        .select(col("p_partkey"), col("p_brand").as("brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy("okey").agg(sort_array(collect_set(col("brand"))).as("bs"))
+    // collect_set DROPS null brands where the old distinct+groupBy(brand)
+    // would have counted a null-brand group (ADVICE r11) — safe here
+    // because TPC-H p_brand is NOT NULL by schema; revisit if the dim
+    // ever allows null brands (filter them explicitly before the agg).
+    val ob = graft.ops.Dedup.checkpointTracked(
+      graft.ops.Dedup.spread(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("okey"), col("l_partkey")))
+        .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand").as("brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("okey").agg(sort_array(collect_set(col("brand"))).as("bs")))
     val total = ob.select(count(lit(1)).cast("long").as("n_orders"))
     val brandCnt = ob.select(explode(col("bs")).as("brand"))
       .groupBy("brand").agg(count(lit(1)).cast("long").as("cnt"))

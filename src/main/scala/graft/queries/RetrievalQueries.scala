@@ -145,7 +145,7 @@ object RetrievalQueries {
     // below (eval bits, train candidates, per-doc totals) — without the
     // cache the explode+hash subtree re-ran per consumer (round-5
     // VERDICT finding #1)
-    val grams = graft.ops.Dedup.cacheTracked(
+    val grams = graft.ops.Dedup.checkpointTracked(
       graft.ops.Dedup.pinnedShingles(spark, dir, n)
         .select(col("id").as("doc_id"), col("shingle").as("gram"))
         .withColumn("is_eval", pmod(col("doc_id"), lit(CurationQueries.EvalMod)) === 0L)

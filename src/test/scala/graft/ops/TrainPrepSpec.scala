@@ -38,6 +38,26 @@ class TrainPrepSpec extends SparkSpec {
     assert(segs("aaa") == Seq("aa", "a")) // odd tail stays single
   }
 
+  test("BPE: repeated multi-char symbol runs replay the oracle's grp algebra") {
+    // Round 3 merges (abc,abc) over seg abc|abc|abc (positions 0,3,6 — a
+    // POSITION-GAPPED f-run after two merge rounds). The oracle's
+    // grp = pos − rank(f=1) rule puts each gapped occurrence in its OWN
+    // group, so both pos 0 and pos 3 start merges and the prev_s cascade
+    // drops the tail row: segmentation ["abcabc"]. A run-parity rule
+    // keyed on lag(f) alone (round 11's first form) would instead emit
+    // ["abcabc", "abc"] and diverge from the DuckDB replay (ADVICE r11);
+    // this pins the position-gap run break in mergeRound.
+    val vocab = Seq(("abcabcabc", 1L)).toDF("word", "n")
+    val merges = Bpe.trainMerges(vocab, rounds = 3).orderBy("merge_round").collect()
+    assert(merges.toSeq == Seq(
+      Row(1, "a", "b", "ab", 3L),
+      Row(2, "ab", "c", "abc", 3L),
+      Row(3, "abc", "abc", "abcabc", 2L)))
+    val segs = Bpe.segmentations(vocab, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(segs("abcabcabc") == Seq("abcabc"))
+  }
+
   test("BPE: exhausted merges leave segmentations unchanged (no empty-winner wipe)") {
     // one 2-char word: round 1 merges it fully; rounds 2-3 find no pairs
     val vocab = Seq(("ab", 1L)).toDF("word", "n")
