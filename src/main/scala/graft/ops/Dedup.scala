@@ -110,7 +110,15 @@ object Dedup {
   /** Release the session-lifetime pinned tier (end of a bench/verify
     * session or between bench sections). Also evicts the session's
     * entries from every [[PinnedCoreMemo]], so memoized cores rebuild
-    * (and re-pin) on next use instead of serving unpersisted frames. */
+    * (and re-pin) on next use instead of serving unpersisted frames.
+    *
+    * (Round-12 note: a checkpointPinned variant — LogicalRDD leaves for
+    * the cores, mirroring [[checkpointTracked]] — was A/B'd on the full
+    * board and REVERTED: the pinned tier's value is plan-identity
+    * substitution for queries that build their own copy of a core-equal
+    * plan, plus IMR size stats keeping consumer joins broadcast-planned;
+    * a stats-less leaf loses both, +0.3-1.1 s across the shingle/LSH
+    * family.) */
   def unpersistPinned(spark: org.apache.spark.sql.SparkSession): Unit = {
     val q = pinnedTracked.remove(spark)
     if (q != null) q.forEach(df => df.unpersist(blocking = false))
@@ -310,7 +318,7 @@ object Dedup {
     // spread before the shingle build: without it, an under-split input
     // (one parquet file locally) computes every doc's sorted shingle set
     // on one task before the first shuffle (see spread())
-    val sh = checkpointTracked(shinglePlan(docs, n, idCol, textCol))
+    val sh = cacheTracked(shinglePlan(docs, n, idCol, textCol))
     // (inter, sizes) are the expensive, query-independent core shared by
     // the Jaccard/containment/near-dup-flow family — pin them for the
     // session so a later query with the same (input, n, maxDf) reuses the
@@ -438,7 +446,7 @@ object Dedup {
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = checkpointTracked(
+    val sh = cacheTracked(
       spread(docs.select(col(idCol).as("id"), col(textCol).as("__text"),
         col(evalCol).cast("boolean").as("__eval")))
         .select(col("id"), col("__eval"),
@@ -475,7 +483,7 @@ object Dedup {
       n: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = checkpointTracked(shinglePlan(docs, n, idCol, textCol))
+    val sh = cacheTracked(shinglePlan(docs, n, idCol, textCol))
     // per-doc shingles are DISTINCT (shinglesFromTokens dedups), so
     // count(*) per shingle IS the distinct-doc frequency
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -564,7 +572,7 @@ object Dedup {
     // persist (tracked): the self-join would otherwise recompute the whole
     // shingle→signature subtree for both sides (measured 2× cost);
     // the banded table is bands-per-doc rows, tiny relative to input
-    checkpointTracked(banded)
+    cacheTracked(banded)
     banded.as("a").join(banded.as("b"), Seq("band", "band_key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -595,7 +603,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val tagged = checkpointTracked(
+    val tagged = cacheTracked(
       minhashBands(docs, n, bands, rowsPerBand, idCol, textCol)
         .join(docs.select(col(idCol).as("id"), isNew.as("__new")), "id"))
     val nb = tagged.filter(col("__new"))
@@ -720,7 +728,7 @@ object Dedup {
       .select(col("id"), col("simhash"), col("s.seg").as("seg"), col("s.key").as("key"))
     // persist (tracked): self-joined below; avoids recomputing the
     // signature twice
-    checkpointTracked(bySeg)
+    cacheTracked(bySeg)
     // hamming filter BEFORE the distinct: candidates from the 4 segments
     // are much denser than survivors, and hamming is deterministic per
     // pair, so dedup over the filtered set is equivalent and cheaper

@@ -109,7 +109,9 @@ object Graph {
         .select(col("g"), col("src").as("id"), col("nbr_min"))
       // checkpoint hop: it feeds BOTH sides of the pointer-jumping
       // self-join — un-checkpointed, the join+groupBy above would run
-      // twice per round (round-8 ADVICE)
+      // twice per round (round-8 ADVICE; round 12 re-A/B'd dropping it,
+      // trusting exchange reuse to dedup the agg — the grouped board
+      // REGRESSED, q388 3.2 -> 4.9 s, and the fuse was reverted)
       val hop = labels
         .join(incoming, Seq("g", "id"), "left")
         .select(col("g"), col("id"), col("comp").as("prev_comp"),
@@ -159,8 +161,9 @@ object Graph {
         .select(col("src").as("id"), col("nbr_min"))
       // checkpointed: hop feeds both sides of the pointer-jumping
       // self-join below — without this the neighbor-min join+groupBy
-      // runs twice per round (round-8 ADVICE, grouped variant; same
-      // shape here)
+      // runs twice per round (round-8 ADVICE; round 12 re-A/B'd dropping
+      // it — JobProfile read neutral but the full board regressed, q312
+      // 1.68 -> 2.38 s — reverted)
       val hop = labels
         .join(incoming, Seq("id"), "left")
         .select(col("id"), col("comp").as("prev_comp"),

@@ -43,11 +43,17 @@ object KMeans {
   // and tie-break to min_by(struct(cluster, vq), struct(d2, cluster)).
   // Assumes unique ids (the old groupBy(id) collapsed duplicates; this
   // keeps one row per INPUT row — every caller feeds a keyed embedding
-  // table, where the two coincide). The null-cluster filter guards the
-  // empty-centroid edge: element_at over an empty centroid array yields
-  // a null cluster per vector, and update() would fold those into a
-  // spurious null centroid (ADVICE r11) — with ≥1 centroid the filter
-  // matches every row and the result is unchanged.
+  // table, where the two coincide). Empty-centroid edge (ADVICE r11):
+  // element_at over an empty centroid array would yield a null cluster
+  // per vector and update() would fold those into a spurious null
+  // centroid — UNREACHABLE in every caller, because the centroid table
+  // is always seeded/trained from the SAME frame being assigned
+  // (lloydCentroids' limit(k) is empty only when the corpus is, and then
+  // there are no vector rows to mis-assign). Documented rather than
+  // guarded: a runtime filter on the computed cluster column made
+  // Catalyst evaluate the per-row k·dim argmin sort twice, and even a
+  // 1-row guard on the broadcast side measurably perturbed the family's
+  // plans (round-12 A/B: +0.2-0.4 s on q65/q95/q368).
   private def assign(vq: DataFrame, c: DataFrame): DataFrame = {
     val carr = c.agg(collect_list(struct(col("cluster"), col("cvq"))).as("__cs"))
     vq.crossJoin(broadcast(carr))
@@ -57,7 +63,6 @@ object KMeans {
             cc.getField("cluster").as("cluster")))), 1)
           .getField("cluster").as("cluster"),
         col("vq"))
-      .filter(col("cluster").isNotNull)
   }
 
   private def update(a: DataFrame): DataFrame =

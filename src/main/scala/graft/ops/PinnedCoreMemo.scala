@@ -34,6 +34,13 @@ final class PinnedCoreMemo[K] {
     * call. `build` runs at most once per live (session, key). */
   def getOrBuild(spark: SparkSession, key: K)(build: => DataFrame): DataFrame = {
     m.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // cachePinned, NOT checkpointPinned (round-12 A/B): the pinned tier
+    // depends on PLAN-IDENTITY substitution — queries that build their
+    // own copy of a core-equal plan (q33/q37/q74/q81/q124/q135/q157...)
+    // are served from the CacheManager without ever touching the memo,
+    // and the IMR's size stats keep their joins broadcast-planned. A
+    // checkpoint leaf loses both (board A/B: +0.3-1.1 s across the
+    // shingle/LSH family, q16 0.15->0.55, q135 0.82->1.94).
     m.computeIfAbsent((spark, key), _ => Dedup.cachePinned(build))
   }
 

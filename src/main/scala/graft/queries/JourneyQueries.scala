@@ -69,7 +69,13 @@ object JourneyQueries {
     * TPC-H proportions) broadcast; Catalyst orders the join chain and
     * AQE re-plans the customer join at runtime — exactly the plan shape
     * the optimizer should pick unaided, pinned in PlanSpec. */
-  def q152_market_share(spark: SparkSession, dir: String): DataFrame = {
+  /** The pre-checkpoint star subtree of q152 (per-(year, nation) volume) —
+    * split out so PlanSpec can pin the dims-broadcast shape that q152's
+    * checkpointTracked byNation otherwise hides behind a LogicalRDD leaf. */
+  private[graft] def q152StarForPlanPin(spark: SparkSession, dir: String): DataFrame =
+    q152Star(spark, dir)
+
+  private def q152Star(spark: SparkSession, dir: String): DataFrame = {
     val natC = Tables.nation(spark, dir)
       .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === ShareRegion)),
         col("n_regionkey") === col("r_regionkey"))
@@ -91,8 +97,15 @@ object JourneyQueries {
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .select(year(col("o_orderdate")).cast("long").as("o_year"),
         col("supp_nation"), col("vol_c"))
-    val byNation = vol.groupBy("o_year", "supp_nation")
+    vol.groupBy("o_year", "supp_nation")
       .agg(sum("vol_c").as("nation_vol_c"))
+  }
+
+  def q152_market_share(spark: SparkSession, dir: String): DataFrame = {
+    // checkpointTracked (round 12): byNation is |years×nations|-row but
+    // feeds BOTH the year rollup and the share join — uncached, each
+    // consuming stage re-executed the whole fact star join under AQE
+    val byNation = graft.ops.Dedup.checkpointTracked(q152Star(spark, dir))
     val byYear = byNation.groupBy("o_year").agg(sum("nation_vol_c").as("year_vol_c"))
     byNation.join(broadcast(byYear), "o_year")
       .withColumn("share_x10k", expr("(10000 * nation_vol_c) div year_vol_c"))

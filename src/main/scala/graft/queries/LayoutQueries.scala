@@ -80,6 +80,9 @@ object LayoutQueries {
       // more job per hop on a chain-depth-bound query — the anti-join
       // reads the already-materialized frontier blocks through the union
       // either way, and the union plan is ≤ DiamMaxHops branches.
+      // (Round 12: a two-levels-per-checkpoint fusion was A/B'd on the
+      // full board and REVERTED — no win materialized and one wave read
+      // +0.7 s; the per-hop expand is already exchange-light.)
       var frontiers = List(seed.select(col("node")).withColumn("hop", lit(0L))
         .localCheckpoint(eager = true))
       var frontier = frontiers.head.select("node")

@@ -131,22 +131,34 @@ object MaskQueries {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val idx = Relational.globalIndex(docs, Seq(col("doc_id")), "idx")
     val tot = docs.agg(count(lit(1)).as("n_docs"))
-    // Join the doc-level index BEFORE exploding (round 11): the old shape
-    // exploded first and joined idx on token-level rows — at scale that
-    // shuffles the n-gram stream instead of doc-sized rows, and locally the
-    // tokenize+ngram walk ran serialized in the single-split scan stage
-    // (JobProfile: one 1-task 1.1 s stage). `spread` keeps the walk at full
-    // parallelism even when AQE broadcasts the idx side (no-op on real
-    // multi-split corpora).
+    // Decile via TEN BROADCAST BOUNDARY doc_ids, not a doc-keyed join of
+    // the text rows (round 12): the round-11 shape joined the index onto
+    // (doc_id, text) — after the index moved behind a stats-less
+    // checkpoint leaf the planner stopped broadcasting it and the RAW
+    // TEXT paid a doc-keyed exchange. Decile k starts at rank
+    // idx_k = ceil(k·n/B) + 1 (GB·(idx−1) div n ≥ k ⇔ idx−1 ≥ ⌈kn/B⌉),
+    // so decile(d) = |{k : idx_k ≤ rank(d)}| − 1 — and since doc ranks
+    // are doc_id order, that is a comparison against the ten boundary
+    // doc_ids, carried with multiplicity for the n < B degenerate case
+    // (several k sharing one boundary rank = skipped deciles). The text
+    // side now never joins anything row-keyed: B structs broadcast to
+    // every task at ANY corpus size.
+    val bIdx = s"transform(sequence(0, ${GrowthBuckets - 1}), " +
+      s"k -> (k * n_docs + ${GrowthBuckets - 1}) div $GrowthBuckets + 1)"
+    val bounds = idx.crossJoin(broadcast(tot))
+      .filter(expr(s"array_contains($bIdx, idx)"))
+      .select(col("doc_id").as("b"),
+        expr(s"size(filter($bIdx, v -> v = idx))").cast("long").as("mult"))
+      .agg(sort_array(collect_list(struct(col("b"), col("mult")))).as("barr"))
     val toks = graft.ops.Dedup.spread(Tables.documents(spark, dir)
         .select(col("doc_id"), col("text")))
-      .join(idx, "doc_id").crossJoin(broadcast(tot))
+      .crossJoin(broadcast(bounds))
       // bind the token array BEFORE ngramStrings: element_at over an
       // unbound normalize+split expression re-evaluates it per element
       // (the shinglesFromTokens trap — measured 68 s → ~1 s at sf0.1)
       .select(wsTokens(normalizeText(col("text"))).as("t"),
-        least(lit(GrowthBuckets - 1L),
-          expr(s"($GrowthBuckets * (idx - 1)) div n_docs")).as("decile"))
+        expr("aggregate(barr, -1L, (acc, x) -> " +
+          "acc + CASE WHEN doc_id >= x.b THEN x.mult ELSE 0L END)").as("decile"))
       .select(explode(ngramStrings(col("t"), MaskN)).as("token"), col("decile"))
     val firstSeen = toks.groupBy("token").agg(min("decile").as("decile"))
     val perDecile = firstSeen.groupBy("decile")

@@ -31,15 +31,14 @@ object ProjectionQueries {
     * this is the co-engagement artifact its analytics twin publishes.
     */
   def q161_brand_copurchase(spark: SparkSession, dir: String): DataFrame = {
-    // checkpointTracked (round 12, reversing the round-9 "NOT cached"
-    // A/B): that A/B compared against cacheTracked, whose persisted
-    // subtree AQE re-executes once per consuming stage (the round-12
-    // JobProfile finding) — the 3.35 s "cached" number was paying the
-    // build ~3× plus materialization. An eager local checkpoint builds
-    // the per-order brand sets ONCE and all three consumers (total,
-    // per-brand counts, pair supports) stream the blocks. At 100 TB the
-    // multi-consumer base is a staged DISTINCT table on disk — same
-    // shape, durable medium.
+    // NOT cached (round-9 A/B, re-confirmed round 12): a checkpointTracked
+    // form was A/B'd on the full board and read consistently flat-to-worse
+    // (1.62 baseline vs 1.65/1.83/1.86 across three waves) — ReuseExchange
+    // dedups the self-join pair's exchange and the aggregate branches
+    // recompute only the cheap scan+broadcast-join, so materializing the
+    // ~5e5-row set table buys nothing here. At 100 TB the multi-consumer
+    // base is a staged DISTINCT table on disk, not an executor-memory
+    // artifact.
     // ONE okey exchange instead of three (round 11): the old shape ran
     // distinct (okey,brand) then self-joined on okey — a second full
     // re-shuffle of the distinct rows plus a 2× shuffle read for the pair
@@ -56,13 +55,12 @@ object ProjectionQueries {
     // would have counted a null-brand group (ADVICE r11) — safe here
     // because TPC-H p_brand is NOT NULL by schema; revisit if the dim
     // ever allows null brands (filter them explicitly before the agg).
-    val ob = graft.ops.Dedup.checkpointTracked(
-      graft.ops.Dedup.spread(Tables.lineitem(spark, dir)
-          .select(col("l_orderkey").as("okey"), col("l_partkey")))
-        .join(broadcast(Tables.part(spark, dir)
-          .select(col("p_partkey"), col("p_brand").as("brand"))),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy("okey").agg(sort_array(collect_set(col("brand"))).as("bs")))
+    val ob = graft.ops.Dedup.spread(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey")))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand").as("brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("okey").agg(sort_array(collect_set(col("brand"))).as("bs"))
     val total = ob.select(count(lit(1)).cast("long").as("n_orders"))
     val brandCnt = ob.select(explode(col("bs")).as("brand"))
       .groupBy("brand").agg(count(lit(1)).cast("long").as("cnt"))

@@ -42,11 +42,14 @@ object QteQueries {
           Window.partitionBy(pmod(length(col("arm")), lit(1))).orderBy("arm")
             .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-    val dec = idxd.join(broadcast(armOff), "arm")
+    // checkpointTracked (round 12): dec is ≤ 2·10 rows but feeds BOTH the
+    // a-side and b-side of the final self-join — uncached, each side
+    // re-ran the whole global-index + decile-aggregate chain
+    val dec = graft.ops.Dedup.checkpointTracked(idxd.join(broadcast(armOff), "arm")
       .withColumn("decile", expr("((__gidx - __start - 1) * 10) div __n"))
       .groupBy("arm", "decile")
       .agg(count(lit(1)).as("n"), sum("value_c").as("sum_c"))
-      .withColumn("mean_c", expr("sum_c div n"))
+      .withColumn("mean_c", expr("sum_c div n")))
     dec.filter(col("arm") === "a")
       .select(col("decile"), col("n").as("n_a"), col("mean_c").as("mean_a_c"))
       .join(dec.filter(col("arm") === "b")

@@ -443,10 +443,14 @@ object RelationalQueries {
         expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"))
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum("qty_c").as("sq"))
-    val pt = sp.groupBy(col("l_partkey").as("agg_partkey"))
-      .agg(sum("sq").as("tq"))
     val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
-    sp.join(pt, col("l_partkey") === col("agg_partkey"))
+    // part total as a part-keyed WINDOW over the (supp, part) aggregate
+    // (round 12): the former agg + self-join consumed sp twice — AQE
+    // re-executed the lineitem aggregate once per consuming stage — and
+    // paid a second exchange for the join. The window partition is
+    // suppliers-per-part-bounded (never corpus-wide); same integers.
+    sp.withColumn("tq", sum("sq").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
       .filter(lit(5L) * col("sq") > col("tq"))
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("n_dominant_parts"))

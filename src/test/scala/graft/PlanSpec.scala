@@ -724,16 +724,33 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q152 market share: dims broadcast, the fact side never sort-merges") {
+    // byNation is checkpointTracked (round 12): the star join (where the
+    // dims-broadcast invariant lives) executes inside the checkpointed
+    // subtree, so pin it on the star frame itself, and pin the query's
+    // own plan on the leaf + the share join staying broadcast.
     val plan = executed(graft.queries.JourneyQueries.q152_market_share(spark, sfDir))
     val nodes = collectAll(plan)
-    val bhj = nodes.collect {
+    assert(nodes.exists {
+      case _: org.apache.spark.sql.execution.RDDScanExec => true
+      case _ => false
+    }, s"byNation must be a checkpointed leaf:\n$plan")
+    assert(nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, s"share join must broadcast; no nested-loop:\n$plan")
+    // the star subtree: reconstruct the same shape q152 checkpoints and
+    // assert the dims broadcast there (same session, same tables)
+    val starPlan = executed(
+      graft.queries.JourneyQueries.q152StarForPlanPin(spark, sfDir))
+    val bhj = collectAll(starPlan).collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }
     assert(bhj.size >= 4,
-      s"nation x2/region/supplier (and small sides under AQE) must broadcast, got ${bhj.size}:\n$plan")
-    assert(nodes.collect {
+      s"nation x2/region/supplier (and small sides under AQE) must broadcast, got ${bhj.size}:\n$starPlan")
+    assert(collectAll(starPlan).collect {
       case j: BroadcastNestedLoopJoinExec => j
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
-    }.isEmpty, s"no nested-loop anywhere in the star:\n$plan")
+    }.isEmpty, s"no nested-loop anywhere in the star:\n$starPlan")
   }
 }

@@ -41,7 +41,20 @@ class SessionFourPlanSpec extends SparkSpec {
   }
 
   test("q367: no corpus rows under a single-task window") {
-    val plan = executed(QteQueries.q367_qte_deciles(spark, sfDir))
+    // q367's dec frame is checkpointTracked (round 12), so its decile
+    // windows live inside the checkpointed subtree — pin the SAME
+    // invariant on the machinery the query runs (globalIndex over the
+    // q367 ordering), and assert the query's own plan streams the
+    // materialized leaf instead of recomputing the chain per side.
+    val qplan = executed(QteQueries.q367_qte_deciles(spark, sfDir))
+    assert(all(qplan).exists {
+      case _: org.apache.spark.sql.execution.RDDScanExec => true
+      case _ => false
+    }, s"dec must be a checkpointed leaf:\n$qplan")
+    val o = graft.Tables.orders(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"))
+    val plan = executed(graft.ops.Relational.globalIndex(o,
+      Seq(org.apache.spark.sql.functions.col("o_orderkey")), "__gidx"))
     val windows = all(plan).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
